@@ -1,0 +1,117 @@
+"""Multi-head attention with packed QKV projection and KV-cache support.
+
+TPU-native replacement for the reference's reliance on
+``torch.nn.MultiheadAttention`` (ref: common/TransformerEncoder.py:42,
+common/TransformerDecoder.py:45-46, common/TransformerBlock.py:11). Math is
+identical: packed in-projection, per-head scaled dot-product, optional
+additive attention mask plus boolean key-padding mask, dropout on the
+attention probabilities, output projection, and (optionally) the
+mean-over-heads probability matrix.
+
+Everything is laid out for the MXU: a single [E, 3E] matmul for QKV, batched
+einsums for scores/context, no per-head Python loops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .masking import neg_inf
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, l, e = x.shape
+    return x.reshape(b, l, num_heads, e // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+           *, attn_bias: Optional[jnp.ndarray] = None,
+           key_keep: Optional[jnp.ndarray] = None,
+           dropout_rate: float = 0.0,
+           deterministic: bool = True,
+           dropout_rng: Optional[jax.Array] = None,
+           need_weights: bool = False,
+           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Scaled dot-product attention on [B, H, L, d] tensors.
+
+    ``attn_bias``: additive [Lq, Lk] (e.g. causal). ``key_keep``: boolean
+    [B, Lk], True = attend. Rows whose keys are all masked produce zeros
+    (torch would produce NaN; no model consumes such rows).
+    """
+    d = q.shape[-1]
+    scale = jnp.asarray(1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)), q.dtype)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    if attn_bias is not None:
+        scores = scores + attn_bias[None, None, :, :].astype(scores.dtype)
+    if key_keep is not None:
+        scores = jnp.where(key_keep[:, None, None, :], scores, neg_inf(scores.dtype))
+    probs = jax.nn.softmax(scores, axis=-1)
+    if key_keep is not None:
+        any_valid = jnp.any(key_keep, axis=-1)[:, None, None, None]
+        probs = jnp.where(any_valid, probs, jnp.zeros((), probs.dtype))
+    weights = jnp.mean(probs, axis=1) if need_weights else None
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return out, weights
+
+
+class MultiHeadAttention(nn.Module):
+    """Torch-compatible MHA (same embed dim for q/k/v, packed projection)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    def setup(self):
+        e = self.embed_dim
+        self.qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.xavier_uniform(), (e, 3 * e))
+        self.qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * e,))
+        self.out = nn.Dense(e, use_bias=True, name="out",
+                            kernel_init=nn.initializers.xavier_uniform())
+
+    def _proj(self, x: jnp.ndarray, which: str) -> jnp.ndarray:
+        e = self.embed_dim
+        i = {"q": 0, "k": 1, "v": 2}[which]
+        return x @ self.qkv_kernel[:, i * e:(i + 1) * e] + self.qkv_bias[i * e:(i + 1) * e]
+
+    def project_q(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._proj(x, "q")
+
+    def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute K/V (merged-head layout [B, L, E]) for cached decoding."""
+        return self._proj(x, "k"), self._proj(x, "v")
+
+    def attend_with_kv(self, q_in: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       *, attn_bias=None, key_keep=None,
+                       deterministic: bool = True,
+                       need_weights: bool = False):
+        """Attention where K/V are already projected ([B, Lk, E])."""
+        q = self.project_q(q_in)
+        h = self.num_heads
+        rng = self.make_rng("dropout") if (self.dropout > 0.0 and not deterministic) else None
+        ctx, w = attend(split_heads(q, h), split_heads(k, h), split_heads(v, h),
+                        attn_bias=attn_bias, key_keep=key_keep,
+                        dropout_rate=self.dropout, deterministic=deterministic,
+                        dropout_rng=rng, need_weights=need_weights)
+        return self.out(merge_heads(ctx)), w
+
+    def __call__(self, q_in: jnp.ndarray, k_in: jnp.ndarray, v_in: jnp.ndarray,
+                 *, attn_bias=None, key_keep=None, deterministic: bool = True,
+                 need_weights: bool = False):
+        k = self._proj(k_in, "k")
+        v = self._proj(v_in, "v")
+        return self.attend_with_kv(q_in, k, v, attn_bias=attn_bias,
+                                   key_keep=key_keep, deterministic=deterministic,
+                                   need_weights=need_weights)

@@ -1,0 +1,86 @@
+"""MultiHeadAttention parity vs torch.nn.MultiheadAttention."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp
+
+from case_rg_tpu.ops.attention import MultiHeadAttention
+from case_rg_tpu.ops.masking import causal_mask
+from torch_helpers import mha_params
+
+
+def _setup(embed=32, heads=4, seed=0):
+    torch.manual_seed(seed)
+    t_mha = torch.nn.MultiheadAttention(embed, heads, dropout=0.0)
+    params = {"params": mha_params(t_mha)}
+    mha = MultiHeadAttention(embed_dim=embed, num_heads=heads, dropout=0.0)
+    return t_mha, mha, params
+
+
+def test_self_attention_matches_torch():
+    t_mha, mha, params = _setup()
+    rng = np.random.RandomState(0)
+    b, l, e = 3, 7, 32
+    x = rng.randn(b, l, e).astype(np.float32)
+    keep = rng.rand(b, l) > 0.3
+    keep[:, 0] = True
+
+    with torch.no_grad():
+        xt = torch.tensor(x).transpose(0, 1)  # [L, B, E]
+        ref, ref_w = t_mha(xt, xt, xt, key_padding_mask=torch.tensor(~keep))
+        ref = ref.transpose(0, 1).numpy()
+    out, w = mha.apply(params, jnp.array(x), jnp.array(x), jnp.array(x),
+                       key_keep=jnp.array(keep), need_weights=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(w), ref_w.numpy(), atol=2e-5)
+
+
+def test_causal_attention_matches_torch():
+    t_mha, mha, params = _setup(seed=1)
+    rng = np.random.RandomState(1)
+    b, l, e = 2, 5, 32
+    x = rng.randn(b, l, e).astype(np.float32)
+
+    cm = torch.triu(torch.full((l, l), float("-inf")), diagonal=1)
+    with torch.no_grad():
+        xt = torch.tensor(x).transpose(0, 1)
+        ref, _ = t_mha(xt, xt, xt, attn_mask=cm)
+        ref = ref.transpose(0, 1).numpy()
+    out, _ = mha.apply(params, jnp.array(x), jnp.array(x), jnp.array(x),
+                       attn_bias=causal_mask(l))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_cross_attention_and_kv_cache_paths_agree():
+    t_mha, mha, params = _setup(seed=2)
+    rng = np.random.RandomState(2)
+    b, lq, lk, e = 2, 4, 9, 32
+    q = rng.randn(b, lq, e).astype(np.float32)
+    m = rng.randn(b, lk, e).astype(np.float32)
+    keep = rng.rand(b, lk) > 0.4
+    keep[:, 0] = True
+
+    with torch.no_grad():
+        ref, _ = t_mha(torch.tensor(q).transpose(0, 1), torch.tensor(m).transpose(0, 1),
+                       torch.tensor(m).transpose(0, 1), key_padding_mask=torch.tensor(~keep))
+        ref = ref.transpose(0, 1).numpy()
+    out, _ = mha.apply(params, jnp.array(q), jnp.array(m), jnp.array(m),
+                       key_keep=jnp.array(keep))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+    # precomputed-KV path must agree with the direct path
+    k, v = mha.apply(params, jnp.array(m), method=MultiHeadAttention.project_kv)
+    out2, _ = mha.apply(params, jnp.array(q), k, v, key_keep=jnp.array(keep),
+                        method=MultiHeadAttention.attend_with_kv)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-6)
+
+
+def test_fully_masked_rows_zero_not_nan():
+    _, mha, params = _setup(seed=3)
+    x = np.random.RandomState(3).randn(2, 4, 32).astype(np.float32)
+    keep = np.zeros((2, 4), dtype=bool)  # nothing to attend to
+    out, _ = mha.apply(params, jnp.array(x), jnp.array(x), jnp.array(x),
+                       key_keep=jnp.array(keep))
+    assert np.isfinite(np.asarray(out)).all()
