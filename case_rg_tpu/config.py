@@ -102,17 +102,8 @@ class Config:
     eval: EvalConfig = field(default_factory=EvalConfig)
 
 
-# Per-model featurization overrides: the reference gives the GRU baselines a
-# longer answer budget (50) and TMemNet/GTTP an 80-token context window
-# (GTTPDataset.py:6, TMemNetDataset.py:6) while CaSE/Masque/GLKS use the prep
-# constants (Prepare_dataset.py:13-20).  num_passage/passage_len stay shared.
-MODEL_DATA_OVERRIDES = {
-    "case": dict(answer_len=40),
-    "masque": dict(answer_len=40),
-    "glks": dict(answer_len=40),
-    "gttp": dict(answer_len=50),
-    "s2sa": dict(answer_len=50),
-    "tmemnet": dict(answer_len=50),
-}
-
+# The reference's per-dataset constructor defaults differ, but
+# Prepare_dataset.py:241-311 passes the same global constants
+# (query_len=60, passage_len=100, num_passage=10, max_target_length=40)
+# to every model's dataset, so featurization shapes are shared.
 MODEL_NAMES = ("case", "masque", "glks", "tmemnet", "gttp", "s2sa")

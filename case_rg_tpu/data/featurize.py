@@ -1,0 +1,201 @@
+"""Fixed-shape featurization for the six models.
+
+TPU-native rebuild of the per-model Dataset.load() featurizers
+(CaSE/CaSEDataset.py:59-109, Masque/MasqueDataset.py:63-113,
+GLKS/GLKSDataset.py:48-93, GTTP/GTTPDataset.py:28-71,
+S2SA/S2SADataset.py:28-68, TMemNet/TMemNetDataset.py:29-62). Everything is
+emitted as dense, fixed-shape numpy arrays (XLA-friendly static shapes):
+
+* responses are right-padded to ``answer_len`` instead of per-batch
+  ``pad_sequence`` — with ignore_index=0 losses this is loss-identical;
+* the random gold-passage choice the reference makes per ``__getitem__``
+  (CaSEDataset.py:111-113) is deferred: all gold indices are stored
+  (padded with -1) and a seeded per-epoch choice happens in the batcher;
+* copy source maps are NOT materialized: for every model,
+  ``source_map == concat(query_ids, passage_ids)`` (resp. the background
+  ids), so models derive them from the inputs.
+
+Masque's span_frequency/span_overlap tensors are intentionally omitted: the
+reference computes them (MasqueDataset.py:6-32) but no model consumes them
+(collated at MasqueDataset.py:142-143, never read in Masque/Model.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..config import DataConfig
+from ..constants import CLS_WORD, EOS_WORD, PAD_WORD, SEP_WORD, UNK_WORD
+from .labels import case_token_labels, glks_selection_label
+from .vocab import Vocabulary
+
+
+def _query_words(sample: dict, query: Dict[str, List[str]], context_len: int
+                 ) -> List[str]:
+    """[CLS] + history + [SEP] + current, left-truncated/right-padded
+    (ref: CaSEDataset.py:64-72)."""
+    context: List[str] = []
+    for cid in sample["context_id"]:
+        context += query[cid]
+    q = [CLS_WORD] + context + [SEP_WORD] + query[sample["query_id"]]
+    if len(q) > context_len:
+        q = q[-context_len:]
+    else:
+        q = q + [PAD_WORD] * (context_len - len(q))
+    return q
+
+
+def _passage_words_case(sample: dict, passage: Dict[str, List[str]],
+                        passage_len: int, num_passage: int) -> List[List[str]]:
+    """[CLS] p [SEP], truncate-keep-SEP / right-pad (ref: CaSEDataset.py:77-87)."""
+    out = []
+    for pid in sample["passage_pool_id"]:
+        if pid in passage:
+            p = [CLS_WORD] + passage[pid] + [SEP_WORD]
+            if len(p) > passage_len:
+                p = p[:passage_len - 1] + [SEP_WORD]
+            else:
+                p = p + [PAD_WORD] * (passage_len - len(p))
+            out.append(p)
+    while len(out) < num_passage:
+        out.append([CLS_WORD, SEP_WORD] + [PAD_WORD] * (passage_len - 2))
+    return out[:num_passage]
+
+
+def _passage_words_background(sample: dict, passage: Dict[str, List[str]],
+                              passage_len: int, num_passage: int) -> List[List[str]]:
+    """GLKS/GTTP/S2SA variant: under-length passages get an extra [SEP]
+    before padding (ref: GLKSDataset.py:66-76)."""
+    out = []
+    for pid in sample["passage_pool_id"]:
+        if pid in passage:
+            p = [CLS_WORD] + passage[pid] + [SEP_WORD]
+            if len(p) > passage_len:
+                p = p[:passage_len - 1] + [SEP_WORD]
+            elif len(p) < passage_len:
+                p = p + [SEP_WORD] + [PAD_WORD] * (passage_len - len(p) - 1)
+            out.append(p)
+    while len(out) < num_passage:
+        out.append([CLS_WORD, SEP_WORD] + [PAD_WORD] * (passage_len - 2))
+    return out[:num_passage]
+
+
+def _response_ids(sample: dict, vocab: Vocabulary, answer_len: int) -> np.ndarray:
+    """(answer + [EOS])[:answer_len], unpadded (ref: CaSEDataset.py:93-94)."""
+    words = (sample["answer"] + [EOS_WORD])[:answer_len]
+    return np.asarray(vocab.ids(words), np.int32)
+
+
+def _pad_to(arr: np.ndarray, length: int) -> np.ndarray:
+    out = np.zeros(length, np.int32)
+    out[: len(arr)] = arr[:length]
+    return out
+
+
+def _gold_indices(sample: dict, max_golds: int) -> np.ndarray:
+    """Index of each gold passage in the pool, padded with -1
+    (ref: CaSEDataset.py:91)."""
+    pool = sample["passage_pool_id"]
+    idx = [pool.index(pid) for pid in sample["passage_id"] if pid in pool]
+    if not idx:
+        idx = [0]
+    out = np.full(max_golds, -1, np.int32)
+    out[: len(idx)] = idx[:max_golds]
+    return out
+
+
+def featurize(model: str, samples: Sequence[dict], query: Dict[str, List[str]],
+              passage: Dict[str, List[str]], vocab: Vocabulary,
+              id2freq: Dict[int, float] | None, cfg: DataConfig
+              ) -> Dict[str, np.ndarray]:
+    n = len(samples)
+    lq, lp, pnum, t = cfg.query_len, cfg.passage_len, cfg.num_passage, cfg.answer_len
+    max_golds = max((len(s["passage_id"]) for s in samples), default=1)
+
+    out: Dict[str, np.ndarray] = {"id": np.arange(n, dtype=np.int32)}
+    responses = np.zeros((n, t), np.int32)
+
+    if model in ("case", "masque"):
+        qarr = np.zeros((n, 1, lq), np.int32)
+        parr = np.zeros((n, pnum, lp), np.int32)
+        golds = np.zeros((n, max_golds), np.int32)
+        if model == "case":
+            tok_label = np.zeros((n, pnum, lp), np.float32)
+            tok_weight = np.zeros((n, pnum, lp), np.float32)
+        for i, s in enumerate(samples):
+            qarr[i, 0] = vocab.ids(_query_words(s, query, lq))
+            pw = _passage_words_case(s, passage, lp, pnum)
+            parr[i] = [vocab.ids(p) for p in pw]
+            golds[i] = _gold_indices(s, max_golds)
+            resp = _response_ids(s, vocab, t)
+            responses[i] = _pad_to(resp, t)
+            if model == "case":
+                lab, w = case_token_labels(parr[i], resp, id2freq or {})
+                tok_label[i], tok_weight[i] = lab, w
+        out.update(query=qarr, passage=parr, passage_labels=golds, response=responses)
+        if model == "case":
+            out.update(token_label=tok_label, token_weight=tok_weight)
+
+    elif model == "tmemnet":
+        qarr = np.zeros((n, lq), np.int32)
+        parr = np.zeros((n, pnum, lp), np.int32)
+        golds = np.zeros((n, max_golds), np.int32)
+        for i, s in enumerate(samples):
+            # last-3 contexts each + [SEP], padded on the left with [UNK][SEP]
+            # (ref: TMemNetDataset.py:34-45)
+            contexts = [query[cid] + [SEP_WORD] for cid in s["context_id"]]
+            while len(contexts) < 3:
+                contexts = [[UNK_WORD, SEP_WORD]] + contexts
+            contexts = contexts[-3:]
+            ctx: List[str] = []
+            for c in contexts:
+                ctx += c
+            qwords = ([CLS_WORD] + ctx + query[s["query_id"]])[-lq:]
+            qarr[i] = _pad_to(np.asarray(vocab.ids(qwords), np.int32), lq)
+            # raw passages, no [CLS]/[SEP] (ref: TMemNetDataset.py:47-50)
+            rows = []
+            for pid in s["passage_pool_id"]:
+                ptoks = passage.get(pid, [])
+                if ptoks:
+                    rows.append(_pad_to(np.asarray(vocab.ids(ptoks[:lp]), np.int32), lp))
+                else:
+                    rows.append(_pad_to(np.asarray([vocab.unk_id], np.int32), lp))
+            while len(rows) < pnum:
+                rows.append(_pad_to(np.asarray([vocab.unk_id], np.int32), lp))
+            parr[i] = np.stack(rows[:pnum])
+            golds[i] = _gold_indices(s, max_golds)
+            responses[i] = _pad_to(_response_ids(s, vocab, t), t)
+        out.update(context=qarr, passage=parr, passage_labels=golds, response=responses)
+
+    elif model in ("glks", "gttp", "s2sa"):
+        qarr = np.zeros((n, lq), np.int32)
+        barr = np.zeros((n, pnum * lp), np.int32)
+        sel_rows = []
+        for i, s in enumerate(samples):
+            qarr[i] = vocab.ids(_query_words(s, query, lq))
+            pw = _passage_words_background(s, passage, lp, pnum)
+            background: List[str] = []
+            for p in pw:
+                background += p
+            barr[i] = vocab.ids(background)
+            resp = _response_ids(s, vocab, t)
+            responses[i] = _pad_to(resp, t)
+            if model == "glks":
+                sel_rows.append(glks_selection_label(
+                    barr[i], resp, cfg.min_window_size, cfg.num_windows))
+        out.update(context=qarr, background=barr, response=responses)
+        if model == "glks":
+            out["selection"] = np.stack(sel_rows)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+
+    return out
+
+
+def sample_metadata(samples: Sequence[dict]) -> List[dict]:
+    """Host-side metadata for result writing (ids stay off-device)."""
+    return [{"context_id": s["context_id"], "query_id": s["query_id"],
+             "passage_id": s["passage_id"],
+             "passage_pool_id": s["passage_pool_id"]} for s in samples]

@@ -1,0 +1,162 @@
+"""Data pipeline tests: tokenizer, vocab, labels, featurization, batching,
+end-to-end prepare on a synthetic TSV dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from case_rg_tpu.config import DataConfig, MODEL_NAMES
+from case_rg_tpu.data import (Batcher, Vocabulary, basic_tokenize,
+                              bert_detokenize, load_prepared, prepare_dataset,
+                              select_gold, split_sentences)
+from case_rg_tpu.data.labels import case_token_labels, glks_selection_label
+from case_rg_tpu.data.text import WordPieceTokenizer
+from fixtures import make_dataset
+
+
+def test_basic_tokenize_and_detok():
+    toks = basic_tokenize("Hello, World! It's 5-fold.")
+    assert toks == ["hello", ",", "world", "!", "it", "'", "s", "5", "-", "fold", "."]
+    assert bert_detokenize(["play", "##ing", "field"]) == "playing field"
+
+
+def test_wordpiece_matches_hf_semantics():
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "play", "##ing", "##ed", "field", "un", "##believ",
+         "##able"])}
+    wp = WordPieceTokenizer(vocab)
+    assert wp.wordpiece("playing") == ["play", "##ing"]
+    assert wp.wordpiece("played") == ["play", "##ed"]
+    assert wp.wordpiece("unbelievable") == ["un", "##believ", "##able"]
+    assert wp.wordpiece("zzz") == ["[UNK]"]
+    assert wp("Playing FIELD") == ["play", "##ing", "field"]
+
+
+def test_split_sentences():
+    s = split_sentences("Dr. Smith works here. He is busy! Is he? Yes.")
+    assert s == ["Dr. Smith works here.", "He is busy!", "Is he?", "Yes."]
+
+
+def test_case_token_labels_match_reference_math():
+    """Re-derive the published label math with torch unfold
+    (ref: CaSE/CaSEDataset.py:6-28) and require equality."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    passages = rng.randint(0, 20, size=(3, 15)).astype(np.int64)
+    answer = rng.randint(0, 20, size=7).astype(np.int64)
+    id2freq = {i: float(rng.randint(1, 100)) for i in range(20)}
+
+    labels, confs = case_token_labels(passages, answer, id2freq)
+
+    out_list = answer.tolist()
+    for pi in range(3):
+        inp = torch.tensor(passages[pi])
+        freq = torch.tensor([id2freq.get(i, 0) for i in inp.tolist()]).float()
+        g1 = torch.tensor([i in out_list for i in inp.tolist()]).float()
+        g3 = torch.cat([torch.tensor([0]), inp, torch.tensor([0])]).unfold(0, 3, 1)
+        g3 = torch.tensor([len(set(s.tolist()) & set(out_list)) for s in g3]).float()
+        g5 = torch.cat([torch.tensor([0, 0]), inp, torch.tensor([0, 0])]).unfold(0, 5, 1)
+        g5 = torch.tensor([len(set(s.tolist()) & set(out_list)) for s in g5]).float()
+        f = (freq + 2).log()
+        f = f.sum() / f
+        conf = (f * g1 * g3 * g5).pow(0.2)
+        conf = conf.masked_fill(~g1.bool(), 1)
+        np.testing.assert_allclose(labels[pi], g1.numpy(), atol=1e-6)
+        np.testing.assert_allclose(confs[pi], conf.numpy(), atol=1e-5)
+
+
+def test_glks_selection_label_properties():
+    rng = np.random.RandomState(1)
+    bg = rng.randint(0, 30, size=40)
+    ans = bg[5:9].copy()  # guaranteed overlap in window 1
+    p = glks_selection_label(bg, ans, min_window_size=4, n_windows=2)
+    n_w1 = (40 - 4) // 4 + 1
+    n_w2 = (40 - 8) // 4 + 1
+    assert p.shape == (n_w1 + n_w2,)
+    np.testing.assert_allclose(p.sum(), 1.0, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    make_dataset(root, "toy")
+    cfg = DataConfig(dataset="toy", data_path=root, query_len=24, passage_len=32,
+                     num_passage=5, answer_len=12, pool_topk=5)
+    out = prepare_dataset(root, "toy", cfg, verbose=False)
+    return root, out, cfg
+
+
+def test_prepare_all_models(prepared):
+    _, out, cfg = prepared
+    for model in MODEL_NAMES:
+        arrays, meta, vocab, id2freq = load_prepared(out, "train", model)
+        n = len(arrays["id"])
+        assert n == len(meta) > 0
+        assert arrays["response"].shape == (n, cfg.answer_len)
+        if model in ("case", "masque"):
+            assert arrays["query"].shape == (n, 1, cfg.query_len)
+            assert arrays["passage"].shape == (n, cfg.num_passage, cfg.passage_len)
+            assert (arrays["passage_labels"].max(axis=1) >= 0).all()
+        if model == "case":
+            assert arrays["token_label"].shape == arrays["passage"].shape
+            assert (arrays["token_weight"][arrays["token_label"] == 0] == 1.0).all()
+        if model in ("glks", "gttp", "s2sa"):
+            assert arrays["background"].shape == (n, cfg.num_passage * cfg.passage_len)
+        if model == "glks":
+            np.testing.assert_allclose(arrays["selection"].sum(-1), 1.0, atol=1e-5)
+        if model == "tmemnet":
+            assert arrays["context"].shape == (n, cfg.query_len)
+        assert len(vocab) > 10 and id2freq
+
+
+def test_gold_passages_forced_into_pool(prepared):
+    _, out, _ = prepared
+    _, meta, _, _ = load_prepared(out, "train", "case")
+    for m in meta:
+        for pid in m["passage_id"]:
+            assert pid in m["passage_pool_id"]
+
+
+def test_dev_test_dedup(prepared):
+    _, out, _ = prepared
+    _, meta, _, _ = load_prepared(out, "dev", "s2sa")
+    keys = ["-".join(m["context_id"]) + m["query_id"] + "-".join(m["passage_pool_id"])
+            for m in meta]
+    assert len(keys) == len(set(keys))
+
+
+def test_batcher_static_shapes_and_determinism(prepared):
+    _, out, _ = prepared
+    arrays, _, _, _ = load_prepared(out, "train", "case")
+    b = Batcher(arrays, batch_size=4, shuffle=True, seed=3)
+    batches = list(b.epoch(0))
+    assert all(bt["query"].shape[0] == 4 for bt in batches)
+    total_real = sum(int(bt["sample_weight"].sum()) for bt in batches)
+    assert total_real == len(arrays["id"])
+    # determinism
+    again = list(b.epoch(0))
+    np.testing.assert_array_equal(batches[0]["id"], again[0]["id"])
+    np.testing.assert_array_equal(batches[0]["passage_label"], again[0]["passage_label"])
+    # different epoch -> different order
+    other = list(b.epoch(1))
+    assert not np.array_equal(batches[0]["id"], other[0]["id"])
+
+
+def test_select_gold_only_picks_valid():
+    labels = np.array([[2, 5, -1], [7, -1, -1]])
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        g = select_gold(labels, rng)
+        assert g[0] in (2, 5) and g[1] == 7
+
+
+def test_reference_cast_sample_parses_if_present():
+    ref = "/root/reference/dataset"
+    if not os.path.exists(os.path.join(ref, "cast", "cast.query")):
+        pytest.skip("reference sample not mounted")
+    from case_rg_tpu.data.loaders import load_pool, load_qrel, load_query
+    q = load_query(os.path.join(ref, "cast", "cast.query"), basic_tokenize)
+    pool = load_pool(os.path.join(ref, "cast", "cast.pool"), 100)
+    qrel = load_qrel(os.path.join(ref, "cast", "cast.qrel"))
+    assert len(q) == 19 and "17_4" in pool and len(qrel) > 100
