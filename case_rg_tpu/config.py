@@ -39,6 +39,11 @@ class ModelConfig:
 
     name: str = "case"
     vocab_size: int = 0           # filled in from the vocabulary at build time
+    # special-token ids (corpus-vocab defaults; overridden from the vocab)
+    pad_id: int = 0
+    bos_id: int = 1
+    unk_id: int = 2
+    eos_id: int = 3
     embedding_size: int = 256
     hidden_size: int = 256
     num_heads: int = 8

@@ -1,0 +1,173 @@
+"""Generic decode loops as ``lax.scan``s.
+
+TPU-native rebuild of common/Generations.py. The reference drives a Python
+loop per step (greedy:66-110, sample:7-63) and a per-sample object-graph beam
+(beam:112-190, ``Node``). Here every loop is a fixed-length ``lax.scan`` over
+a step closure::
+
+    step_fn(state, prev_ids[B]) -> (scores[B, V], new_state)
+
+* ``run_greedy`` reproduces the reference's EOS bookkeeping exactly: an EOS
+  at t=0 is rewritten to UNK, positions after EOS emit PAD, and the emitted
+  (post-rewrite) token is fed back as the next input (greedy:98-107).
+* ``run_sample`` is the categorical-sampling variant (sample:31-58), with the
+  forced-EOS final step.
+* ``run_beam`` is a vectorized batch x width beam with the reference's
+  length-normalized cost ``cum_cost / length`` and cost ``-log(p + 1e-10)``
+  (beam:170-180). Finished beams freeze in place (single PAD continuation);
+  the reference instead retires them from its fringe, a difference that can
+  matter only when more than ``width`` hypotheses finish at distinct steps —
+  the reference never exercises beam > 1 (all Run.py defaults are width 1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+StepFn = Callable[[object, jnp.ndarray], Tuple[jnp.ndarray, object]]
+
+
+def run_greedy(step_fn: StepFn, init_state, batch_size: int, max_len: int,
+               bos: int, eos: int, unk: int, pad: int = 0) -> jnp.ndarray:
+    def body(carry, t):
+        state, prev, ended = carry
+        scores, state = step_fn(state, prev)
+        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        this_end = idx == eos
+        idx = jnp.where((t == 0) & this_end, unk, idx)
+        idx = jnp.where((t > 0) & ended, pad, idx)
+        ended = ended | this_end
+        return (state, idx, ended), idx
+
+    prev0 = jnp.full((batch_size,), bos, jnp.int32)
+    ended0 = jnp.zeros((batch_size,), bool)
+    _, ids = jax.lax.scan(body, (init_state, prev0, ended0), jnp.arange(max_len))
+    return ids.T  # [B, T]
+
+
+def run_sample(step_fn: StepFn, init_state, batch_size: int, max_len: int,
+               bos: int, eos: int, unk: int, pad: int, rng: jax.Array
+               ) -> jnp.ndarray:
+    """Categorical sampling over softmax(scores) with the reference's
+    bookkeeping (sample:47-58): last step forces EOS (or PAD if ended)."""
+    def body(carry, inp):
+        t, key = inp
+        state, prev, ended = carry
+        scores, state = step_fn(state, prev)
+        # NB: the reference feeds *softmaxed* scores to Categorical(logits=...)
+        # (common/Utils.py:90-95 via Generations.py:41) — reproduced here by
+        # passing the scores straight through as logits.
+        idx = jax.random.categorical(key, scores).astype(jnp.int32)
+        this_end = idx == eos
+        idx = jnp.where((t == 0) & this_end, unk, idx)
+        idx = jnp.where(t == max_len - 1, eos, idx)
+        idx = jnp.where((t > 0) & ended, pad, idx)
+        ended = ended | this_end
+        return (state, idx, ended), idx
+
+    keys = jax.random.split(rng, max_len)
+    prev0 = jnp.full((batch_size,), bos, jnp.int32)
+    ended0 = jnp.zeros((batch_size,), bool)
+    _, ids = jax.lax.scan(body, (init_state, prev0, ended0),
+                          (jnp.arange(max_len), keys))
+    return ids.T
+
+
+def run_beam(step_fn: StepFn, init_state, batch_size: int, max_len: int,
+             width: int, bos: int, eos: int, pad: int = 0,
+             eps: float = 1e-10) -> jnp.ndarray:
+    """Length-normalized beam search, vectorized over batch*width.
+
+    ``init_state`` must already be tiled to batch*width (use
+    ``tile_state``). step_fn sees flattened [B*W] token batches.
+    Returns the best beam's tokens [B, max_len] (PAD after EOS).
+    """
+    neg = jnp.asarray(1e9, jnp.float32)
+
+    def body(carry, t):
+        state, prev, cum, length, ended = carry
+        scores, state = step_fn(state, prev)          # [B*W, V]
+        v = scores.shape[-1]
+        logp = -jnp.log(jnp.maximum(scores, 0.0) + eps)   # cost per token
+        logp = logp.reshape(batch_size, width, v)
+        cum_ = cum.reshape(batch_size, width, 1)
+        len_ = length.reshape(batch_size, width, 1)
+        ended_ = ended.reshape(batch_size, width)
+
+        # candidate costs: alive beams expand all tokens; finished beams only
+        # continue with PAD at unchanged cost
+        cand_cum = cum_ + logp
+        cand_len = len_ + 1.0
+        norm = cand_cum / cand_len
+        frozen_norm = (cum_ / jnp.maximum(len_, 1.0))[:, :, 0]
+        # mask: finished beams contribute a single candidate (PAD column)
+        pad_col = jax.nn.one_hot(pad, v, dtype=bool)
+        allowed = jnp.where(ended_[:, :, None], pad_col[None, None, :], True)
+        norm = jnp.where(allowed, norm, neg)
+        norm = jnp.where(ended_[:, :, None] & pad_col[None, None, :],
+                         frozen_norm[:, :, None], norm)
+        # first step: all width beams are identical; keep only beam 0
+        norm = jnp.where((t == 0) & (jnp.arange(width)[None, :, None] > 0),
+                         neg, norm)
+
+        flat = norm.reshape(batch_size, width * v)
+        _, top_idx = jax.lax.top_k(-flat, width)
+        beam_idx = top_idx // v
+        tok_idx = (top_idx % v).astype(jnp.int32)
+
+        b_ar = jnp.arange(batch_size)[:, None]
+        new_ended = jnp.take_along_axis(ended_, beam_idx, axis=1)
+        tok_idx = jnp.where(new_ended, pad, tok_idx)
+        new_cum = jnp.where(new_ended,
+                            jnp.take_along_axis(cum_[:, :, 0], beam_idx, 1),
+                            cand_cum[b_ar, beam_idx, tok_idx])
+        new_len = jnp.where(new_ended,
+                            jnp.take_along_axis(len_[:, :, 0], beam_idx, 1),
+                            jnp.take_along_axis(len_[:, :, 0], beam_idx, 1) + 1.0)
+        new_ended = new_ended | (tok_idx == eos)
+
+        state = jax.tree_util.tree_map(
+            lambda s: _reindex_state(s, beam_idx, batch_size, width), state)
+        carry = (state, tok_idx.reshape(-1), new_cum.reshape(-1),
+                 new_len.reshape(-1), new_ended.reshape(-1))
+        return carry, (tok_idx, beam_idx)
+
+    prev0 = jnp.full((batch_size * width,), bos, jnp.int32)
+    cum0 = jnp.zeros((batch_size * width,), jnp.float32)
+    len0 = jnp.ones((batch_size * width,), jnp.float32)
+    ended0 = jnp.zeros((batch_size * width,), bool)
+    (state, _, cum, length, _), (toks, parents) = jax.lax.scan(
+        body, (init_state, prev0, cum0, len0, ended0), jnp.arange(max_len))
+
+    # backtrack best beam per sample
+    final_norm = (cum / jnp.maximum(length, 1.0)).reshape(batch_size, width)
+    best = jnp.argmin(final_norm, axis=1)
+
+    def backtrack(carry, inp):
+        beam = carry
+        tok_t, parent_t = inp  # [B, W]
+        b_ar = jnp.arange(batch_size)
+        tok = tok_t[b_ar, beam]
+        beam = parent_t[b_ar, beam]
+        return beam, tok
+
+    _, rev = jax.lax.scan(backtrack, best, (toks[::-1], parents[::-1]))
+    return rev[::-1].T  # [B, T]
+
+
+def _reindex_state(s: jnp.ndarray, beam_idx: jnp.ndarray, b: int, w: int):
+    """Gather state rows (laid out [B*W, ...]) by per-sample beam indices."""
+    rest = s.shape[1:]
+    s = s.reshape((b, w) + rest)
+    idx = beam_idx.reshape((b, w) + (1,) * len(rest))
+    idx = jnp.broadcast_to(idx, (b, w) + rest)
+    return jnp.take_along_axis(s, idx, axis=1).reshape((b * w,) + rest)
+
+
+def tile_state(state, width: int):
+    """Repeat every state leaf along batch: [B, ...] -> [B*W, ...]."""
+    return jax.tree_util.tree_map(
+        lambda s: jnp.repeat(s, width, axis=0), state)

@@ -1,0 +1,76 @@
+"""Prediction wrappers: greedy / beam / sample over the EncDec step protocol.
+
+Replaces the reference's EncDecModel.greedy/beam dispatch
+(S2SA/EncDecModel.py:38-42 -> common/Generations.py). Models expose
+
+    encode(batch)                  -> enc pytree (everything the step needs)
+    decode_step(enc, state, prev)  -> (scores [B, V*], new_state)
+
+and these wrappers drive the jit-able scan loops from decode/loops.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..decode.loops import run_beam, run_greedy, run_sample, tile_state
+
+
+def _enc_and_state(model, params, batch):
+    enc = model.apply(params, batch, method=type(model).encode)
+    state = enc["init_state"]
+    return enc, state
+
+
+def greedy_predict(model, params, batch: Dict[str, jnp.ndarray],
+                   max_len: int) -> jnp.ndarray:
+    cfg = model.cfg
+    enc, state = _enc_and_state(model, params, batch)
+    b = batch["response"].shape[0] if "response" in batch else batch["context"].shape[0]
+
+    def step(state, prev):
+        scores, state = model.apply(params, enc, state, prev,
+                                    method=type(model).decode_step)
+        return scores, state
+
+    return run_greedy(step, state, b, max_len, cfg.bos_id, cfg.eos_id,
+                      cfg.unk_id, cfg.pad_id)
+
+
+def beam_predict(model, params, batch: Dict[str, jnp.ndarray], max_len: int,
+                 width: int) -> jnp.ndarray:
+    cfg = model.cfg
+    enc, state = _enc_and_state(model, params, batch)
+    b = state.shape[0] if hasattr(state, "shape") else jax.tree_util.tree_leaves(state)[0].shape[0]
+    enc = tile_state(enc, width)
+    state = tile_state(state, width)
+
+    def step(state, prev):
+        scores, state = model.apply(params, enc, state, prev,
+                                    method=type(model).decode_step)
+        # beam costs need probabilities; normalize if the model emits logits
+        if getattr(type(model), "STEP_EMITS_PROBS", False):
+            probs = scores
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
+        return probs, state
+
+    return run_beam(step, state, b, max_len, width, cfg.bos_id, cfg.eos_id,
+                    cfg.pad_id)
+
+
+def sample_predict(model, params, batch, max_len: int, rng) -> jnp.ndarray:
+    cfg = model.cfg
+    enc, state = _enc_and_state(model, params, batch)
+    b = jax.tree_util.tree_leaves(state)[0].shape[0]
+
+    def step(state, prev):
+        scores, state = model.apply(params, enc, state, prev,
+                                    method=type(model).decode_step)
+        return scores, state
+
+    return run_sample(step, state, b, max_len, cfg.bos_id, cfg.eos_id,
+                      cfg.unk_id, cfg.pad_id, rng)
