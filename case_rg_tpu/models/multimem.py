@@ -1,0 +1,179 @@
+"""Multi-memory transformer decoder with copy extension (Masque/CaSE family).
+
+TPU-native rebuild of Masque/Model.py:13-119 (``MasqueTransformerSeqDecoder``)
+and CaSE/Model.py:13-125 (``CaSETransformerSeqDecoder``), which differ only in
+that CaSE conditions on an additional answer-vector feature (extra LayerNorm,
+2D bilinear-attention queries, a 3D generator input with dropout).
+
+Semantics preserved exactly:
+* M chained per-memory decoder stacks; the bilinear copy attention for memory
+  i queries the stream *after* stack i, pre-final-norm (Masque/Model.py:66-77);
+* per-memory attention is prior-weighted and renormalized with the 1e-8 guard
+  (Masque/Model.py:74-76, CaSE/Model.py:81-82);
+* the generator is a softmax over the vocabulary; the ``mix`` head splits
+  probability mass between generation and the M copy distributions
+  (extend, Masque/Model.py:37-44);
+* training gathers target probabilities directly (no [B, T, V_ext] copy
+  tensor); greedy decoding is a KV-cached ``lax.scan`` replacing the
+  reference's per-step full-prefix recompute (CaSE/Model.py:91-123).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.bilinear import BilinearAttention
+from ..ops.copynet import copy_scatter
+from ..ops.embedding import Embedding
+from ..ops.positional import PositionalEmbedding
+from ..ops.transformer import Decoder
+
+_LN_EPS = 1e-5
+
+
+class MultiMemoryDecoder(nn.Module):
+    vocab_size: int
+    hidden_size: int
+    num_heads: int
+    num_layers: int
+    num_memories: int = 2
+    use_feature: bool = False   # CaSE's additional_decoder_feature
+    dropout: float = 0.1
+    bos_id: int = 1
+
+    def setup(self):
+        d, v = self.hidden_size, self.vocab_size
+        init = nn.initializers.xavier_uniform()
+        self.embedding = Embedding(v, d)
+        self.pos = PositionalEmbedding(d, dropout=self.dropout, max_len=1000)
+        self.decs = [Decoder(self.num_layers, d, self.num_heads, d_ff=d,
+                             dropout=self.dropout, activation="gelu",
+                             name=f"dec{i}") for i in range(self.num_memories)]
+        q_size = 2 * d if self.use_feature else d
+        self.attns = [BilinearAttention(q_size, d, d, name=f"attn{i}")
+                      for i in range(self.num_memories)]
+        self.norm1 = nn.LayerNorm(epsilon=_LN_EPS)
+        if self.use_feature:
+            self.norm2 = nn.LayerNorm(epsilon=_LN_EPS)
+        self.gen1 = nn.Dense(d, kernel_init=init)
+        self.gen_drop = nn.Dropout(self.dropout)
+        self.feat_drop = nn.Dropout(self.dropout)
+        self.gen2 = nn.Dense(v, use_bias=False, kernel_init=init)
+        self.mix = nn.Dense(self.num_memories + 1, kernel_init=init)
+
+    # ---- shared per-position math ----
+
+    def _generator(self, dec_input, dec_normed, feature, deterministic):
+        parts = [dec_input, dec_normed]
+        if self.use_feature:
+            parts.append(feature)
+        h = self.gen1(jnp.concatenate(parts, axis=-1))
+        if self.use_feature:  # CaSE has a dropout inside gen (CaSE/Model.py:34)
+            h = self.gen_drop(h, deterministic=deterministic)
+        return jax.nn.softmax(self.gen2(h), axis=-1)
+
+    def _memory_attend(self, i, stream, feature, memory, mem_keep, weight,
+                       tgt_keep):
+        """Prior-weighted renormalized copy attention for memory i.
+        stream: [B, T, D]; returns (context [B, T, D], p [B, T, Lm])."""
+        q = jnp.concatenate([stream, feature], -1) if self.use_feature else stream
+        mask = tgt_keep[:, :, None] & mem_keep[:, None, :]
+        ctx, _, nw = self.attns[i](q, memory, memory, mask=mask)
+        p = weight[:, None, :] * nw
+        p = p / (1e-8 + jnp.sum(p, axis=-1, keepdims=True))
+        return ctx, p
+
+    # ---- training ----
+
+    def teacher_force(self, memories: Sequence[jnp.ndarray],
+                      mem_keeps: Sequence[jnp.ndarray],
+                      weights: Sequence[jnp.ndarray],
+                      src_ids: Sequence[jnp.ndarray],
+                      targets: jnp.ndarray,
+                      feature: Optional[jnp.ndarray] = None,
+                      *, deterministic: bool = False) -> jnp.ndarray:
+        """Returns prob_at_target [B, T] = (dist1 + dist2)[target]."""
+        b, t = targets.shape
+        bos = jnp.full((b, 1), self.bos_id, targets.dtype)
+        inputs = jnp.concatenate([bos, targets[:, :-1]], axis=1)
+        tgt_keep = inputs != 0
+        dec_input = self.pos(self.embedding(inputs), deterministic=deterministic)
+
+        feat = None
+        if self.use_feature:
+            feat = self.norm2(feature)[:, None, :]
+            feat = jnp.broadcast_to(feat, (b, t, feat.shape[-1]))
+            feat = self.feat_drop(feat, deterministic=deterministic)
+
+        x = dec_input
+        ctxs, ps = [], []
+        for i in range(self.num_memories):
+            x = self.decs[i](x, memories[i], tgt_keep, mem_keeps[i],
+                             deterministic=deterministic)
+            ctx, p = self._memory_attend(i, x, feat, memories[i], mem_keeps[i],
+                                         weights[i], tgt_keep)
+            ctxs.append(ctx)
+            ps.append(p)
+        x = self.norm1(x)
+
+        gen = self._generator(dec_input, x, feat, deterministic)   # [B, T, V]
+        mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)), -1)
+
+        gen_at = jnp.take_along_axis(gen, targets[..., None], axis=-1)[..., 0]
+        prob_at = mix_p[..., 0] * gen_at
+        for i in range(self.num_memories):
+            match = (src_ids[i][:, None, :] == targets[:, :, None]).astype(gen.dtype)
+            copy_at = jnp.einsum("btl,btl->bt", ps[i], match)
+            prob_at = prob_at + mix_p[..., i + 1] * copy_at
+        return prob_at
+
+    __call__ = teacher_force
+
+    # ---- greedy decoding (argmax over the extended distribution,
+    #      no EOS bookkeeping — ref CaSE/Model.py:119-123) ----
+
+    def decode(self, memories, mem_keeps, weights, src_ids, max_len: int,
+               feature: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b = memories[0].shape[0]
+        cross = [self.decs[i].precompute_memory(memories[i])
+                 for i in range(self.num_memories)]
+        caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
+                  for i in range(self.num_memories)]
+        feat = None
+        if self.use_feature:
+            feat = self.norm2(feature)[:, None, :]   # [B, 1, D]; dropout off
+
+        def step(carry, t):
+            caches, prev, hist = carry
+            hist = jax.lax.dynamic_update_slice(hist, (prev != 0)[:, None], (0, t))
+            emb = self.pos(self.embedding(prev[:, None]), offset=t,
+                           deterministic=True)
+            x = emb
+            new_caches, ctxs, ps = [], [], []
+            tgt_keep_t = (prev != 0)[:, None]
+            for i in range(self.num_memories):
+                x, c = self.decs[i].step(x, t, caches[i], cross[i], hist,
+                                         mem_keeps[i])
+                ctx, p = self._memory_attend(i, x, feat, memories[i],
+                                             mem_keeps[i], weights[i], tgt_keep_t)
+                new_caches.append(c)
+                ctxs.append(ctx)
+                ps.append(p)
+            x = self.norm1(x)
+            gen = self._generator(emb, x, feat, True)               # [B, 1, V]
+            mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)), -1)
+            dist = mix_p[..., 0:1] * gen
+            for i in range(self.num_memories):
+                dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
+                    ps[i], src_ids[i], self.vocab_size)
+            nxt = jnp.argmax(dist[:, 0], axis=-1).astype(jnp.int32)
+            return (new_caches, nxt, hist), nxt
+
+        prev0 = jnp.full((b,), self.bos_id, jnp.int32)
+        hist0 = jnp.zeros((b, max_len), bool)
+        _, ids = jax.lax.scan(step, (caches, prev0, hist0), jnp.arange(max_len))
+        return ids.T

@@ -1,0 +1,156 @@
+"""GLKS / TMemNet / Masque / CaSE model tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from case_rg_tpu.config import ModelConfig
+from case_rg_tpu.models import create_model
+from case_rg_tpu.models.predict import greedy_predict
+
+V, E, H = 40, 16, 16
+B, LQ, P, LP, T = 3, 8, 4, 10, 6
+
+
+def _cfg(name, **kw):
+    return ModelConfig(name=name, vocab_size=V, embedding_size=E, hidden_size=H,
+                       num_heads=2, enc_layers=2, dec_layers=2, tmemnet_layers=2,
+                       max_dec_len=T, min_window_size=4, num_windows=1, **kw)
+
+
+def _rand_ids(rng, shape, pad_tail=0):
+    ids = rng.randint(4, V, size=shape).astype(np.int32)
+    if pad_tail:
+        ids[..., -pad_tail:] = 0
+    return ids
+
+
+def _common(rng):
+    resp = _rand_ids(rng, (B, T))
+    resp[:, -1] = 3
+    return resp, np.ones(B, np.float32)
+
+
+def _glks_batch(rng):
+    resp, w = _common(rng)
+    bg = _rand_ids(rng, (B, P * LP), pad_tail=5)
+    n_w = (P * LP - 4) // 4 + 1
+    sel = rng.rand(B, n_w).astype(np.float32)
+    sel /= sel.sum(-1, keepdims=True)
+    return {"context": jnp.array(_rand_ids(rng, (B, LQ), pad_tail=2)),
+            "background": jnp.array(bg), "response": jnp.array(resp),
+            "selection": jnp.array(sel), "sample_weight": jnp.array(w)}
+
+
+def _tmemnet_batch(rng):
+    resp, w = _common(rng)
+    return {"context": jnp.array(_rand_ids(rng, (B, LQ), pad_tail=2)),
+            "passage": jnp.array(_rand_ids(rng, (B, P, LP), pad_tail=3)),
+            "passage_label": jnp.array(rng.randint(0, P, size=B).astype(np.int32)),
+            "response": jnp.array(resp), "sample_weight": jnp.array(w)}
+
+
+def _masque_batch(rng):
+    b = _tmemnet_batch(rng)
+    b["query"] = jnp.array(_rand_ids(rng, (B, 1, LQ), pad_tail=2))
+    del b["context"]
+    return b
+
+
+def _case_batch(rng):
+    b = _masque_batch(rng)
+    lab = (np.asarray(b["passage"]) != 0).astype(np.float32) * \
+        (rng.rand(B, P, LP) > 0.5)
+    b["token_label"] = jnp.array(lab.astype(np.float32))
+    b["token_weight"] = jnp.array(np.where(lab > 0, 1.5, 1.0).astype(np.float32))
+    return b
+
+
+BATCHES = {"glks": _glks_batch, "tmemnet": _tmemnet_batch,
+           "masque": _masque_batch, "case": _case_batch}
+
+
+def _init(model, batch):
+    return model.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)},
+                      batch, method=type(model).train_losses)
+
+
+@pytest.mark.parametrize("name", ["glks", "tmemnet", "masque", "case"])
+def test_losses_finite_and_trainable(name):
+    rng = np.random.RandomState(0)
+    batch = BATCHES[name](rng)
+    model = create_model(name, _cfg(name))
+    params = _init(model, batch)
+
+    @jax.jit
+    def loss_fn(p):
+        losses = model.apply(p, batch, deterministic=True,
+                             method=type(model).train_losses)
+        return sum(losses.values()), losses
+
+    @jax.jit
+    def sgd(p):
+        g = jax.grad(lambda q: loss_fn(q)[0])(p)
+        return jax.tree_util.tree_map(lambda a, b: a - 0.3 * b, p, g)
+
+    total, losses = loss_fn(params)
+    assert np.isfinite(float(total)), losses
+    p = params
+    for _ in range(6):
+        p = sgd(p)
+    assert float(loss_fn(p)[0]) < float(total)
+
+
+def test_glks_loss_components():
+    rng = np.random.RandomState(1)
+    batch = _glks_batch(rng)
+    model = create_model("glks", _cfg("glks"))
+    params = _init(model, batch)
+    losses = model.apply(params, batch, deterministic=True,
+                         method=type(model).train_losses)
+    assert set(losses) == {"mle", "mce", "ds"}
+    assert float(losses["ds"]) >= 0.0
+    # method-substring selection (ref: GLKS/Model.py:264-279)
+    only = model.apply(params, batch, deterministic=True, mode="mle_train",
+                       method=type(model).train_losses)
+    assert set(only) == {"mle"}
+    np.testing.assert_allclose(float(only["mle"]), float(losses["mle"]), atol=1e-5)
+
+
+def test_glks_tmemnet_greedy():
+    rng = np.random.RandomState(2)
+    for name in ("glks", "tmemnet"):
+        batch = BATCHES[name](rng)
+        model = create_model(name, _cfg(name))
+        params = _init(model, batch)
+        ids = greedy_predict(model, params, batch, max_len=T)
+        assert ids.shape == (B, T)
+
+
+@pytest.mark.parametrize("name", ["masque", "case"])
+def test_masque_case_predict(name):
+    rng = np.random.RandomState(3)
+    batch = BATCHES[name](rng)
+    model = create_model(name, _cfg(name))
+    params = _init(model, batch)
+    out = model.apply(params, batch, max_len=T, method=type(model).predict)
+    assert out["answer"].shape == (B, T)
+    assert out["rank"].shape == (B, P)
+    assert np.isfinite(np.asarray(out["rank"])).all()
+
+
+def test_tmemnet_hard_selection_uses_gold_at_train():
+    rng = np.random.RandomState(4)
+    batch = _tmemnet_batch(rng)
+    model = create_model("tmemnet", _cfg("tmemnet"))
+    params = _init(model, batch)
+    enc_gold = model.apply(params, batch, batch["passage_label"],
+                           method=type(model).encode)
+    enc_pred = model.apply(params, batch, method=type(model).encode)
+    # gold selection must select the labeled row of the knowledge encodings
+    assert enc_gold["memory"].shape == enc_pred["memory"].shape
+    ck = np.asarray(enc_pred["ck_attn"])
+    assert ck.shape == (B, P)
