@@ -1,0 +1,65 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is 4-process NCCL data parallelism
+(run.sh:21, common/CumulativeTrainer.py:47). Here parallelism is expressed
+with a ``jax.sharding.Mesh`` over ('data', 'model') axes:
+
+* batches are sharded over 'data' (gradient all-reduce is inserted by XLA
+  over ICI — the NCCL-allreduce equivalent, SURVEY §2.5);
+* optionally, vocabulary-dimension parameters (embeddings / generator heads)
+  shard over 'model' (tensor parallelism; not required for parity at d=256
+  but wired so the same code scales).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Tuple[str, str] = ("data", "model")) -> Mesh:
+    devices = jax.devices()
+    n = len(devices)
+    if not shape:
+        shape = (n, 1)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    return Mesh(mesh_utils.create_device_mesh(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, data_axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(data_axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put every array in the batch sharded over the data axis."""
+    out = {}
+    for k, v in batch.items():
+        if k.startswith("_"):
+            continue
+        out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
+    return out
+
+
+def param_sharding_tree(params, mesh: Mesh, shard_vocab_dim: bool = False,
+                        vocab_size: int = -1):
+    """Replicate everything; optionally shard vocab-sized dims over 'model'."""
+    def spec_for(path, leaf):
+        if shard_vocab_dim and hasattr(leaf, "shape"):
+            for i, d in enumerate(leaf.shape):
+                if d == vocab_size and d > 1024:
+                    spec = [None] * leaf.ndim
+                    spec[i] = "model"
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -1,0 +1,126 @@
+"""Metric tests: BLEU vs nltk, ROUGE/TREC vs hand-computed values, METEOR
+properties, result IO round-trip."""
+
+import numpy as np
+import pytest
+
+from case_rg_tpu.evaluation.bleu import eval_bleu, sentence_bleu
+from case_rg_tpu.evaluation.meteor import single_meteor_score
+from case_rg_tpu.evaluation.overlap import eval_overlap
+from case_rg_tpu.evaluation.rouge import rouge_l, rouge_n, rouge_scores
+from case_rg_tpu.evaluation.trec import (average_precision, eval_trec, ndcg,
+                                         parse_qrel, parse_run)
+from case_rg_tpu.runtime.io import (ids_to_sentence, remove_duplicate,
+                                    save_results, merge_shards)
+
+
+def test_bleu_matches_nltk():
+    nltk_bleu = pytest.importorskip("nltk.translate.bleu_score")
+    refs = [["the", "cat", "sat", "on", "the", "mat"],
+            ["a", "cat", "was", "on", "the", "mat"]]
+    hyps = [["the", "cat", "sat", "on", "the", "mat"],
+            ["the", "cat", "is", "on", "a", "mat"],
+            ["completely", "different", "words", "here", "now"]]
+    for hyp in hyps:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            expected = nltk_bleu.sentence_bleu(refs, hyp)
+        got = sentence_bleu(refs, hyp)
+        assert abs(got - expected) < 1e-9 or (expected < 1e-100 and got == 0.0)
+
+
+def test_rouge_hand_values():
+    # identical strings -> F1 == 1
+    s = rouge_scores("the cat sat", "the cat sat")
+    assert abs(s["rouge_1"] - 1.0) < 1e-6
+    assert abs(s["rouge_2"] - 1.0) < 1e-6
+    assert abs(s["rouge_l"] - 1.0) < 1e-6
+    # distinct-ngram (set) semantics: repeated words count once
+    v = rouge_n(["a", "a", "b"], ["a", "c"], 1)
+    # hyp set {a,b}, ref set {a,c}: overlap 1, p=1/2, r=1/2, f1=0.5
+    assert abs(v - 0.5) < 1e-6
+    # LCS: hyp "a b c d", ref "a c d" -> lcs 3, r=1, p=3/4
+    lv = rouge_l(["a", "b", "c", "d"], ["a", "c", "d"])
+    r, p = 1.0, 0.75
+    beta = p / (r + 1e-12)
+    expected = (1 + beta ** 2) * r * p / (r + beta ** 2 * p + 1e-12)
+    assert abs(lv - expected) < 1e-6
+
+
+def test_meteor_properties():
+    # identical 2-word strings: 1 chunk / 2 matches -> penalty 0.0625
+    assert abs(single_meteor_score(["the", "cat"], ["the", "cat"]) - 0.9375) < 1e-9
+    assert single_meteor_score(["the", "cat"], ["dog"]) == 0.0
+    # stem matching: running vs run
+    assert single_meteor_score(["running", "fast"], ["runs", "fast"]) > 0.0
+
+
+def test_trec_metrics():
+    run = parse_run(["q1 Q0 d1 1 0.9 x", "q1 Q0 d2 2 0.8 x",
+                     "q1 Q0 d3 3 0.7 x", "q2 Q0 d1 1 0.5 x"])
+    qrel = parse_qrel(["q1 0 d2 1", "q1 0 d9 1", "q2 0 d1 1"])
+    res = eval_trec(run, qrel)
+    # q1: ranked [d1, d2, d3]; AP = (1/2)/2 = 0.25 ; q2: AP = 1
+    assert abs(res["map"] - (0.25 + 1.0) / 2) < 1e-9
+    # q1 recall@5 = 1/2, q2 = 1
+    assert abs(res["recall_5"] - 0.75) < 1e-9
+    # ndcg: q1 dcg = 1/log2(3), idcg = 1/log2(2)+1/log2(3)
+    import math
+    q1 = (1 / math.log2(3)) / (1 / math.log2(2) + 1 / math.log2(3))
+    assert abs(res["ndcg"] - (q1 + 1.0) / 2) < 1e-9
+
+
+def test_trec_tie_break_by_docid_desc():
+    run = parse_run(["q1 Q0 aaa 1 0.5 x", "q1 Q0 zzz 2 0.5 x"])
+    qrel = parse_qrel(["q1 0 zzz 1"])
+    res = eval_trec(run, qrel)  # zzz ranked first on docid-desc tie-break
+    assert abs(res["map"] - 1.0) < 1e-9
+
+
+def test_overlap():
+    out = eval_overlap([["a", "b"]], [["a", "c", "d"]])
+    assert out["Overlap-1"] == 50.0
+
+
+def test_remove_duplicate_reference_semantics():
+    sents = [["a", "b", "c", "a", "b", "c"]]
+    remove_duplicate(sents, n=3)
+    assert sents[0] == ["a", "b", "c"]
+    sents2 = [["x", "y"]]
+    remove_duplicate(sents2, n=3)
+    assert sents2[0] == ["x", "y"]
+
+
+def test_save_results_and_merge(tmp_path):
+    from case_rg_tpu.data.vocab import Vocabulary
+    from case_rg_tpu.constants import SPECIAL_WORDS
+    words = list(SPECIAL_WORDS) + ["hello", "world"]
+    vocab = Vocabulary({w: i for i, w in enumerate(words)},
+                       {i: w for i, w in enumerate(words)})
+    meta = [{"context_id": ["1_1"], "query_id": "1_2",
+             "passage_id": ["P_0"], "passage_pool_id": ["P_0", "P_1"]},
+            {"context_id": [], "query_id": "2_1",
+             "passage_id": ["P_1"], "passage_pool_id": ["P_1", "P_0"]}]
+    batch = {"id": np.array([0, 1]), "_indices": np.array([0, 1]),
+             "sample_weight": np.array([1.0, 1.0])}
+    out = {"answer": np.array([[7, 8, 3, 0], [8, 7, 0, 0]]),
+           "rank": np.array([[0.1, 0.9], [0.7, 0.2]])}
+    save_results([(batch, out)], meta, vocab, str(tmp_path), 0, 0, "toy_test")
+    merged = merge_shards(str(tmp_path / "result"))
+    assert "toy_test_0" in merged
+    ans = open(merged["toy_test_0"]["answer"]).read().strip().split("\n")
+    assert ans[0].split("\t")[3] == "hello world"
+    run_lines = open(merged["toy_test_0"]["run"]).read().strip().split("\n")
+    # first sample: P_1 scored 0.9 ranked 1
+    assert run_lines[0].split() == ["1_2", "Q0", "P_1", "1", "0.9", "system"]
+
+
+def test_ids_to_sentence_eos_and_empty():
+    from case_rg_tpu.data.vocab import Vocabulary
+    from case_rg_tpu.constants import SPECIAL_WORDS
+    words = list(SPECIAL_WORDS) + ["tok"]
+    vocab = Vocabulary({w: i for i, w in enumerate(words)},
+                       {i: w for i, w in enumerate(words)})
+    assert ids_to_sentence([1, 7, 3, 7], vocab) == ["tok"]   # BOS tok EOS ...
+    assert ids_to_sentence([0, 0], vocab) == ["[UNK]"]

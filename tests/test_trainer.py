@@ -1,0 +1,153 @@
+"""Trainer tests: schedule, EMA, accumulation, multi-device mesh step,
+checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from case_rg_tpu.config import ModelConfig, TrainConfig
+from case_rg_tpu.models import create_model
+from case_rg_tpu.runtime.mesh import make_mesh
+from case_rg_tpu.train.checkpoint import (latest_epoch, load_checkpoint,
+                                          save_checkpoint)
+from case_rg_tpu.train.schedule import cosine_hard_restarts_with_warmup
+from case_rg_tpu.train.trainer import Trainer
+
+V = 30
+
+
+def _batch(rng, b=8):
+    return {
+        "context": rng.randint(1, V, size=(b, 6)).astype(np.int32),
+        "background": rng.randint(1, V, size=(b, 10)).astype(np.int32),
+        "response": rng.randint(4, V, size=(b, 5)).astype(np.int32),
+        "sample_weight": np.ones(b, np.float32),
+    }
+
+
+def _cfg():
+    return ModelConfig(name="s2sa", vocab_size=V, embedding_size=8,
+                       hidden_size=8, num_heads=2)
+
+
+def test_schedule_matches_hf_formula():
+    import math
+    sched = cosine_hard_restarts_with_warmup(2.5e-4, warmup_steps=10,
+                                             total_steps=100, num_cycles=1)
+    for step in [0, 1, 5, 9, 10, 30, 55, 99, 120]:
+        if step < 10:
+            expected = 2.5e-4 * step / 10
+        else:
+            progress = (step - 10) / (100 - 10)
+            if progress >= 1.0:
+                expected = 0.0
+            else:
+                expected = 2.5e-4 * max(
+                    0.0, 0.5 * (1 + math.cos(math.pi * ((1 * progress) % 1.0))))
+        assert abs(float(sched(step)) - expected) < 1e-9, step
+
+
+def test_train_step_on_8_device_mesh_decreases_loss():
+    assert jax.device_count() == 8
+    mesh = make_mesh((8, 1))
+    model = create_model("s2sa", _cfg())
+    tc = TrainConfig(batch_size=8, learning_rate=1e-2, warmup_steps=1,
+                     grad_clip=1.0, accumulation_steps=1)
+    trainer = Trainer(model, tc, total_steps=100, mesh=mesh)
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(12):
+        key, k = jax.random.split(key)
+        state, out = trainer.train_step(state, dict(batch), k)
+        losses.append(float(out["total"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 12
+
+
+def test_ema_update_math():
+    mesh = make_mesh((8, 1))
+    model = create_model("s2sa", _cfg())
+    tc = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=1,
+                     ema_decay=0.9)
+    trainer = Trainer(model, tc, total_steps=50, mesh=mesh)
+    batch = _batch(np.random.RandomState(1))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    p0 = jax.device_get(state.params)
+    new_state, _ = trainer.train_step(state, dict(batch), jax.random.PRNGKey(2))
+    p1 = jax.device_get(new_state.params)
+    ema1 = jax.device_get(new_state.ema)
+    leaf = "encoders/enc2dec"
+
+    def get(tree, path):
+        cur = tree
+        for part in path.split("/"):
+            cur = cur[part]
+        return np.asarray(cur["kernel"])
+
+    expected = 0.1 * get(p1, leaf) + 0.9 * get(p0, leaf)
+    np.testing.assert_allclose(get(ema1, leaf), expected, atol=1e-6)
+
+
+def test_gradient_accumulation_equivalence():
+    """k=2 accumulation over two half-batches must equal one step on the
+    full batch (grad mean), matching the reference's loss/accum division
+    (CumulativeTrainer.py:64-76)."""
+    mesh = make_mesh((8, 1))
+    model = create_model("s2sa", _cfg())
+    rngs = np.random.RandomState(2)
+    full = _batch(rngs, b=16)
+    half1 = {k: v[:8] for k, v in full.items()}
+    half2 = {k: v[8:] for k, v in full.items()}
+
+    tc_full = TrainConfig(batch_size=16, learning_rate=1e-3, warmup_steps=1,
+                          accumulation_steps=1)
+    tc_accum = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=1,
+                           accumulation_steps=2)
+    t_full = Trainer(model, tc_full, total_steps=50, mesh=mesh)
+    t_accum = Trainer(model, tc_accum, total_steps=50, mesh=mesh)
+
+    s0 = t_full.init_state(jax.random.PRNGKey(0), full)
+    p0 = jax.device_get(s0.params)   # fetch before donation invalidates s0
+    e0 = jax.device_get(s0.ema)
+    s_full, _ = t_full.train_step(s0, dict(full), jax.random.PRNGKey(9))
+
+    a0 = t_accum.init_state(jax.random.PRNGKey(0), half1)
+    a0 = a0.replace(params=p0, ema=e0)
+    a1, _ = t_accum.train_step(a0, dict(half1), jax.random.PRNGKey(9))
+    assert int(a1.step) == 0  # not yet applied
+    a2, _ = t_accum.train_step(a1, dict(half2), jax.random.PRNGKey(9))
+    assert int(a2.step) == 1
+
+    pf = jax.device_get(s_full.params)["gen"]["kernel"]
+    pa = jax.device_get(a2.params)["gen"]["kernel"]
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(pa), atol=2e-5)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    mesh = make_mesh((8, 1))
+    model = create_model("s2sa", _cfg())
+    tc = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=1)
+    trainer = Trainer(model, tc, total_steps=50, mesh=mesh)
+    batch = _batch(np.random.RandomState(3))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, _ = trainer.train_step(state, dict(batch), jax.random.PRNGKey(1))
+    save_checkpoint(str(tmp_path), 0, jax.device_get(state))
+    assert latest_epoch(str(tmp_path)) == 0
+
+    fresh = trainer.init_state(jax.random.PRNGKey(42), batch)
+    restored = load_checkpoint(str(tmp_path), 0, jax.device_get(fresh))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state.params)["gen"]["kernel"]),
+        np.asarray(restored.params["gen"]["kernel"]), atol=0)
+    assert int(restored.step) == 1
+
+    st2, start = trainer.resume_or_init(jax.random.PRNGKey(5), batch, str(tmp_path))
+    assert start == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st2.params)["gen"]["kernel"]),
+        np.asarray(restored.params["gen"]["kernel"]), atol=0)
