@@ -1,0 +1,157 @@
+"""CLI: train / test any of the six models.
+
+Replaces the reference's per-model Run.py entry points (e.g. CaSE/Run.py;
+all six duplicated the same argparse + train/test scaffolding, several with
+latent path bugs — SURVEY §4):
+
+    python -m case_rg_tpu.cli.run --model case --mode train \
+        --data_path ./dataset/ --dataset cast
+    python -m case_rg_tpu.cli.run --model case --mode test ...
+
+Training resumes from the last checkpoint automatically; testing iterates
+every saved epoch checkpoint and writes per-process .answer/.run shards
+(ref: CaSE/Run.py:49-62).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..config import DataConfig, ModelConfig, TrainConfig
+from ..data.prepare import load_prepared
+from ..models import build_model_cfg, create_model
+from ..runtime.inference import make_predict_fn
+from ..runtime.io import save_results
+from ..runtime.mesh import make_mesh
+from ..train.checkpoint import checkpoint_exists, load_checkpoint
+from ..train.trainer import Trainer
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, required=True,
+                   choices=["case", "masque", "glks", "tmemnet", "gttp", "s2sa"])
+    p.add_argument("--mode", type=str, required=True,
+                   choices=["train", "test", "ps_train"])
+    p.add_argument("--data_path", type=str, default="./dataset/")
+    p.add_argument("--dataset", type=str, default="cast")
+    p.add_argument("--prepared_dir", type=str, default=None)
+    p.add_argument("--output_path", type=str, default=None)
+    p.add_argument("--embedding_size", type=int, default=256)
+    p.add_argument("--hidden_size", type=int, default=256)
+    p.add_argument("--num_heads", type=int, default=8)
+    p.add_argument("--max_span_size", type=int, default=4)
+    p.add_argument("--max_target_length", type=int, default=40)
+    p.add_argument("--accumulation_steps", type=int, default=1)
+    p.add_argument("--epoch", type=int, default=20)
+    # reference: 16 per GPU x 4 GPUs (CaSE/Run.py:78-79); ours is global
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--learning_rate", type=float, default=2.5e-4)
+    p.add_argument("--warmup_steps", type=int, default=2000)
+    p.add_argument("--beam_width", type=int, default=1)
+    p.add_argument("--ema_eval", action="store_true")
+    p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--seed", type=int, default=123456)
+    p.add_argument("--min_window_size", type=int, default=4)
+    p.add_argument("--num_windows", type=int, default=1)
+    return p
+
+
+def setup(args):
+    prepared = args.prepared_dir or os.path.join(args.data_path, args.dataset,
+                                                 "prepared")
+    output = args.output_path or os.path.join("./output", args.model)
+    arrays, meta, vocab, _ = load_prepared(prepared, "train", args.model)
+    base = ModelConfig(embedding_size=args.embedding_size,
+                       hidden_size=args.hidden_size, num_heads=args.num_heads,
+                       max_span_size=args.max_span_size,
+                       max_target_length=args.max_target_length,
+                       max_dec_len=args.max_target_length,
+                       beam_width=args.beam_width,
+                       min_window_size=args.min_window_size,
+                       num_windows=args.num_windows)
+    mcfg = build_model_cfg(base, args.model, vocab)
+    model = create_model(args.model, mcfg)
+    return prepared, output, arrays, vocab, mcfg, model
+
+
+def train(args):
+    prepared, output, arrays, vocab, mcfg, model = setup(args)
+    n = len(arrays["id"])
+    total_steps = int(args.epoch * n / (args.batch_size *
+                                        args.accumulation_steps)) + 100
+    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epoch,
+                     learning_rate=args.learning_rate,
+                     warmup_steps=args.warmup_steps,
+                     accumulation_steps=args.accumulation_steps,
+                     seed=args.seed, output_path=output,
+                     resume=not args.no_resume)
+    loss_kwargs = {"mode": "ps_train"} if args.mode == "ps_train" and \
+        args.model in ("masque",) else {}
+    if args.model == "glks":
+        loss_kwargs = {"mode": "ds_mle_mce_train"}
+    trainer = Trainer(model, tc, total_steps, loss_method_kwargs=loss_kwargs)
+    from ..data.batching import Batcher
+    sample = next(Batcher(arrays, args.batch_size, shuffle=False).epoch(0))
+    sample = {k: v for k, v in sample.items() if not k.startswith("_")}
+    state, start_epoch = trainer.resume_or_init(
+        jax.random.PRNGKey(args.seed), sample, output)
+    print(f"[run] {args.model} train: {n} samples, {total_steps} steps, "
+          f"start epoch {start_epoch}", flush=True)
+    trainer.fit(state, arrays, args.epoch, output, seed=args.seed,
+                start_epoch=start_epoch)
+
+
+def test(args):
+    prepared, output, arrays_train, vocab, mcfg, model = setup(args)
+    tc = TrainConfig(batch_size=args.batch_size, output_path=output)
+    trainer = Trainer(model, tc, total_steps=100)
+    predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
+                                 args.beam_width)
+
+    splits = []
+    for split in ("dev", "test"):
+        path = os.path.join(prepared, f"{split}.{args.model}.npz")
+        if os.path.exists(path):
+            arrays, meta, _, _ = load_prepared(prepared, split, args.model)
+            if len(meta) > 0:
+                splits.append((split, arrays, meta))
+    if not splits:
+        print("[run] no dev/test splits prepared; nothing to do", flush=True)
+        return
+
+    sample = None
+    for epoch in range(args.epoch):
+        if not checkpoint_exists(output, epoch):
+            continue
+        if sample is None:
+            from ..data.batching import Batcher
+            sample = next(Batcher(splits[0][1], args.batch_size,
+                                  shuffle=False).epoch(0))
+            sample = {k: v for k, v in sample.items() if not k.startswith("_")}
+            state_t = trainer.init_state(jax.random.PRNGKey(0), sample)
+            template = jax.device_get(state_t)
+        state = load_checkpoint(output, epoch, template)
+        print(f"[run] test epoch {epoch}", flush=True)
+        for split, arrays, meta in splits:
+            preds = trainer.predict(state, arrays, predict_fn,
+                                    args.batch_size, ema_eval=args.ema_eval)
+            save_results(preds, meta, vocab, output, jax.process_index(),
+                         epoch, f"{args.dataset}_{split}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    np.random.seed(args.seed)
+    if args.mode in ("train", "ps_train"):
+        train(args)
+    else:
+        test(args)
+
+
+if __name__ == "__main__":
+    main()

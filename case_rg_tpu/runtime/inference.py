@@ -1,0 +1,46 @@
+"""Per-model inference dispatch.
+
+Maps each model to its test-time output dict, mirroring the reference's
+``forward(method='test')`` contracts:
+
+* s2sa/gttp/glks -> {'answer'} via greedy or beam
+  (S2SA/Model.py:116-122, GTTP/Model.py:204-212, GLKS/Model.py:254-262)
+* tmemnet      -> {'answer', 'rank'} (TMemNet/Model.py:185-194)
+* masque/case  -> {'answer', 'rank'} via their own decoders
+  (Masque/Model.py:260-277, CaSE/Model.py:313-331)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+
+from ..config import ModelConfig
+from ..models.predict import beam_predict, greedy_predict
+
+PROTOCOL_MODELS = ("s2sa", "gttp", "glks", "tmemnet")
+
+
+def make_predict_fn(model, cfg: ModelConfig, max_len: int,
+                    beam_width: int = 1) -> Callable[[dict, dict], Dict]:
+    name = cfg.name
+
+    if name in ("masque", "case"):
+        def fn(variables, batch):
+            return model.apply(variables, batch, max_len=max_len,
+                               method=type(model).predict)
+        return jax.jit(fn)
+
+    def fn(variables, batch):
+        if beam_width > 1:
+            ids = beam_predict(model, variables, batch, max_len, beam_width)
+        else:
+            ids = greedy_predict(model, variables, batch, max_len)
+        out = {"answer": ids}
+        if name == "tmemnet":
+            out["rank"] = model.apply(variables, batch,
+                                      method=type(model).rank)
+        return out
+
+    return jax.jit(fn)

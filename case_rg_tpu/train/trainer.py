@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
+from jax.sharding import Mesh
 
 from ..config import TrainConfig
 from ..data.batching import Batcher
@@ -55,7 +56,18 @@ class Trainer:
                  mesh=None, loss_method_kwargs: Optional[dict] = None):
         self.model = model
         self.tc = train_cfg
-        self.mesh = mesh or make_mesh(train_cfg.mesh_shape or None)
+        if mesh is None:
+            if train_cfg.mesh_shape:
+                mesh = make_mesh(train_cfg.mesh_shape)
+            else:
+                # the data axis must divide the global batch; unused devices
+                # are left out rather than failing (e.g. tiny smoke runs)
+                import math as _math
+                n = jax.device_count()
+                d = _math.gcd(train_cfg.batch_size, n) if train_cfg.batch_size else n
+                mesh = make_mesh() if d == n else Mesh(
+                    np.array(jax.devices()[:d]).reshape(d, 1), ("data", "model"))
+        self.mesh = mesh
         self.tx = make_optimizer(train_cfg, total_steps)
         self.loss_kwargs = loss_method_kwargs or {}
         self._train_step = None

@@ -1,0 +1,82 @@
+"""End-to-end: prepare -> train -> test -> evaluate on the synthetic dataset,
+through the CLI entry points (SURVEY §7 step 4: the minimum full slice)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_dataset
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    make_dataset(root, "toy", n_queries=12, n_passages=20)
+    from case_rg_tpu.cli.prepare import main as prepare_main
+    prepare_main(["--data_path", root, "--dataset", "toy",
+                  "--query_len", "24", "--passage_len", "24",
+                  "--num_passage", "4", "--answer_len", "10"])
+    return root
+
+
+def _run_args(root, out, model, mode, extra=()):
+    return ["--model", model, "--mode", mode, "--data_path", root,
+            "--dataset", "toy", "--output_path", out,
+            "--embedding_size", "16", "--hidden_size", "16",
+            "--num_heads", "2", "--batch_size", "4", "--epoch", "2",
+            "--max_target_length", "8", "--warmup_steps", "4",
+            "--learning_rate", "1e-3"] + list(extra)
+
+
+def test_s2sa_full_pipeline(workspace, tmp_path):
+    from case_rg_tpu.cli.run import main as run_main
+    from case_rg_tpu.cli.evaluate import main as eval_main
+    root = workspace
+    out = str(tmp_path / "out_s2sa")
+
+    run_main(_run_args(root, out, "s2sa", "train"))
+    assert os.path.exists(os.path.join(out, "model", "0.ckpt"))
+    assert os.path.exists(os.path.join(out, "model", "1.ckpt"))
+
+    run_main(_run_args(root, out, "s2sa", "test"))
+    result_dir = os.path.join(out, "result")
+    files = os.listdir(result_dir)
+    assert any(f.endswith(".answer") for f in files)
+
+    report = eval_main(["--model", "s2sa", "--data_path", root,
+                        "--datasets", "toy", "--output_path", out])
+    toy = report["toy"]
+    assert toy, "no result prefixes evaluated"
+    some = next(iter(toy.values()))
+    assert "ROUGE_L_F1" in some and "BLEU" in some and "METEOR" in some
+    assert np.isfinite(some["ROUGE_L_F1"])
+
+
+def test_case_full_pipeline(workspace, tmp_path):
+    from case_rg_tpu.cli.run import main as run_main
+    from case_rg_tpu.cli.evaluate import main as eval_main
+    root = workspace
+    out = str(tmp_path / "out_case")
+
+    run_main(_run_args(root, out, "case", "train", ["--epoch", "1"]))
+    run_main(_run_args(root, out, "case", "test", ["--epoch", "1"]))
+    report = eval_main(["--model", "case", "--data_path", root,
+                        "--datasets", "toy", "--output_path", out])
+    toy = report["toy"]
+    some = next(iter(toy.values()))
+    # CaSE emits both rank and answer outputs
+    assert "map" in some and "ndcg" in some
+    assert "ROUGE_L_F1" in some
+
+
+def test_train_resume(workspace, tmp_path):
+    from case_rg_tpu.cli.run import main as run_main
+    root = workspace
+    out = str(tmp_path / "out_resume")
+    run_main(_run_args(root, out, "s2sa", "train", ["--epoch", "1"]))
+    assert os.path.exists(os.path.join(out, "model", "0.ckpt"))
+    # second invocation with 2 epochs resumes from epoch 1
+    run_main(_run_args(root, out, "s2sa", "train", ["--epoch", "2"]))
+    assert os.path.exists(os.path.join(out, "model", "1.ckpt"))
