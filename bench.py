@@ -1,0 +1,95 @@
+"""Benchmark: CaSE end-to-end inference (passage ranking + 40-step decode)
+queries/sec/chip at TREC-CAsT shapes.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the self-generated PyTorch-reference
+baseline recorded in BASELINE.md (the reference publishes no numbers —
+SURVEY.md §6). The baseline constant below is the reference implementation's
+measured throughput on this host (see BASELINE.md "Self-generated baselines"
+for methodology); the north-star target is >=5x the PyTorch baseline
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Reference PyTorch CaSE do_test() queries/sec measured on this host's CPU
+# (tools/bench_reference_torch.py; recorded in BASELINE.md). Updated whenever
+# the baseline is re-measured.
+TORCH_REFERENCE_QPS = None  # filled from BASELINE.md if available
+
+
+def _read_baseline():
+    try:
+        with open("BASELINE.md") as f:
+            for line in f:
+                if line.startswith("<!--torch_reference_case_qps="):
+                    return float(line.split("=")[1].split("-->")[0])
+    except OSError:
+        pass
+    return None
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from case_rg_tpu.config import ModelConfig
+    from case_rg_tpu.models import create_model
+    from case_rg_tpu.runtime.inference import make_predict_fn
+
+    v, b = 30522, 16
+    cfg = ModelConfig(name="case", vocab_size=v, embedding_size=256,
+                      hidden_size=256, num_heads=8, enc_layers=3, dec_layers=4,
+                      max_dec_len=40, max_target_length=40)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "query": jnp.asarray(rng.randint(4, v, size=(b, 1, 60)), jnp.int32),
+        "passage": jnp.asarray(rng.randint(4, v, size=(b, 10, 100)), jnp.int32),
+    }
+    init_batch = dict(batch)
+    init_batch.update(
+        response=jnp.asarray(rng.randint(4, v, size=(b, 40)), jnp.int32),
+        passage_label=jnp.zeros((b,), jnp.int32),
+        token_label=jnp.zeros((b, 10, 100), jnp.float32),
+        token_weight=jnp.ones((b, 10, 100), jnp.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           init_batch, method=type(model).train_losses)
+
+    predict = make_predict_fn(model, cfg, max_len=40)
+    np.asarray(predict(variables, batch)["answer"])  # compile + full sync
+    # NOTE: distinct batches per iteration and a real host fetch per call —
+    # on this image's relay-backed TPU backend, block_until_ready can return
+    # before remote completion and identical calls may be served from cache;
+    # fetching the answer ids is the only reliable synchronization.
+    iters = 8
+    batches = []
+    for _ in range(iters):
+        batches.append({
+            "query": jnp.asarray(rng.randint(4, v, size=(b, 1, 60)), jnp.int32),
+            "passage": jnp.asarray(rng.randint(4, v, size=(b, 10, 100)), jnp.int32),
+        })
+    times = []
+    for bt in batches:
+        t0 = time.time()
+        np.asarray(predict(variables, bt)["answer"])
+        times.append(time.time() - t0)
+    qps = b / float(np.median(times))
+
+    baseline = _read_baseline()
+    vs = qps / baseline if baseline else 0.0
+    print(json.dumps({"metric": "case_rank_decode_qps_per_chip",
+                      "value": round(qps, 2), "unit": "queries/sec/chip",
+                      "vs_baseline": round(vs, 2)}))
+
+
+if __name__ == "__main__":
+    main()
