@@ -28,11 +28,35 @@ def _window_overlap_counts(tokens: np.ndarray, answer_set: set, size: int) -> np
     return out
 
 
+def _dense_freq(id2freq: Dict[int, float], vocab_size: int) -> np.ndarray:
+    out = np.zeros(vocab_size, np.float32)
+    for k, v in id2freq.items():
+        if 0 <= int(k) < vocab_size:
+            out[int(k)] = v
+    return out
+
+
 def case_token_labels(passages: np.ndarray, answer: Sequence[int],
-                      id2freq: Dict[int, float]
+                      id2freq: Dict[int, float],
+                      use_native: bool = True
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """passages: [P, L] int ids (padded); answer: unpadded answer ids
-    (including EOS). Returns (labels [P, L], confidences [P, L])."""
+    (including EOS). Returns (labels [P, L], confidences [P, L]).
+
+    Dispatches to the C kernel (native/fastprep.cpp) when available; the
+    Python path below is the readable specification and fallback."""
+    if use_native:
+        from .. import native as _native
+
+        vocab_size = int(max(int(np.max(passages, initial=0)),
+                             max([int(a) for a in answer], default=0),
+                             max((int(k) for k in id2freq), default=0))) + 1
+        res = _native.case_token_labels(
+            np.asarray(passages, np.int32),
+            np.asarray(list(answer), np.int32),
+            _dense_freq(id2freq, vocab_size))
+        if res is not None:
+            return res
     answer_set = set(int(a) for a in answer)
     p, l = passages.shape
     labels = np.zeros((p, l), np.float32)
@@ -54,11 +78,23 @@ def case_token_labels(passages: np.ndarray, answer: Sequence[int],
 
 
 def glks_selection_label(background: np.ndarray, answer: Sequence[int],
-                         min_window_size: int = 5, n_windows: int = 4
-                         ) -> np.ndarray:
+                         min_window_size: int = 5, n_windows: int = 4,
+                         use_native: bool = True) -> np.ndarray:
     """Soft distribution over sliding windows of sizes
     {min_ws, 2*min_ws, ..., n*min_ws} with stride min_ws: softmax of distinct
     overlap counts with the answer (ref: GLKS/GLKSDataset.py:6-20)."""
+    if use_native:
+        from .. import native as _native
+
+        vocab_size = int(max(int(np.max(background, initial=0)),
+                             max([int(a) for a in answer], default=0))) + 1
+        counts = _native.glks_window_overlap(
+            np.asarray(background, np.int32),
+            np.asarray(list(answer), np.int32),
+            min_window_size, n_windows, vocab_size)
+        if counts is not None:
+            e = np.exp(counts - counts.max())
+            return e / e.sum()
     answer_set = set(int(a) for a in answer)
     counts = []
     window_size = min_window_size

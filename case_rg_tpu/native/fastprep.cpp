@@ -1,0 +1,122 @@
+// Native featurization kernels for the offline data pipeline.
+//
+// The reference's hottest host-side loop is per-sample supervision-label
+// construction (CaSE/CaSEDataset.py:6-28: 1/3/5-gram overlap x log-frequency
+// confidence over num_passage x passage_len tokens, and
+// GLKS/GLKSDataset.py:6-20 window-overlap labels) — pure Python per-token
+// work, O(samples * 10 * 100) with set operations per token. These C
+// implementations are exact ports of the *math* (not the code): bit-for-bit
+// against the Python/numpy versions (tests/test_native.py).
+//
+// Built as a plain shared library, bound via ctypes (no pybind11 needed).
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// labels[p, l] = 1 if passages[p, l] appears in answer
+// conf[p, l]  = (inv_logfreq * g1 * g3 * g5)^0.2, 1.0 where g1 == 0
+//   inv_logfreq = sum_l log(freq+2) / log(freq_l + 2)   (per passage)
+//   g3/g5 = |distinct window members (size 3/5, zero-padded) in answer|
+void case_token_labels(const int32_t* passages, int num_p, int len,
+                       const int32_t* answer, int answer_len,
+                       const float* freq, int vocab_size,
+                       float* labels, float* conf) {
+  // membership table over the vocabulary
+  std::vector<uint8_t> in_answer(vocab_size, 0);
+  for (int t = 0; t < answer_len; ++t) {
+    int32_t a = answer[t];
+    if (a >= 0 && a < vocab_size) in_answer[a] = 1;
+  }
+
+  std::vector<float> logf(len);
+  for (int p = 0; p < num_p; ++p) {
+    const int32_t* toks = passages + (size_t)p * len;
+    float* lab = labels + (size_t)p * len;
+    float* cf = conf + (size_t)p * len;
+
+    double logf_sum = 0.0;
+    for (int l = 0; l < len; ++l) {
+      float f = (toks[l] >= 0 && toks[l] < vocab_size) ? freq[toks[l]] : 0.0f;
+      logf[l] = std::log(f + 2.0f);
+      logf_sum += logf[l];
+    }
+
+    for (int l = 0; l < len; ++l) {
+      int32_t tok = toks[l];
+      float g1 = (tok >= 0 && tok < vocab_size && in_answer[tok]) ? 1.0f : 0.0f;
+      lab[l] = g1;
+      if (g1 == 0.0f) {
+        cf[l] = 1.0f;
+        continue;
+      }
+      // distinct members of the centered window that appear in the answer;
+      // windows are zero-padded at the edges (pad token 0 may itself match)
+      auto window_overlap = [&](int size) -> float {
+        int half = (size - 1) / 2;
+        int32_t win[5];
+        int n = 0;
+        for (int k = -half; k <= half; ++k) {
+          int idx = l + k;
+          int32_t v = (idx >= 0 && idx < len) ? toks[idx] : 0;
+          bool dup = false;
+          for (int j = 0; j < n; ++j)
+            if (win[j] == v) { dup = true; break; }
+          if (!dup) win[n++] = v;
+        }
+        int count = 0;
+        for (int j = 0; j < n; ++j)
+          if (win[j] >= 0 && win[j] < vocab_size && in_answer[win[j]]) ++count;
+        return (float)count;
+      };
+      float g3 = window_overlap(3);
+      float g5 = window_overlap(5);
+      float inv = (float)(logf_sum / logf[l]);
+      float v = inv * g1 * g3 * g5;
+      cf[l] = std::pow(v > 0.0f ? v : 0.0f, 0.2f);
+    }
+  }
+}
+
+// GLKS sliding-window overlap counts: for window sizes
+// {min_ws, 2*min_ws, ..., n_windows*min_ws} with stride min_ws, the number of
+// distinct window members appearing in the answer. Returns the number of
+// windows written.
+int glks_window_overlap(const int32_t* background, int len,
+                        const int32_t* answer, int answer_len,
+                        int min_window_size, int n_windows,
+                        int vocab_size, float* counts_out) {
+  std::vector<uint8_t> in_answer(vocab_size, 0);
+  for (int t = 0; t < answer_len; ++t) {
+    int32_t a = answer[t];
+    if (a >= 0 && a < vocab_size) in_answer[a] = 1;
+  }
+  int out = 0;
+  int ws = min_window_size;
+  std::vector<int32_t> seen;
+  for (int w = 0; w < n_windows; ++w) {
+    int n_w = (len - ws) / min_window_size + 1;
+    for (int s = 0; s < n_w; ++s) {
+      const int32_t* seg = background + (size_t)s * min_window_size;
+      seen.clear();
+      int count = 0;
+      for (int k = 0; k < ws; ++k) {
+        int32_t v = seg[k];
+        bool dup = false;
+        for (int32_t sv : seen)
+          if (sv == v) { dup = true; break; }
+        if (dup) continue;
+        seen.push_back(v);
+        if (v >= 0 && v < vocab_size && in_answer[v]) ++count;
+      }
+      counts_out[out++] = (float)count;
+    }
+    ws += min_window_size;
+  }
+  return out;
+}
+
+}  // extern "C"

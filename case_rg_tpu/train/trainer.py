@@ -15,6 +15,7 @@ TPU-native rebuild of common/CumulativeTrainer.py:26-156:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
@@ -136,17 +137,26 @@ class Trainer:
     # ---- epoch loops ----
 
     def train_epoch(self, state: TrainState, batcher: Batcher, epoch: int,
-                    rng) -> TrainState:
+                    rng, metrics_logger=None) -> TrainState:
+        from ..runtime.profiling import StepMeter
+
         start = time.time()
+        meter = StepMeter()
         last_losses = {}
         for j, batch in enumerate(batcher.epoch(epoch)):
             rng, step_rng = jax.random.split(rng)
+            meter.start()
             state, losses = self.train_step(state, batch, step_rng)
             last_losses = losses
             if j > 0 and j % self.tc.log_every == 0:
+                jax.block_until_ready(losses)
+                meter.stop()
                 vals = {k: float(v) for k, v in losses.items()}
                 print(f"[train] epoch {epoch} batch {j} loss {vals} "
-                      f"time {time.time() - start:.1f}s", flush=True)
+                      f"time {time.time() - start:.1f}s "
+                      f"({meter.steps_per_sec():.2f} steps/s)", flush=True)
+                if metrics_logger is not None:
+                    metrics_logger.log(int(jax.device_get(state.step)), vals)
         vals = {k: float(v) for k, v in last_losses.items()}
         print(f"[train] epoch {epoch} done ({batcher.num_batches(epoch)} "
               f"batches) loss {vals} time {time.time() - start:.1f}s", flush=True)
@@ -155,16 +165,24 @@ class Trainer:
 
     def fit(self, state: TrainState, arrays: Dict[str, np.ndarray],
             epochs: int, output_path: str, seed: int = 0,
-            start_epoch: int = 0) -> TrainState:
+            start_epoch: int = 0, profile_dir: Optional[str] = None
+            ) -> TrainState:
+        from ..runtime.profiling import MetricsLogger, trace
+
         batcher = Batcher(arrays, self.tc.batch_size, shuffle=True, seed=seed,
                           process_index=jax.process_index(),
                           process_count=jax.process_count())
         rng = jax.random.PRNGKey(seed)
-        for epoch in range(start_epoch, epochs):
-            rng, epoch_rng = jax.random.split(rng)
-            state = self.train_epoch(state, batcher, epoch, epoch_rng)
-            save_checkpoint(output_path, epoch, jax.device_get(state),
-                            jax.process_index())
+        logger = MetricsLogger(os.path.join(output_path, "metrics.jsonl")
+                               if output_path else None)
+        with trace(profile_dir):
+            for epoch in range(start_epoch, epochs):
+                rng, epoch_rng = jax.random.split(rng)
+                state = self.train_epoch(state, batcher, epoch, epoch_rng,
+                                         metrics_logger=logger)
+                save_checkpoint(output_path, epoch, jax.device_get(state),
+                                jax.process_index())
+        logger.close()
         return state
 
     def resume_or_init(self, rng, sample_batch, output_path: str):
