@@ -53,6 +53,9 @@ def build_parser():
     p.add_argument("--learning_rate", type=float, default=2.5e-4)
     p.add_argument("--warmup_steps", type=int, default=2000)
     p.add_argument("--beam_width", type=int, default=1)
+    p.add_argument("--bf16_eval", action="store_true",
+                   help="cast parameters to bfloat16 for inference "
+                        "(MXU-native; softmax stays f32)")
     p.add_argument("--ema_eval", action="store_true")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--seed", type=int, default=123456)
@@ -136,6 +139,10 @@ def test(args):
             state_t = trainer.init_state(jax.random.PRNGKey(0), sample)
             template = jax.device_get(state_t)
         state = load_checkpoint(output, epoch, template)
+        if args.bf16_eval:
+            from ..train.precision import cast_params
+            state = state.replace(params=cast_params(state.params),
+                                  ema=cast_params(state.ema))
         print(f"[run] test epoch {epoch}", flush=True)
         for split, arrays, meta in splits:
             preds = trainer.predict(state, arrays, predict_fn,

@@ -37,17 +37,25 @@ class BBCCore(nn.Module):
     def embed(self, ids: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         return self.emb_drop(self.embedding(ids), deterministic=deterministic)
 
+    def key_projs(self, src_out: jnp.ndarray, bg_out: jnp.ndarray):
+        """Precompute attention key projections for the fixed encodings
+        (hoisted out of per-step decode/train scans)."""
+        return self.src_attn.key_proj(src_out), self.bg_attn.key_proj(bg_out)
+
     def step(self, emb: jnp.ndarray, state: jnp.ndarray,
              src_out: jnp.ndarray, bg_out: jnp.ndarray,
-             src_keep: jnp.ndarray, bg_keep: jnp.ndarray
+             src_keep: jnp.ndarray, bg_keep: jnp.ndarray,
+             src_uh: jnp.ndarray = None, bg_uh: jnp.ndarray = None,
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """emb: [B, E] (already dropout-ed); state: [B, layers, H].
         Returns (feature [B, H], new_state, src_attn [B, Lc], bg_attn [B, Lb])."""
         q = state[:, -1:]  # [B, 1, H]
-        src_ctx, _, src_w = self.src_attn(q, src_out, src_out,
-                                          mask=src_keep[:, None, :])
-        bg_ctx, _, bg_w = self.bg_attn(q, bg_out, bg_out,
-                                       mask=bg_keep[:, None, :])
+        if src_uh is None or bg_uh is None:
+            src_uh, bg_uh = self.key_projs(src_out, bg_out)
+        src_ctx, _, src_w = self.src_attn.attend_from_proj(
+            q, src_uh, src_out, mask=src_keep[:, None, :])
+        bg_ctx, _, bg_w = self.bg_attn.attend_from_proj(
+            q, bg_uh, bg_out, mask=bg_keep[:, None, :])
         src_ctx, bg_ctx = src_ctx[:, 0], bg_ctx[:, 0]
         gru_in = jnp.concatenate([emb, src_ctx, bg_ctx], axis=-1)
         _, state = self.gru.step(gru_in, state)

@@ -129,19 +129,24 @@ class GLKSModel(nn.Module):
         init_state = self.st_linear(jnp.concatenate([c_state, segment], -1))
         return {"b_out": b_out, "c_out": c_out, "b_keep": b_keep,
                 "c_keep": c_keep, "segment": segment, "p_s": p_s,
-                "background": b_ids, "init_state": init_state}
+                "background": b_ids, "init_state": init_state,
+                # key projections hoisted out of the decode/train scans
+                "copy_b_uh": self.copy_attn.key_proj(b_out),
+                "vg_c_uh": self.vg_c_attn.key_proj(c_out),
+                "vg_b_uh": self.vg_b_attn.key_proj(b_out)}
 
     def _generate(self, word_emb, state, enc) -> jnp.ndarray:
         """One-step mixture distribution [B, V]
         (decode+generate, GLKS/Model.py:219-239)."""
         seg = enc["segment"]
         q = jnp.concatenate([word_emb, state, seg], axis=-1)      # [B, 1, E+2H]
-        p_k = self.copy_attn.score(q, enc["b_out"],
-                                   mask=enc["b_keep"][:, None, :])[1][:, 0]
-        c_ctx, _, _ = self.vg_c_attn(q, enc["c_out"], enc["c_out"],
-                                     mask=enc["c_keep"][:, None, :])
-        b_ctx, _, _ = self.vg_b_attn(q, enc["b_out"], enc["b_out"],
-                                     mask=enc["b_keep"][:, None, :])
+        from ..ops.masking import masked_softmax
+        p_k_raw = self.copy_attn.matching_from_proj(q, enc["copy_b_uh"])
+        p_k = masked_softmax(p_k_raw, enc["b_keep"][:, None, :])[:, 0]
+        c_ctx, _, _ = self.vg_c_attn.attend_from_proj(
+            q, enc["vg_c_uh"], enc["c_out"], mask=enc["c_keep"][:, None, :])
+        b_ctx, _, _ = self.vg_b_attn.attend_from_proj(
+            q, enc["vg_b_uh"], enc["b_out"], mask=enc["b_keep"][:, None, :])
         concat = jnp.concatenate([word_emb[:, 0], state[:, 0], seg[:, 0],
                                   c_ctx[:, 0], b_ctx[:, 0]], axis=-1)
         p_v = jax.nn.softmax(self.vg_generator(self.vg_readout(concat)), axis=-1)

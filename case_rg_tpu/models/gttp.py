@@ -40,6 +40,7 @@ class GTTPModel(nn.Module):
         enc = self.encoders(batch["context"], batch["background"],
                             deterministic=deterministic)
         enc["background"] = batch["background"]
+        enc["src_uh"], enc["bg_uh"] = self.dec.key_projs(enc["c_out"], enc["b_out"])
         return enc
 
     def _vocab_and_copy(self, feature, bg_attn):
@@ -54,7 +55,8 @@ class GTTPModel(nn.Module):
         """Returns (mixture probs over V [B, V], new_state)."""
         emb = self.dec.embed(prev_ids, deterministic)
         feature, state, _, bg_attn = self.dec.step(
-            emb, state, enc["c_out"], enc["b_out"], enc["c_keep"], enc["b_keep"])
+            emb, state, enc["c_out"], enc["b_out"], enc["c_keep"],
+            enc["b_keep"], enc.get("src_uh"), enc.get("bg_uh"))
         out_prob, p_copy = self._vocab_and_copy(feature, bg_attn)
         copied = copy_scatter(bg_attn, enc["background"], self.cfg.vocab_size)
         return out_prob + copied * p_copy, state
@@ -73,7 +75,7 @@ class GTTPModel(nn.Module):
             emb_t, resp_t = xs
             feature, state, _, bg_attn = self.dec.step(
                 emb_t, state, enc["c_out"], enc["b_out"], enc["c_keep"],
-                enc["b_keep"])
+                enc["b_keep"], enc.get("src_uh"), enc.get("bg_uh"))
             out_prob, p_copy = self._vocab_and_copy(feature, bg_attn)
             vocab_at = jnp.take_along_axis(out_prob, resp_t[:, None], axis=-1)[:, 0]
             match = (batch["background"] == resp_t[:, None]).astype(bg_attn.dtype)

@@ -77,12 +77,16 @@ class MultiMemoryDecoder(nn.Module):
         return jax.nn.softmax(self.gen2(h), axis=-1)
 
     def _memory_attend(self, i, stream, feature, memory, mem_keep, weight,
-                       tgt_keep):
+                       tgt_keep, uh=None):
         """Prior-weighted renormalized copy attention for memory i.
-        stream: [B, T, D]; returns (context [B, T, D], p [B, T, Lm])."""
+        stream: [B, T, D]; returns (context [B, T, D], p [B, T, Lm]).
+        ``uh``: optionally precomputed key projection (decode scans)."""
         q = jnp.concatenate([stream, feature], -1) if self.use_feature else stream
         mask = tgt_keep[:, :, None] & mem_keep[:, None, :]
-        ctx, _, nw = self.attns[i](q, memory, memory, mask=mask)
+        if uh is None:
+            ctx, _, nw = self.attns[i](q, memory, memory, mask=mask)
+        else:
+            ctx, _, nw = self.attns[i].attend_from_proj(q, uh, memory, mask=mask)
         p = weight[:, None, :] * nw
         p = p / (1e-8 + jnp.sum(p, axis=-1, keepdims=True))
         return ctx, p
@@ -141,6 +145,8 @@ class MultiMemoryDecoder(nn.Module):
         b = memories[0].shape[0]
         cross = [self.decs[i].precompute_memory(memories[i])
                  for i in range(self.num_memories)]
+        key_projs = [self.attns[i].key_proj(memories[i])
+                     for i in range(self.num_memories)]
         caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
                   for i in range(self.num_memories)]
         feat = None
@@ -159,7 +165,8 @@ class MultiMemoryDecoder(nn.Module):
                 x, c = self.decs[i].step(x, t, caches[i], cross[i], hist,
                                          mem_keeps[i])
                 ctx, p = self._memory_attend(i, x, feat, memories[i],
-                                             mem_keeps[i], weights[i], tgt_keep_t)
+                                             mem_keeps[i], weights[i],
+                                             tgt_keep_t, uh=key_projs[i])
                 new_caches.append(c)
                 ctxs.append(ctx)
                 ps.append(p)

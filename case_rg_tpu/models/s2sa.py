@@ -33,15 +33,17 @@ class S2SAModel(nn.Module):
                             kernel_init=nn.initializers.xavier_uniform())
 
     def encode(self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True):
-        return self.encoders(batch["context"], batch["background"],
-                             deterministic=deterministic)
+        enc = self.encoders(batch["context"], batch["background"],
+                            deterministic=deterministic)
+        enc["src_uh"], enc["bg_uh"] = self.dec.key_projs(enc["c_out"], enc["b_out"])
+        return enc
 
     def decode_step(self, enc, state, prev_ids, *, deterministic: bool = True):
         """One step; returns (logits [B, V], new_state)."""
         emb = self.dec.embed(prev_ids, deterministic)
-        feature, state, _, _ = self.dec.step(emb, state, enc["c_out"],
-                                             enc["b_out"], enc["c_keep"],
-                                             enc["b_keep"])
+        feature, state, _, _ = self.dec.step(
+            emb, state, enc["c_out"], enc["b_out"], enc["c_keep"],
+            enc["b_keep"], enc.get("src_uh"), enc.get("bg_uh"))
         return self.gen(feature), state
 
     def train_losses(self, batch, *, deterministic: bool = False):
@@ -57,9 +59,9 @@ class S2SAModel(nn.Module):
 
         def body(state, xs):
             emb_t, resp_t = xs
-            feature, state, _, _ = self.dec.step(emb_t, state, enc["c_out"],
-                                                 enc["b_out"], enc["c_keep"],
-                                                 enc["b_keep"])
+            feature, state, _, _ = self.dec.step(
+                emb_t, state, enc["c_out"], enc["b_out"], enc["c_keep"],
+                enc["b_keep"], enc.get("src_uh"), enc.get("bg_uh"))
             logits = self.gen(feature)
             logp = jnp.take_along_axis(logits, resp_t[:, None], axis=-1)[:, 0] \
                 - jax.nn.logsumexp(logits, axis=-1)

@@ -46,10 +46,15 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ``attn_bias``: additive [Lq, Lk] (e.g. causal). ``key_keep``: boolean
     [B, Lk], True = attend. Rows whose keys are all masked produce zeros
     (torch would produce NaN; no model consumes such rows).
+
+    Mixed precision: the score matmul accumulates in f32 regardless of input
+    dtype (MXU-native bf16 inputs, f32 softmax), and the probability matrix
+    is cast back to the value dtype for the PV matmul.
     """
     d = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)), q.dtype)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
     if attn_bias is not None:
         scores = scores + attn_bias[None, None, :, :].astype(scores.dtype)
     if key_keep is not None:
@@ -62,7 +67,7 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     return out, weights
 
 

@@ -26,15 +26,23 @@ class BilinearAttention(nn.Module):
         self.linear_query = nn.Dense(self.hidden_size, use_bias=True, kernel_init=init)
         self.v = nn.Dense(1, use_bias=False, kernel_init=init)
 
-    def matching(self, query: jnp.ndarray, key: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """Raw scores [.., Lq, Lk] (ref: BilinearAttention.py:24-46)."""
+    def key_proj(self, key: jnp.ndarray) -> jnp.ndarray:
+        """Precompute U k for a fixed memory (hoisted out of decode scans)."""
+        return self.linear_key(key)
+
+    def matching_from_proj(self, query: jnp.ndarray, uh: jnp.ndarray,
+                           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Scores given an already-projected key ``uh = linear_key(key)``."""
         wq = self.linear_query(query)[..., :, None, :]
-        uh = self.linear_key(key)[..., None, :, :]
-        attn = self.v(jnp.tanh(wq + uh))[..., 0]
+        attn = self.v(jnp.tanh(wq + uh[..., None, :, :]))[..., 0]
         if mask is not None:
             attn = jnp.where(mask, attn, neg_inf(attn.dtype))
         return attn
+
+    def matching(self, query: jnp.ndarray, key: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Raw scores [.., Lq, Lk] (ref: BilinearAttention.py:24-46)."""
+        return self.matching_from_proj(query, self.key_proj(key), mask)
 
     def score(self, query, key, mask=None, softmax_axis: int = -1):
         """(raw, normalized) scores; normalized zeros where masked
@@ -44,6 +52,13 @@ class BilinearAttention(nn.Module):
         if mask is not None:
             raw = jnp.where(mask, raw, neg_inf(raw.dtype))
         return raw, norm
+
+    def attend_from_proj(self, query, uh, value, mask=None):
+        """Full attention given precomputed key projections."""
+        raw = self.matching_from_proj(query, uh, mask=None)
+        norm = masked_softmax(raw, mask, axis=-1)
+        ctx = jnp.einsum("...qk,...kd->...qd", norm, value)
+        return ctx, raw, norm
 
     def __call__(self, query, key, value, mask=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """context [.., Lq, Dv], raw scores, normalized scores
