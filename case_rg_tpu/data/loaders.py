@@ -133,9 +133,16 @@ def assemble_samples(answer_file: str, passage_file: str, pool_file: Optional[st
         reformulated = load_query(query_reformulation_file, tokenizer)
 
     samples = []
+    dropped = 0
     for row in answers:
         for _ in range(randoms):
             c_id, q_id, p_id, ans = row[:4]
+            # partial corpora (like the in-repo reference sample) reference
+            # queries that are absent from .query: drop such samples instead
+            # of crashing at featurization time
+            if q_id not in query or any(c not in query for c in c_id):
+                dropped += 1
+                continue
             q_pool = None
             if pool is not None:
                 q_pool = pool.get(q_id, [])
@@ -161,6 +168,8 @@ def assemble_samples(answer_file: str, passage_file: str, pool_file: Optional[st
             samples.append(sample)
 
     passage = load_passage(passage_file, pool, tokenizer)
+    if dropped:
+        print(f"[loaders] dropped {dropped} samples with missing queries")
     return samples, query, reformulated, passage
 
 
