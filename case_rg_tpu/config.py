@@ -81,6 +81,7 @@ class TrainConfig:
     accumulation_steps: int = 1
     grad_clip: float = 1.0
     ema_decay: float = 0.995
+    compute_dtype: str = "float32"   # "bfloat16": f32 master params, bf16 fwd/bwd
     seed: int = 123456
     log_every: int = 100
     output_path: str = "./output/"

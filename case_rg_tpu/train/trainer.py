@@ -97,13 +97,19 @@ class Trainer:
         loss_kwargs = self.loss_kwargs
         accum = tc.accumulation_steps
 
+        bf16 = tc.compute_dtype == "bfloat16"
+
         def step_fn(state: TrainState, batch, rng):
             def loss_fn(params):
+                if bf16:  # mixed precision: f32 master, bf16 compute
+                    from .precision import cast_params
+                    params = cast_params(params, jnp.bfloat16)
                 losses = model.apply({"params": params}, batch,
                                      deterministic=False,
                                      rngs={"dropout": rng},
                                      method=type(model).train_losses,
                                      **loss_kwargs)
+                losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
                 return sum(losses.values()), losses
 
             (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -151,3 +151,24 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.device_get(st2.params)["gen"]["kernel"]),
         np.asarray(restored.params["gen"]["kernel"]), atol=0)
+
+
+def test_bf16_mixed_precision_training():
+    mesh = make_mesh((8, 1))
+    model = create_model("s2sa", _cfg())
+    tc = TrainConfig(batch_size=8, learning_rate=1e-2, warmup_steps=1,
+                     compute_dtype="bfloat16")
+    trainer = Trainer(model, tc, total_steps=50, mesh=mesh)
+    batch = _batch(np.random.RandomState(5))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(8):
+        key, k = jax.random.split(key)
+        state, out = trainer.train_step(state, dict(batch), k)
+        losses.append(float(out["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # master params stay f32
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
