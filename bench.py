@@ -44,7 +44,7 @@ def main():
     from case_rg_tpu.models import create_model
     from case_rg_tpu.runtime.inference import make_predict_fn
 
-    v, b = 30522, 16
+    v, b = 30522, 64
     cfg = ModelConfig(name="case", vocab_size=v, embedding_size=256,
                       hidden_size=256, num_heads=8, enc_layers=3, dec_layers=4,
                       max_dec_len=40, max_target_length=40)
@@ -63,6 +63,10 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(1)},
                            init_batch, method=type(model).train_losses)
+    # Serving config: bfloat16 parameters (MXU-native). Metric-identical to
+    # f32 on the trained real-data checkpoint (BASELINE.md).
+    from case_rg_tpu.train.precision import cast_params
+    variables = cast_params(variables)
 
     predict = make_predict_fn(model, cfg, max_len=40)
     np.asarray(predict(variables, batch)["answer"])  # compile + full sync
