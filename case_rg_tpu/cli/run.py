@@ -61,6 +61,12 @@ def build_parser():
     p.add_argument("--seed", type=int, default=123456)
     p.add_argument("--min_window_size", type=int, default=4)
     p.add_argument("--num_windows", type=int, default=1)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host meshes "
+                        "(replaces torch.distributed.launch; ref run.sh:21)")
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--bf16_train", action="store_true",
+                   help="mixed-precision training (bf16 compute, f32 master)")
     return p
 
 
@@ -92,7 +98,8 @@ def train(args):
                      warmup_steps=args.warmup_steps,
                      accumulation_steps=args.accumulation_steps,
                      seed=args.seed, output_path=output,
-                     resume=not args.no_resume)
+                     resume=not args.no_resume,
+                     compute_dtype="bfloat16" if args.bf16_train else "float32")
     loss_kwargs = {"mode": "ps_train"} if args.mode == "ps_train" and \
         args.model in ("masque",) else {}
     if args.model == "glks":
@@ -106,7 +113,7 @@ def train(args):
     print(f"[run] {args.model} train: {n} samples, {total_steps} steps, "
           f"start epoch {start_epoch}", flush=True)
     trainer.fit(state, arrays, args.epoch, output, seed=args.seed,
-                start_epoch=start_epoch)
+                start_epoch=start_epoch, profile_dir=args.profile_dir)
 
 
 def test(args):
@@ -154,6 +161,8 @@ def test(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     np.random.seed(args.seed)
+    if args.multihost:
+        jax.distributed.initialize()
     if args.mode in ("train", "ps_train"):
         train(args)
     else:
