@@ -100,9 +100,13 @@ def train(args):
                      seed=args.seed, output_path=output,
                      resume=not args.no_resume,
                      compute_dtype="bfloat16" if args.bf16_train else "float32")
-    loss_kwargs = {"mode": "ps_train"} if args.mode == "ps_train" and \
-        args.model in ("masque",) else {}
-    if args.model == "glks":
+    loss_kwargs = {}
+    if args.mode == "ps_train":
+        if args.model not in ("masque", "tmemnet"):
+            raise SystemExit("ps_train is only defined for masque/tmemnet "
+                             "(ref: Masque/Model.py:244-258, TMemNet/Model.py:176-183)")
+        loss_kwargs = {"mode": "ps_train"}
+    elif args.model == "glks":
         loss_kwargs = {"mode": "ds_mle_mce_train"}
     trainer = Trainer(model, tc, total_steps, loss_method_kwargs=loss_kwargs)
     from ..data.batching import Batcher

@@ -100,12 +100,19 @@ class TMemNetModel(nn.Module):
         new_state = {"cache": cache, "hist": hist, "t": state["t"] + 1}
         return logits, new_state
 
-    def train_losses(self, batch, *, deterministic: bool = False):
-        """(ref: TMemNet/Model.py:161-174)"""
+    def train_losses(self, batch, *, deterministic: bool = False,
+                     mode: str = "train"):
+        """(ref: TMemNet/Model.py:161-183; mode='ps_train' returns the
+        unscaled selection loss only, Model.py:176-183)"""
         resp = batch["response"]
         b, t = resp.shape
         enc = self.encode(batch, label=batch["passage_label"],
                           deterministic=deterministic)
+        if mode == "ps_train":
+            label_1h = one_hot_labels(batch["passage_label"],
+                                      enc["ck_attn"].shape[-1])
+            return {"select": bce_with_logits(enc["ck_attn"], label_1h,
+                                              batch.get("sample_weight"))}
         bos = jnp.full((b, 1), self.cfg.bos_id, resp.dtype)
         pad = jnp.zeros((b, 1), resp.dtype)
         tgt_in = jnp.concatenate([bos, resp], axis=1)       # [B, T+1]

@@ -154,3 +154,17 @@ def test_tmemnet_hard_selection_uses_gold_at_train():
     assert enc_gold["memory"].shape == enc_pred["memory"].shape
     ck = np.asarray(enc_pred["ck_attn"])
     assert ck.shape == (B, P)
+
+
+def test_ps_train_modes():
+    """Rank-only training modes (Masque/Model.py:244-258,
+    TMemNet/Model.py:176-183)."""
+    rng = np.random.RandomState(7)
+    for name in ("masque", "tmemnet"):
+        batch = BATCHES[name](rng)
+        model = create_model(name, _cfg(name))
+        params = _init(model, batch)
+        losses = model.apply(params, batch, deterministic=True,
+                             mode="ps_train", method=type(model).train_losses)
+        assert set(losses) == {"select"}
+        assert np.isfinite(float(losses["select"]))
