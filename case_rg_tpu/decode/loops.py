@@ -31,7 +31,14 @@ StepFn = Callable[[object, jnp.ndarray], Tuple[jnp.ndarray, object]]
 
 
 def run_greedy(step_fn: StepFn, init_state, batch_size: int, max_len: int,
-               bos: int, eos: int, unk: int, pad: int = 0) -> jnp.ndarray:
+               bos: int, eos: int, unk: int, pad: int = 0,
+               early_exit: bool = False) -> jnp.ndarray:
+    """Greedy loop with the reference's EOS bookkeeping.
+
+    ``early_exit=True`` switches to a ``while_loop`` that stops once every
+    row has emitted EOS. Emitted sentences are identical (positions past a
+    row's EOS are PAD either way); only wall-clock changes.
+    """
     def body(carry, t):
         state, prev, ended = carry
         scores, state = step_fn(state, prev)
@@ -44,8 +51,27 @@ def run_greedy(step_fn: StepFn, init_state, batch_size: int, max_len: int,
 
     prev0 = jnp.full((batch_size,), bos, jnp.int32)
     ended0 = jnp.zeros((batch_size,), bool)
-    _, ids = jax.lax.scan(body, (init_state, prev0, ended0), jnp.arange(max_len))
-    return ids.T  # [B, T]
+
+    if not early_exit:
+        _, ids = jax.lax.scan(body, (init_state, prev0, ended0),
+                              jnp.arange(max_len))
+        return ids.T  # [B, T]
+
+    out0 = jnp.zeros((batch_size, max_len), jnp.int32)
+
+    def cond(c):
+        t, _, _, ended, _ = c
+        return (t < max_len) & ~jnp.all(ended)
+
+    def wbody(c):
+        t, state, prev, ended, out = c
+        (state, idx, ended), _ = body((state, prev, ended), t)
+        out = jax.lax.dynamic_update_slice(out, idx[:, None], (0, t))
+        return (t + 1, state, idx, ended, out)
+
+    _, _, _, _, out = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), init_state, prev0, ended0, out0))
+    return out
 
 
 def run_sample(step_fn: StepFn, init_state, batch_size: int, max_len: int,

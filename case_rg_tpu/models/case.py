@@ -50,7 +50,7 @@ class CaSEModel(nn.Module):
         self.decoder = MultiMemoryDecoder(
             c.vocab_size, c.hidden_size, c.num_heads, c.dec_layers,
             num_memories=2, use_feature=True, dropout=c.dropout,
-            bos_id=c.bos_id)
+            bos_id=c.bos_id, eos_id=c.eos_id)
 
     def stages(self, batch, *, deterministic: bool = True):
         """Run encode + passage selection + token identification.
@@ -124,11 +124,12 @@ class CaSEModel(nn.Module):
         loss_rg = nll_from_probs(prob_at, batch["response"], w)
         return {"select": loss_ps, "token": loss_se, "gen": loss_rg}
 
-    def predict(self, batch, *, max_len: int) -> Dict[str, jnp.ndarray]:
+    def predict(self, batch, *, max_len: int,
+                early_exit: bool = False) -> Dict[str, jnp.ndarray]:
         """(ref: CaSE/Model.py:313-331 do_test)"""
         st = self.stages(batch, deterministic=True)
         memories, keeps, weights, src_ids, answer_rep = \
             self._decoder_inputs(batch, st)
         ids = self.decoder.decode(memories, keeps, weights, src_ids, max_len,
-                                  feature=answer_rep)
+                                  feature=answer_rep, early_exit=early_exit)
         return {"answer": ids, "rank": st["passage_score"]}

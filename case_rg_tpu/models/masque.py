@@ -38,7 +38,7 @@ class MasqueModel(nn.Module):
         self.decoder = MultiMemoryDecoder(
             c.vocab_size, c.hidden_size, c.num_heads, c.dec_layers,
             num_memories=2, use_feature=False, dropout=c.dropout,
-            bos_id=c.bos_id)
+            bos_id=c.bos_id, eos_id=c.eos_id)
 
     def _select(self, batch, *, deterministic: bool):
         """(ref: PassageSelection.action, Masque/Model.py:135-159)"""
@@ -81,10 +81,12 @@ class MasqueModel(nn.Module):
         loss_rg = nll_from_probs(prob_at, batch["response"], w)
         return {"select": 0.25 * loss_ps, "gen": loss_rg}
 
-    def predict(self, batch, *, max_len: int) -> Dict[str, jnp.ndarray]:
+    def predict(self, batch, *, max_len: int,
+                early_exit: bool = False) -> Dict[str, jnp.ndarray]:
         """(ref: Masque/Model.py:260-277 do_test)"""
         score, q_reps, p_reps = self._select(batch, deterministic=True)
         memories, keeps, weights, src_ids = self._decoder_inputs(
             batch, score, q_reps, p_reps)
-        ids = self.decoder.decode(memories, keeps, weights, src_ids, max_len)
+        ids = self.decoder.decode(memories, keeps, weights, src_ids, max_len,
+                                  early_exit=early_exit)
         return {"answer": ids, "rank": score}

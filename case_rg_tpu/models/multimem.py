@@ -44,6 +44,7 @@ class MultiMemoryDecoder(nn.Module):
     use_feature: bool = False   # CaSE's additional_decoder_feature
     dropout: float = 0.1
     bos_id: int = 1
+    eos_id: int = 3
 
     def setup(self):
         d, v = self.hidden_size, self.vocab_size
@@ -141,7 +142,12 @@ class MultiMemoryDecoder(nn.Module):
     #      no EOS bookkeeping — ref CaSE/Model.py:119-123) ----
 
     def decode(self, memories, mem_keeps, weights, src_ids, max_len: int,
-               feature: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               feature: Optional[jnp.ndarray] = None,
+               early_exit: bool = False) -> jnp.ndarray:
+        """``early_exit=True`` stops once every row has emitted EOS at least
+        once (remaining positions stay PAD). The reference keeps arg-maxing
+        past EOS (CaSE/Model.py:119-123) but its ``to_sentence`` truncates at
+        EOS, so emitted answers are identical either way."""
         b = memories[0].shape[0]
         cross = [self.decs[i].precompute_memory(memories[i])
                  for i in range(self.num_memories)]
@@ -182,5 +188,25 @@ class MultiMemoryDecoder(nn.Module):
 
         prev0 = jnp.full((b,), self.bos_id, jnp.int32)
         hist0 = jnp.zeros((b, max_len), bool)
-        _, ids = jax.lax.scan(step, (caches, prev0, hist0), jnp.arange(max_len))
-        return ids.T
+        if not early_exit:
+            _, ids = jax.lax.scan(step, (caches, prev0, hist0),
+                                  jnp.arange(max_len))
+            return ids.T
+
+        out0 = jnp.zeros((b, max_len), jnp.int32)
+        ended0 = jnp.zeros((b,), bool)
+
+        def cond(c):
+            t, _, _, _, ended, _ = c
+            return (t < max_len) & ~jnp.all(ended)
+
+        def wbody(c):
+            t, caches, prev, hist, ended, out = c
+            (caches, nxt, hist), _ = step((caches, prev, hist), t)
+            out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, t))
+            ended = ended | (nxt == self.eos_id)
+            return (t + 1, caches, nxt, hist, ended, out)
+
+        _, _, _, _, _, out = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), caches, prev0, hist0, ended0, out0))
+        return out

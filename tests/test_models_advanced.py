@@ -168,3 +168,22 @@ def test_ps_train_modes():
                              mode="ps_train", method=type(model).train_losses)
         assert set(losses) == {"select"}
         assert np.isfinite(float(losses["select"]))
+
+
+def test_early_exit_decode_equivalence():
+    """Early-exit decoding must produce identical ids up to each row's EOS
+    and PAD afterwards (sentence-identical to the full scan)."""
+    rng = np.random.RandomState(9)
+    batch = _case_batch(rng)
+    model = create_model("case", _cfg("case"))
+    params = _init(model, batch)
+    full = np.asarray(model.apply(params, batch, max_len=T,
+                                  method=type(model).predict)["answer"])
+    fast = np.asarray(model.apply(params, batch, max_len=T, early_exit=True,
+                                  method=type(model).predict)["answer"])
+    for fr, xr in zip(full, fast):
+        for t in range(T):
+            assert fr[t] == xr[t] or (xr[t] == 0)
+            if fr[t] == 3:
+                assert (xr[t + 1:] == 0).all()
+                break
