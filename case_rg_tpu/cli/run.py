@@ -53,6 +53,9 @@ def build_parser():
     p.add_argument("--learning_rate", type=float, default=2.5e-4)
     p.add_argument("--warmup_steps", type=int, default=2000)
     p.add_argument("--beam_width", type=int, default=1)
+    p.add_argument("--early_exit", action="store_true",
+                   help="stop decoding once every row emitted EOS "
+                        "(sentence-identical, faster)")
     p.add_argument("--bf16_eval", action="store_true",
                    help="cast parameters to bfloat16 for inference "
                         "(MXU-native; softmax stays f32)")
@@ -125,7 +128,7 @@ def test(args):
     tc = TrainConfig(batch_size=args.batch_size, output_path=output)
     trainer = Trainer(model, tc, total_steps=100)
     predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
-                                 args.beam_width)
+                                 args.beam_width, early_exit=args.early_exit)
 
     splits = []
     for split in ("dev", "test"):

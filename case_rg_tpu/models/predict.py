@@ -26,7 +26,7 @@ def _enc_and_state(model, params, batch):
 
 
 def greedy_predict(model, params, batch: Dict[str, jnp.ndarray],
-                   max_len: int) -> jnp.ndarray:
+                   max_len: int, early_exit: bool = False) -> jnp.ndarray:
     cfg = model.cfg
     enc, state = _enc_and_state(model, params, batch)
     b = batch["response"].shape[0] if "response" in batch else batch["context"].shape[0]
@@ -37,7 +37,7 @@ def greedy_predict(model, params, batch: Dict[str, jnp.ndarray],
         return scores, state
 
     return run_greedy(step, state, b, max_len, cfg.bos_id, cfg.eos_id,
-                      cfg.unk_id, cfg.pad_id)
+                      cfg.unk_id, cfg.pad_id, early_exit=early_exit)
 
 
 def beam_predict(model, params, batch: Dict[str, jnp.ndarray], max_len: int,

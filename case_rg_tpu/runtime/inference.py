@@ -23,12 +23,14 @@ PROTOCOL_MODELS = ("s2sa", "gttp", "glks", "tmemnet")
 
 
 def make_predict_fn(model, cfg: ModelConfig, max_len: int,
-                    beam_width: int = 1) -> Callable[[dict, dict], Dict]:
+                    beam_width: int = 1, early_exit: bool = False
+                    ) -> Callable[[dict, dict], Dict]:
     name = cfg.name
 
     if name in ("masque", "case"):
         def fn(variables, batch):
             return model.apply(variables, batch, max_len=max_len,
+                               early_exit=early_exit,
                                method=type(model).predict)
         return jax.jit(fn)
 
@@ -36,7 +38,8 @@ def make_predict_fn(model, cfg: ModelConfig, max_len: int,
         if beam_width > 1:
             ids = beam_predict(model, variables, batch, max_len, beam_width)
         else:
-            ids = greedy_predict(model, variables, batch, max_len)
+            ids = greedy_predict(model, variables, batch, max_len,
+                                 early_exit=early_exit)
         out = {"answer": ids}
         if name == "tmemnet":
             out["rank"] = model.apply(variables, batch,
