@@ -53,6 +53,8 @@ def build_parser():
     p.add_argument("--learning_rate", type=float, default=2.5e-4)
     p.add_argument("--warmup_steps", type=int, default=2000)
     p.add_argument("--beam_width", type=int, default=1)
+    p.add_argument("--fast_argmax", action="store_true",
+                   help="scatter-free decode argmax (candidate-set; serving)")
     p.add_argument("--early_exit", action="store_true",
                    help="stop decoding once every row emitted EOS "
                         "(sentence-identical, faster)")
@@ -128,7 +130,8 @@ def test(args):
     tc = TrainConfig(batch_size=args.batch_size, output_path=output)
     trainer = Trainer(model, tc, total_steps=100)
     predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
-                                 args.beam_width, early_exit=args.early_exit)
+                                 args.beam_width, early_exit=args.early_exit,
+                                 fast_argmax=args.fast_argmax)
 
     splits = []
     for split in ("dev", "test"):

@@ -143,11 +143,21 @@ class MultiMemoryDecoder(nn.Module):
 
     def decode(self, memories, mem_keeps, weights, src_ids, max_len: int,
                feature: Optional[jnp.ndarray] = None,
-               early_exit: bool = False) -> jnp.ndarray:
+               early_exit: bool = False,
+               fast_argmax: bool = False) -> jnp.ndarray:
         """``early_exit=True`` stops once every row has emitted EOS at least
         once (remaining positions stay PAD). The reference keeps arg-maxing
         past EOS (CaSE/Model.py:119-123) but its ``to_sentence`` truncates at
-        EOS, so emitted answers are identical either way."""
+        EOS, so emitted answers are identical either way.
+
+        ``fast_argmax=True`` replaces the per-step [B, V] copy scatter with a
+        candidate-set argmax: the extended distribution differs from the
+        generation distribution only at source-token ids, so the argmax is
+        either argmax(gen) or the best source id after combining duplicate-id
+        copy mass (a step-invariant equality matrix hoisted out of the scan,
+        combined per step with one small matmul). Exact up to bf16 rounding
+        of the duplicate combine and tie-breaks; XLA's V-sized scatter is the
+        decode bottleneck (docs/PERF.md)."""
         b = memories[0].shape[0]
         cross = [self.decs[i].precompute_memory(memories[i])
                  for i in range(self.num_memories)]
@@ -158,6 +168,12 @@ class MultiMemoryDecoder(nn.Module):
         feat = None
         if self.use_feature:
             feat = self.norm2(feature)[:, None, :]   # [B, 1, D]; dropout off
+
+        ids_cat = jnp.concatenate(src_ids, axis=-1)   # [B, Ls]
+        if fast_argmax:
+            # step-invariant duplicate-id combine matrix (bf16, MXU matmul)
+            match = (ids_cat[:, :, None] == ids_cat[:, None, :]
+                     ).astype(jnp.bfloat16)
 
         def step(carry, t):
             caches, prev, hist = carry
@@ -179,11 +195,27 @@ class MultiMemoryDecoder(nn.Module):
             x = self.norm1(x)
             gen = self._generator(emb, x, feat, True)               # [B, 1, V]
             mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)), -1)
-            dist = mix_p[..., 0:1] * gen
-            for i in range(self.num_memories):
-                dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
-                    ps[i], src_ids[i], self.vocab_size)
-            nxt = jnp.argmax(dist[:, 0], axis=-1).astype(jnp.int32)
+            if fast_argmax:
+                g = mix_p[:, 0, 0:1] * gen[:, 0]                    # [B, V]
+                g_idx = jnp.argmax(g, axis=-1)
+                g_val = jnp.take_along_axis(g, g_idx[:, None], -1)[:, 0]
+                cw = jnp.concatenate(
+                    [mix_p[:, 0, i + 1:i + 2] * ps[i][:, 0]
+                     for i in range(self.num_memories)], axis=-1)   # [B, Ls]
+                comb = jnp.einsum("blm,bm->bl", match, cw.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+                g_at = jnp.take_along_axis(g, ids_cat, axis=-1)     # [B, Ls]
+                cand = g_at + comb
+                c_pos = jnp.argmax(cand, axis=-1)
+                c_val = jnp.take_along_axis(cand, c_pos[:, None], -1)[:, 0]
+                c_idx = jnp.take_along_axis(ids_cat, c_pos[:, None], -1)[:, 0]
+                nxt = jnp.where(c_val > g_val, c_idx, g_idx).astype(jnp.int32)
+            else:
+                dist = mix_p[..., 0:1] * gen
+                for i in range(self.num_memories):
+                    dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
+                        ps[i], src_ids[i], self.vocab_size)
+                nxt = jnp.argmax(dist[:, 0], axis=-1).astype(jnp.int32)
             return (new_caches, nxt, hist), nxt
 
         prev0 = jnp.full((b,), self.bos_id, jnp.int32)

@@ -23,14 +23,14 @@ PROTOCOL_MODELS = ("s2sa", "gttp", "glks", "tmemnet")
 
 
 def make_predict_fn(model, cfg: ModelConfig, max_len: int,
-                    beam_width: int = 1, early_exit: bool = False
-                    ) -> Callable[[dict, dict], Dict]:
+                    beam_width: int = 1, early_exit: bool = False,
+                    fast_argmax: bool = False) -> Callable[[dict, dict], Dict]:
     name = cfg.name
 
     if name in ("masque", "case"):
         def fn(variables, batch):
             return model.apply(variables, batch, max_len=max_len,
-                               early_exit=early_exit,
+                               early_exit=early_exit, fast_argmax=fast_argmax,
                                method=type(model).predict)
         return jax.jit(fn)
 

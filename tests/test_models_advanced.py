@@ -187,3 +187,18 @@ def test_early_exit_decode_equivalence():
             if fr[t] == 3:
                 assert (xr[t + 1:] == 0).all()
                 break
+
+
+def test_fast_argmax_decode_agrees_with_scatter():
+    """Candidate-set argmax must reproduce the scatter-based extended-dist
+    argmax (exact up to measure-zero probability ties)."""
+    rng = np.random.RandomState(11)
+    batch = _case_batch(rng)
+    model = create_model("case", _cfg("case"))
+    params = _init(model, batch)
+    slow = np.asarray(model.apply(params, batch, max_len=T,
+                                  method=type(model).predict)["answer"])
+    fast = np.asarray(model.apply(params, batch, max_len=T, fast_argmax=True,
+                                  method=type(model).predict)["answer"])
+    agreement = (slow == fast).mean()
+    assert agreement >= 0.99, (agreement, slow, fast)
