@@ -1,0 +1,98 @@
+"""Sharding equivalence tests on the 8-device virtual CPU mesh:
+dp-sharded and dp x tp-sharded executions must match replicated results."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from case_rg_tpu.config import ModelConfig
+from case_rg_tpu.models import create_model
+from case_rg_tpu.runtime.mesh import batch_sharding, param_sharding_tree
+
+V = 2056  # > vocab-shard threshold, divisible by 2
+
+
+def _batch(rng, b=8):
+    return {
+        "query": jnp.asarray(rng.randint(4, V, size=(b, 1, 12)), jnp.int32),
+        "passage": jnp.asarray(rng.randint(4, V, size=(b, 3, 16)), jnp.int32),
+        "response": jnp.asarray(rng.randint(4, V, size=(b, 8)), jnp.int32),
+        "passage_label": jnp.asarray(rng.randint(0, 3, size=(b,)), jnp.int32),
+        "token_label": jnp.zeros((b, 3, 16), jnp.float32),
+        "token_weight": jnp.ones((b, 3, 16), jnp.float32),
+        "sample_weight": jnp.ones((b,), jnp.float32),
+    }
+
+
+def test_dp_tp_loss_and_grads_match_replicated():
+    assert jax.device_count() == 8
+    cfg = ModelConfig(name="case", vocab_size=V, embedding_size=32,
+                      hidden_size=32, num_heads=2, enc_layers=1, dec_layers=1,
+                      max_dec_len=8)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        batch, method=type(model).train_losses)["params"]
+
+    def loss(p, bt):
+        return sum(model.apply({"params": p}, bt, deterministic=True,
+                               method=type(model).train_losses).values())
+
+    base_loss = float(jax.jit(loss)(params, batch))
+    base_grad = jax.jit(jax.grad(loss))(params, batch)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    shardings = param_sharding_tree(params, mesh, shard_vocab_dim=True,
+                                    vocab_size=V)
+    # at least one leaf must actually be sharded over 'model'
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec, shardings,
+                               is_leaf=lambda x: isinstance(x, NamedSharding)))
+    assert any("model" in str(s) for s in specs)
+
+    p_sh = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    b_sh = {k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+            for k, v in batch.items()}
+    sh_loss = float(jax.jit(loss)(p_sh, b_sh))
+    np.testing.assert_allclose(sh_loss, base_loss, rtol=2e-5)
+
+    sh_grad = jax.jit(jax.grad(loss))(p_sh, b_sh)
+    a = np.asarray(jax.device_get(base_grad["ps_scorer"]["kernel"]))
+    bgr = np.asarray(jax.device_get(sh_grad["ps_scorer"]["kernel"]))
+    np.testing.assert_allclose(bgr, a, rtol=3e-4, atol=1e-6)
+
+
+def test_dp_tp_predict_matches_replicated():
+    cfg = ModelConfig(name="case", vocab_size=V, embedding_size=32,
+                      hidden_size=32, num_heads=2, enc_layers=1, dec_layers=1,
+                      max_dec_len=6)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(1)
+    batch = _batch(rng)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        batch, method=type(model).train_losses)["params"]
+    pred_batch = {"query": batch["query"], "passage": batch["passage"]}
+
+    def predict(p, bt):
+        return model.apply({"params": p}, bt, max_len=6,
+                           method=type(model).predict)
+
+    base = jax.device_get(jax.jit(predict)(params, pred_batch))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    shardings = param_sharding_tree(params, mesh, shard_vocab_dim=True,
+                                    vocab_size=V)
+    p_sh = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    b_sh = {k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+            for k, v in pred_batch.items()}
+    sh = jax.device_get(jax.jit(predict)(p_sh, b_sh))
+    np.testing.assert_array_equal(np.asarray(sh["answer"]),
+                                  np.asarray(base["answer"]))
+    np.testing.assert_allclose(np.asarray(sh["rank"]),
+                               np.asarray(base["rank"]), rtol=2e-5, atol=1e-6)
