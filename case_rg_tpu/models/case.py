@@ -125,12 +125,18 @@ class CaSEModel(nn.Module):
         return {"select": loss_ps, "token": loss_se, "gen": loss_rg}
 
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
-                fast_argmax: bool = False) -> Dict[str, jnp.ndarray]:
+                fast_argmax: bool = False,
+                beam_width: int = 1) -> Dict[str, jnp.ndarray]:
         """(ref: CaSE/Model.py:313-331 do_test)"""
         st = self.stages(batch, deterministic=True)
         memories, keeps, weights, src_ids, answer_rep = \
             self._decoder_inputs(batch, st)
-        ids = self.decoder.decode(memories, keeps, weights, src_ids, max_len,
-                                  feature=answer_rep, early_exit=early_exit,
-                                  fast_argmax=fast_argmax)
+        if beam_width > 1:
+            ids = self.decoder.beam(memories, keeps, weights, src_ids,
+                                    max_len, beam_width, feature=answer_rep)
+        else:
+            ids = self.decoder.decode(memories, keeps, weights, src_ids,
+                                      max_len, feature=answer_rep,
+                                      early_exit=early_exit,
+                                      fast_argmax=fast_argmax)
         return {"answer": ids, "rank": st["passage_score"]}

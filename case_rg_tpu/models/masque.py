@@ -82,12 +82,17 @@ class MasqueModel(nn.Module):
         return {"select": 0.25 * loss_ps, "gen": loss_rg}
 
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
-                fast_argmax: bool = False) -> Dict[str, jnp.ndarray]:
+                fast_argmax: bool = False,
+                beam_width: int = 1) -> Dict[str, jnp.ndarray]:
         """(ref: Masque/Model.py:260-277 do_test)"""
         score, q_reps, p_reps = self._select(batch, deterministic=True)
         memories, keeps, weights, src_ids = self._decoder_inputs(
             batch, score, q_reps, p_reps)
-        ids = self.decoder.decode(memories, keeps, weights, src_ids, max_len,
-                                  early_exit=early_exit,
-                                  fast_argmax=fast_argmax)
+        if beam_width > 1:
+            ids = self.decoder.beam(memories, keeps, weights, src_ids,
+                                    max_len, beam_width)
+        else:
+            ids = self.decoder.decode(memories, keeps, weights, src_ids,
+                                      max_len, early_exit=early_exit,
+                                      fast_argmax=fast_argmax)
         return {"answer": ids, "rank": score}

@@ -242,3 +242,62 @@ class MultiMemoryDecoder(nn.Module):
         _, _, _, _, _, out = jax.lax.while_loop(
             cond, wbody, (jnp.int32(0), caches, prev0, hist0, ended0, out0))
         return out
+
+    # ---- beam decoding (capability beyond the reference, which only has
+    #      greedy for these decoders; uses the shared vectorized beam) ----
+
+    def beam(self, memories, mem_keeps, weights, src_ids, max_len: int,
+             width: int, feature: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..decode.loops import run_beam, tile_state
+
+        b = memories[0].shape[0]
+        memories = [jnp.repeat(m, width, axis=0) for m in memories]
+        mem_keeps = [jnp.repeat(m, width, axis=0) for m in mem_keeps]
+        weights = [jnp.repeat(w, width, axis=0) for w in weights]
+        src_ids = [jnp.repeat(s, width, axis=0) for s in src_ids]
+        bw = b * width
+        cross = [self.decs[i].precompute_memory(memories[i])
+                 for i in range(self.num_memories)]
+        key_projs = [self.attns[i].key_proj(memories[i])
+                     for i in range(self.num_memories)]
+        feat = None
+        if self.use_feature:
+            feat = self.norm2(jnp.repeat(feature, width, axis=0))[:, None, :]
+
+        state0 = {
+            "caches": [self.decs[i].init_cache(bw, max_len, memories[i].dtype)
+                       for i in range(self.num_memories)],
+            "hist": jnp.zeros((bw, max_len), bool),
+            "t": jnp.zeros((bw, 1), jnp.int32),
+        }
+
+        def step_fn(state, prev):
+            t = state["t"][0, 0]
+            hist = jax.lax.dynamic_update_slice(
+                state["hist"], (prev != 0)[:, None], (0, t))
+            emb = self.pos(self.embedding(prev[:, None]), offset=t,
+                           deterministic=True)
+            x = emb
+            caches, ctxs, ps = [], [], []
+            tgt_keep_t = (prev != 0)[:, None]
+            for i in range(self.num_memories):
+                x, c = self.decs[i].step(x, t, state["caches"][i], cross[i],
+                                         hist, mem_keeps[i])
+                ctx, p = self._memory_attend(i, x, feat, memories[i],
+                                             mem_keeps[i], weights[i],
+                                             tgt_keep_t, uh=key_projs[i])
+                caches.append(c)
+                ctxs.append(ctx)
+                ps.append(p)
+            x = self.norm1(x)
+            gen = self._generator(emb, x, feat, True)
+            mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)), -1)
+            dist = mix_p[..., 0:1] * gen
+            for i in range(self.num_memories):
+                dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
+                    ps[i], src_ids[i], self.vocab_size)
+            new_state = {"caches": caches, "hist": hist, "t": state["t"] + 1}
+            return dist[:, 0], new_state
+
+        return run_beam(step_fn, state0, b, max_len, width,
+                        self.bos_id, self.eos_id)

@@ -31,6 +31,7 @@ def make_predict_fn(model, cfg: ModelConfig, max_len: int,
         def fn(variables, batch):
             return model.apply(variables, batch, max_len=max_len,
                                early_exit=early_exit, fast_argmax=fast_argmax,
+                               beam_width=beam_width,
                                method=type(model).predict)
         return jax.jit(fn)
 

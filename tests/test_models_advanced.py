@@ -202,3 +202,27 @@ def test_fast_argmax_decode_agrees_with_scatter():
                                   method=type(model).predict)["answer"])
     agreement = (slow == fast).mean()
     assert agreement >= 0.99, (agreement, slow, fast)
+
+
+@pytest.mark.parametrize("name", ["masque", "case"])
+def test_multimem_beam_decode(name):
+    """Beam search for the multi-memory decoders (capability beyond the
+    reference); width=1 must follow the greedy argmax path."""
+    rng = np.random.RandomState(13)
+    batch = BATCHES[name](rng)
+    model = create_model(name, _cfg(name))
+    params = _init(model, batch)
+    greedy = np.asarray(model.apply(params, batch, max_len=T,
+                                    method=type(model).predict)["answer"])
+    w1 = np.asarray(model.apply(params, batch, max_len=T, beam_width=1,
+                                method=type(model).predict)["answer"])
+    # width-1 beam follows the same argmax path up to the first EOS
+    for g, b_ in zip(greedy, w1):
+        for t in range(T):
+            assert g[t] == b_[t]
+            if g[t] == 3:
+                break
+    w3 = np.asarray(model.apply(params, batch, max_len=T, beam_width=3,
+                                method=type(model).predict)["answer"])
+    assert w3.shape == greedy.shape
+    assert (w3 >= 0).all() and (w3 < V).all()
