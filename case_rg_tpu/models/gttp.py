@@ -25,6 +25,7 @@ from .bbc import BBCCore, BBCEncoders
 @register_model("gttp")
 class GTTPModel(nn.Module):
     cfg: ModelConfig
+    STEP_EMITS_PROBS = True   # decode_step returns the normalized mixture
 
     def setup(self):
         c = self.cfg

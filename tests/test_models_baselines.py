@@ -91,7 +91,6 @@ def test_beam_width1_equals_greedy():
     rng = np.random.RandomState(2)
     batch = _batch(rng)
     model = create_model("gttp", _cfg("gttp"))  # emits probs directly
-    type(model).STEP_EMITS_PROBS = True
     params = model.init({"params": jax.random.PRNGKey(0),
                          "dropout": jax.random.PRNGKey(1)},
                         batch, method=type(model).train_losses)
