@@ -70,6 +70,8 @@ def build_parser():
                    help="initialize jax.distributed for multi-host meshes "
                         "(replaces torch.distributed.launch; ref run.sh:21)")
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--checkpoint_every_steps", type=int, default=0,
+                   help="mid-epoch salvage checkpoints every N steps")
     p.add_argument("--bf16_train", action="store_true",
                    help="mixed-precision training (bf16 compute, f32 master)")
     return p
@@ -104,6 +106,7 @@ def train(args):
                      accumulation_steps=args.accumulation_steps,
                      seed=args.seed, output_path=output,
                      resume=not args.no_resume,
+                     checkpoint_every_steps=args.checkpoint_every_steps,
                      compute_dtype="bfloat16" if args.bf16_train else "float32")
     loss_kwargs = {}
     if args.mode == "ps_train":
@@ -171,6 +174,15 @@ def test(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     np.random.seed(args.seed)
+    # persistent XLA compilation cache: first CaSE compile is 200-500 s on
+    # TPU; subsequent runs hit the cache
+    cache_dir = os.environ.get("CASE_RG_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/case_rg_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     if args.multihost:
         jax.distributed.initialize()
     if args.mode in ("train", "ps_train"):

@@ -84,6 +84,7 @@ class TrainConfig:
     compute_dtype: str = "float32"   # "bfloat16": f32 master params, bf16 fwd/bwd
     seed: int = 123456
     log_every: int = 100
+    checkpoint_every_steps: int = 0   # 0 = epoch-end only
     output_path: str = "./output/"
     resume: bool = True
     # parallelism

@@ -22,16 +22,19 @@ def _model_dir(output_path: str) -> str:
     return d
 
 
-def save_checkpoint(output_path: str, epoch: int, state: Any,
-                    process_index: int = 0):
+def save_checkpoint(output_path: str, epoch, state: Any,
+                    process_index: int = 0, update_latest: bool = True):
+    """``update_latest=False`` writes a salvage checkpoint (e.g. mid-epoch)
+    without marking the epoch complete for resume."""
     if process_index != 0:
         return
     d = _model_dir(output_path)
     path = os.path.join(d, f"{epoch}.ckpt")
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(state))
-    with open(os.path.join(d, "latest.json"), "w") as f:
-        json.dump({"epoch": epoch}, f)
+    if update_latest:
+        with open(os.path.join(d, "latest.json"), "w") as f:
+            json.dump({"epoch": epoch}, f)
 
 
 def latest_epoch(output_path: str) -> Optional[int]:

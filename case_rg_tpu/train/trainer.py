@@ -143,7 +143,8 @@ class Trainer:
     # ---- epoch loops ----
 
     def train_epoch(self, state: TrainState, batcher: Batcher, epoch: int,
-                    rng, metrics_logger=None) -> TrainState:
+                    rng, metrics_logger=None, output_path: str = "",
+                    checkpoint_every: int = 0) -> TrainState:
         from ..runtime.profiling import StepMeter
 
         start = time.time()
@@ -154,6 +155,14 @@ class Trainer:
             meter.start()
             state, losses = self.train_step(state, batch, step_rng)
             last_losses = losses
+            if checkpoint_every and output_path and j > 0 and \
+                    j % checkpoint_every == 0:
+                # mid-epoch salvage checkpoint: does not mark the epoch
+                # complete (resume stays epoch-granular; the reference loses
+                # the whole epoch on a crash — SURVEY §5)
+                save_checkpoint(output_path, f"{epoch}.mid",
+                                jax.device_get(state), jax.process_index(),
+                                update_latest=False)
             if j > 0 and j % self.tc.log_every == 0:
                 jax.block_until_ready(losses)
                 meter.stop()
@@ -184,8 +193,10 @@ class Trainer:
         with trace(profile_dir):
             for epoch in range(start_epoch, epochs):
                 rng, epoch_rng = jax.random.split(rng)
-                state = self.train_epoch(state, batcher, epoch, epoch_rng,
-                                         metrics_logger=logger)
+                state = self.train_epoch(
+                    state, batcher, epoch, epoch_rng, metrics_logger=logger,
+                    output_path=output_path,
+                    checkpoint_every=self.tc.checkpoint_every_steps)
                 save_checkpoint(output_path, epoch, jax.device_get(state),
                                 jax.process_index())
         logger.close()

@@ -172,3 +172,22 @@ def test_bf16_mixed_precision_training():
     # master params stay f32
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_mid_epoch_salvage_checkpoint(tmp_path):
+    from case_rg_tpu.data.batching import Batcher
+    import os
+    mesh = make_mesh((8, 1))
+    model = create_model("s2sa", _cfg())
+    tc = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=1,
+                     checkpoint_every_steps=2)
+    trainer = Trainer(model, tc, total_steps=50, mesh=mesh)
+    rng = np.random.RandomState(6)
+    arrays = {k: np.concatenate([v] * 5) for k, v in _batch(rng).items()}
+    arrays["id"] = np.arange(len(arrays["response"]), dtype=np.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in arrays.items()})
+    state = trainer.fit(state, arrays, 1, str(tmp_path), seed=0)
+    assert os.path.exists(os.path.join(str(tmp_path), "model", "0.mid.ckpt"))
+    assert os.path.exists(os.path.join(str(tmp_path), "model", "0.ckpt"))
+    assert latest_epoch(str(tmp_path)) == 0  # salvage did not mark complete
