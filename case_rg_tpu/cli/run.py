@@ -77,11 +77,16 @@ def build_parser():
     return p
 
 
-def setup(args):
+def setup(args, need_train: bool = True):
     prepared = args.prepared_dir or os.path.join(args.data_path, args.dataset,
                                                  "prepared")
     output = args.output_path or os.path.join("./output", args.model)
-    arrays, meta, vocab, _ = load_prepared(prepared, "train", args.model)
+    arrays = None
+    if need_train:
+        arrays, _meta, vocab, _ = load_prepared(prepared, "train", args.model)
+    else:
+        from ..data.vocab import Vocabulary
+        vocab = Vocabulary.load(os.path.join(prepared, "vocab.txt"))
     base = ModelConfig(embedding_size=args.embedding_size,
                        hidden_size=args.hidden_size, num_heads=args.num_heads,
                        max_span_size=args.max_span_size,
@@ -129,7 +134,7 @@ def train(args):
 
 
 def test(args):
-    prepared, output, arrays_train, vocab, mcfg, model = setup(args)
+    prepared, output, _unused, vocab, mcfg, model = setup(args, need_train=False)
     tc = TrainConfig(batch_size=args.batch_size, output_path=output)
     trainer = Trainer(model, tc, total_steps=100)
     predict_fn = make_predict_fn(model, mcfg, args.max_target_length,

@@ -63,7 +63,6 @@ class ModelConfig:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # set "bfloat16" for TPU speed runs
-    use_pallas_attention: bool = False
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

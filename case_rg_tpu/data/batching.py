@@ -46,8 +46,9 @@ class Batcher:
         if self.shuffle:
             rng = np.random.RandomState((self.seed + epoch) % (1 << 31))
             rng.shuffle(idx)
-        # contiguous shard per process (DistributedSampler-style interleave
-        # is equivalent under shuffling; contiguous keeps eval merge simple)
+        # round-robin shard per process (DistributedSampler-style interleave;
+        # per-rank result shards carry their own sample indices, so the eval
+        # merge does not depend on shard layout)
         return idx[self.process_index::self.process_count]
 
     def num_batches(self, epoch: int = 0) -> int:

@@ -64,12 +64,16 @@ class Vocabulary:
 
     @classmethod
     def from_bert_vocab_file(cls, path: str) -> "Vocabulary":
+        """Line number = id. Blank or duplicate lines keep their id slot via
+        unique placeholder tokens so ids stay contiguous (and ``save``
+        round-trips)."""
         vocab2id: Dict[str, int] = {}
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
                 tok = line.rstrip("\n")
-                if tok and tok not in vocab2id:
-                    vocab2id[tok] = i
+                if not tok or tok in vocab2id:
+                    tok = f"[unused_slot_{i}]"
+                vocab2id[tok] = i
         id2vocab = {i: w for w, i in vocab2id.items()}
         return cls(vocab2id, id2vocab)
 

@@ -83,10 +83,12 @@ def run_sample(step_fn: StepFn, init_state, batch_size: int, max_len: int,
         t, key = inp
         state, prev, ended = carry
         scores, state = step_fn(state, prev)
-        # NB: the reference feeds *softmaxed* scores to Categorical(logits=...)
-        # (common/Utils.py:90-95 via Generations.py:41) — reproduced here by
-        # passing the scores straight through as logits.
-        idx = jax.random.categorical(key, scores).astype(jnp.int32)
+        # NB: the reference double-softmaxes — Generations.py:41 applies
+        # F.softmax to the model scores and Categorical(logits=...) then
+        # softmaxes again (common/Utils.py:90-95). Reproduced by softmaxing
+        # once here and letting categorical() apply the second.
+        idx = jax.random.categorical(key, jax.nn.softmax(scores, axis=-1)
+                                     ).astype(jnp.int32)
         this_end = idx == eos
         idx = jnp.where((t == 0) & this_end, unk, idx)
         idx = jnp.where(t == max_len - 1, eos, idx)

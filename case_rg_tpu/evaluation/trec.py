@@ -68,13 +68,14 @@ def average_precision(ranked, rels: Dict[str, int]) -> float:
 
 
 def ndcg(ranked, rels: Dict[str, int]) -> float:
-    def gain(r):
-        return (2 ** r - 1)
+    """trec_eval semantics (m_ndcg.c): linear gain = rel, Jarvelin discount
+    1/log2(max(rank, 2)) — ranks 1 and 2 undiscounted."""
+    def disc(rank1):  # 1-indexed rank
+        return math.log2(max(rank1, 2))
 
-    dcg = sum(gain(rels.get(d, 0)) / math.log2(i + 2)
-              for i, d in enumerate(ranked))
+    dcg = sum(rels.get(d, 0) / disc(i + 1) for i, d in enumerate(ranked))
     ideal = sorted((r for r in rels.values() if r > 0), reverse=True)
-    idcg = sum(gain(r) / math.log2(i + 2) for i, r in enumerate(ideal))
+    idcg = sum(r / disc(i + 1) for i, r in enumerate(ideal))
     return dcg / idcg if idcg > 0 else 0.0
 
 

@@ -94,7 +94,10 @@ def _fwd(wq, uh, v, interpret):
 
 def _bwd(interpret, res, g):
     wq, uh, v = res
-    # blockwise recompute over T to bound the [*, L, H] intermediate
+    # NOTE: this backward re-materializes the [B, T, L, H] broadcast in XLA —
+    # it exists for correctness, not memory savings; a fused Pallas VJP is
+    # future work (TODO.md). The forward kernel's saving applies to
+    # inference-only uses.
     t3 = jnp.tanh(wq[:, :, None, :] + uh[:, None, :, :])
     sech2 = (1.0 - t3 * t3)
     common = g[..., None] * sech2 * v  # [B, T, L, H]

@@ -19,16 +19,18 @@ import jax.numpy as jnp
 from ..decode.loops import run_beam, run_greedy, run_sample, tile_state
 
 
-def _enc_and_state(model, params, batch):
-    enc = model.apply(params, batch, method=type(model).encode)
+def _enc_and_state(model, params, batch, enc=None):
+    if enc is None:
+        enc = model.apply(params, batch, method=type(model).encode)
     state = enc["init_state"]
     return enc, state
 
 
 def greedy_predict(model, params, batch: Dict[str, jnp.ndarray],
-                   max_len: int, early_exit: bool = False) -> jnp.ndarray:
+                   max_len: int, early_exit: bool = False,
+                   enc=None) -> jnp.ndarray:
     cfg = model.cfg
-    enc, state = _enc_and_state(model, params, batch)
+    enc, state = _enc_and_state(model, params, batch, enc)
     b = batch["response"].shape[0] if "response" in batch else batch["context"].shape[0]
 
     def step(state, prev):

@@ -36,15 +36,21 @@ def make_predict_fn(model, cfg: ModelConfig, max_len: int,
         return jax.jit(fn)
 
     def fn(variables, batch):
+        enc = None
+        if name == "tmemnet" and beam_width <= 1:
+            # encode once: the same pass provides decode memories and the
+            # knowledge-attention rank scores (TMemNet/Model.py:190-194
+            # re-encodes; we reuse)
+            enc = model.apply(variables, batch, method=type(model).encode)
         if beam_width > 1:
             ids = beam_predict(model, variables, batch, max_len, beam_width)
         else:
             ids = greedy_predict(model, variables, batch, max_len,
-                                 early_exit=early_exit)
+                                 early_exit=early_exit, enc=enc)
         out = {"answer": ids}
         if name == "tmemnet":
-            out["rank"] = model.apply(variables, batch,
-                                      method=type(model).rank)
+            out["rank"] = enc["ck_attn"] if enc is not None else model.apply(
+                variables, batch, method=type(model).rank)
         return out
 
     return jax.jit(fn)

@@ -41,13 +41,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put every array in the batch sharded over the data axis."""
+    """Device-put every array in the batch sharded over the data axis.
+
+    Multi-process: each process holds its own (disjoint) per-process batch
+    from the Batcher; the global array is assembled from those local shards
+    (global batch = per-process batch x process_count, matching the
+    reference's per-GPU batch semantics, CaSE/Run.py:78-79). A plain
+    device_put would instead treat every process's local batch as the whole
+    global array and silently drop rows."""
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if k.startswith("_"):
             continue
-        out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
+        sharding = batch_sharding(mesh, v.ndim)
+        if multiprocess:
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(v))
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out
+
+
+def local_mesh(batch_size: int,
+               axis_names: Tuple[str, str] = ("data", "model")) -> Mesh:
+    """A mesh over THIS process's devices only (per-process independent
+    execution, e.g. eval sharding that writes per-rank result files)."""
+    import math
+
+    devices = jax.local_devices()
+    d = math.gcd(batch_size, len(devices)) if batch_size else len(devices)
+    return Mesh(np.array(devices[:d]).reshape(d, 1), axis_names)
 
 
 def param_sharding_tree(params, mesh: Mesh, shard_vocab_dim: bool = False,

@@ -218,12 +218,22 @@ class Trainer:
                 predict_fn: Callable[[Any, Dict], Dict], batch_size: int,
                 ema_eval: bool = False) -> Iterable[tuple]:
         """Yields (host_batch, outputs) pairs
-        (ref: CumulativeTrainer.predict:134-156, without its shuffle quirk)."""
+        (ref: CumulativeTrainer.predict:134-156, without its shuffle quirk).
+
+        Runs on a process-local mesh: each process evaluates its own shard
+        independently and writes its own result files (the reference's
+        per-rank shard pattern), so outputs are always addressable."""
+        from ..runtime.mesh import local_mesh
+
         params = state.ema if ema_eval else state.params
+        params = jax.device_get(params)  # re-homed onto the local mesh below
+        mesh = local_mesh(batch_size)
         batcher = Batcher(arrays, batch_size, shuffle=False,
                           process_index=jax.process_index(),
                           process_count=jax.process_count())
         for batch in batcher.epoch(0):
-            dev_batch = shard_batch(self.mesh, batch)
+            dev_batch = shard_batch(mesh, batch) if jax.process_count() == 1 \
+                else {k: jax.device_put(v, None) for k, v in batch.items()
+                      if not k.startswith("_")}
             out = predict_fn({"params": params}, dev_batch)
             yield batch, jax.device_get(out)

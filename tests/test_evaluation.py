@@ -65,10 +65,20 @@ def test_trec_metrics():
     assert abs(res["map"] - (0.25 + 1.0) / 2) < 1e-9
     # q1 recall@5 = 1/2, q2 = 1
     assert abs(res["recall_5"] - 0.75) < 1e-9
-    # ndcg: q1 dcg = 1/log2(3), idcg = 1/log2(2)+1/log2(3)
+    # ndcg (trec_eval: linear gain, discount log2(max(rank,2))):
+    # q1: d2 rel=1 at rank 2 -> dcg = 1/log2(2) = 1;
+    #     ideal = 1/log2(2) + 1/log2(2) = 2 -> 0.5
+    assert abs(res["ndcg"] - (0.5 + 1.0) / 2) < 1e-9
+
+
+def test_ndcg_graded_trec_eval_semantics():
     import math
-    q1 = (1 / math.log2(3)) / (1 / math.log2(2) + 1 / math.log2(3))
-    assert abs(res["ndcg"] - (q1 + 1.0) / 2) < 1e-9
+    run = parse_run(["q1 Q0 a 1 0.9 x", "q1 Q0 b 2 0.8 x", "q1 Q0 c 3 0.7 x"])
+    qrel = parse_qrel(["q1 0 a 1", "q1 0 b 3", "q1 0 c 2"])
+    res = eval_trec(run, qrel)
+    dcg = 1 / 1 + 3 / 1 + 2 / math.log2(3)       # ranks 1,2 undiscounted
+    idcg = 3 / 1 + 2 / 1 + 1 / math.log2(3)
+    assert abs(res["ndcg"] - dcg / idcg) < 1e-9
 
 
 def test_trec_tie_break_by_docid_desc():
