@@ -98,15 +98,35 @@ class MultiHeadAttention(nn.Module):
         """Precompute K/V (merged-head layout [B, L, E]) for cached decoding."""
         return self._proj(x, "k"), self._proj(x, "v")
 
+    def project_kv_heads(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute K/V in head-split layout [B, H, L, d].
+
+        Decode scans store caches in this layout so no [B, L, E] ->
+        [B, H, L, d] transpose re-materializes the whole cache every step
+        (a dominant cost of the step — docs/PERF.md)."""
+        k, v = self.project_kv(x)
+        return split_heads(k, self.num_heads), split_heads(v, self.num_heads)
+
     def attend_with_kv(self, q_in: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        *, attn_bias=None, key_keep=None,
                        deterministic: bool = True,
                        need_weights: bool = False):
         """Attention where K/V are already projected ([B, Lk, E])."""
+        h = self.num_heads
+        return self.attend_with_kv_heads(
+            q_in, split_heads(k, h), split_heads(v, h), attn_bias=attn_bias,
+            key_keep=key_keep, deterministic=deterministic,
+            need_weights=need_weights)
+
+    def attend_with_kv_heads(self, q_in: jnp.ndarray, k: jnp.ndarray,
+                             v: jnp.ndarray, *, attn_bias=None, key_keep=None,
+                             deterministic: bool = True,
+                             need_weights: bool = False):
+        """Attention with K/V already projected AND head-split [B, H, Lk, d]."""
         q = self.project_q(q_in)
         h = self.num_heads
         rng = self.make_rng("dropout") if (self.dropout > 0.0 and not deterministic) else None
-        ctx, w = attend(split_heads(q, h), split_heads(k, h), split_heads(v, h),
+        ctx, w = attend(split_heads(q, h), k, v,
                         attn_bias=attn_bias, key_keep=key_keep,
                         dropout_rate=self.dropout, deterministic=deterministic,
                         dropout_rng=rng, need_weights=need_weights)
