@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from .masking import neg_inf
@@ -98,14 +99,31 @@ class MultiHeadAttention(nn.Module):
         """Precompute K/V (merged-head layout [B, L, E]) for cached decoding."""
         return self._proj(x, "k"), self._proj(x, "v")
 
-    def project_kv_heads(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Precompute K/V in head-split layout [B, H, L, d].
-
-        Decode scans store caches in this layout so no [B, L, E] ->
-        [B, H, L, d] transpose re-materializes the whole cache every step
-        (a dominant cost of the step — docs/PERF.md)."""
-        k, v = self.project_kv(x)
-        return split_heads(k, self.num_heads), split_heads(v, self.num_heads)
+    def attend_with_kv_merged(self, q_in: jnp.ndarray, k: jnp.ndarray,
+                              v: jnp.ndarray, *, key_keep=None):
+        """Single-query decode attention over merged-layout K/V [B, L, E]
+        with reshape-only head handling (no transpose op): einsums contract
+        the head axis in place, keeping the 128-wide minor dimension of the
+        cache intact (head-split [B,H,L,32] storage measured slower —
+        docs/PERF.md)."""
+        b, lq, e = q_in.shape
+        h = self.num_heads
+        d = e // h
+        q = self.project_q(q_in).reshape(b, lq, h, d)
+        kh = k.reshape(b, -1, h, d)
+        vh = v.reshape(b, -1, h, d)
+        scale = jnp.asarray(1.0 / np.sqrt(d), q.dtype)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kh,
+                            preferred_element_type=jnp.float32)
+        if key_keep is not None:
+            scores = jnp.where(key_keep[:, None, None, :], scores,
+                               neg_inf(scores.dtype))
+        probs = jax.nn.softmax(scores, axis=-1)
+        if key_keep is not None:
+            any_valid = jnp.any(key_keep, axis=-1)[:, None, None, None]
+            probs = jnp.where(any_valid, probs, jnp.zeros((), probs.dtype))
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vh.dtype), vh)
+        return self.out(ctx.reshape(b, lq, e)), None
 
     def attend_with_kv(self, q_in: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        *, attn_bias=None, key_keep=None,

@@ -137,31 +137,28 @@ class DecoderLayer(nn.Module):
     # ---- incremental decoding ----
 
     def precompute_memory(self, memory: jnp.ndarray):
-        """Project the encoder memory to K/V once per sequence
-        (head-split layout — no per-step transposes)."""
-        return self.cross_attn.project_kv_heads(memory)
+        """Project the encoder memory to K/V once per sequence."""
+        return self.cross_attn.project_kv(memory)
 
     def step(self, x_t: jnp.ndarray, t: jnp.ndarray,
              k_cache: jnp.ndarray, v_cache: jnp.ndarray,
              hist_keep: jnp.ndarray,
              ck: jnp.ndarray, cv: jnp.ndarray,
              mem_keep: Optional[jnp.ndarray]):
-        """One decode step. x_t: [B, 1, E]; caches head-split
-        [B, H, T_max, d]; hist_keep: [B, T_max] True for valid,
+        """One decode step. x_t: [B, 1, E]; caches merged-layout
+        [B, T_max, E]; hist_keep: [B, T_max] True for valid,
         already-written positions *including* t.
         Returns (y_t, k_cache, v_cache)."""
         x = self.norm1(x_t)
-        k_t, v_t = self.self_attn.project_kv_heads(x)   # [B, H, 1, d]
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, 0, t, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, 0, t, 0))
-        a, _ = self.self_attn.attend_with_kv_heads(x, k_cache, v_cache,
-                                                   key_keep=hist_keep,
-                                                   deterministic=True)
+        k_t, v_t = self.self_attn.project_kv(x)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, t, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, t, 0))
+        a, _ = self.self_attn.attend_with_kv_merged(x, k_cache, v_cache,
+                                                    key_keep=hist_keep)
         x = x + a
         x = self.norm2(x)
-        c, _ = self.cross_attn.attend_with_kv_heads(x, ck, cv,
-                                                    key_keep=mem_keep,
-                                                    deterministic=True)
+        c, _ = self.cross_attn.attend_with_kv_merged(x, ck, cv,
+                                                     key_keep=mem_keep)
         x = x + c
         x = self.norm3(x)
         return x + self.ffn(x, deterministic=True), k_cache, v_cache
@@ -198,7 +195,7 @@ class Decoder(nn.Module):
         return [layer.precompute_memory(memory) for layer in self.layers]
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
-        shape = (batch, self.num_heads, max_len, self.d_model // self.num_heads)
+        shape = (batch, max_len, self.d_model)
         return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                 for _ in range(self.num_layers)]
 
