@@ -53,6 +53,14 @@ def build_parser():
     p.add_argument("--learning_rate", type=float, default=2.5e-4)
     p.add_argument("--warmup_steps", type=int, default=2000)
     p.add_argument("--beam_width", type=int, default=1)
+    p.add_argument("--decoding", type=str, default="greedy",
+                   choices=["greedy", "sample"],
+                   help="test-time decoding; beam_width>1 selects beam "
+                        "regardless; 'sample' draws from the model "
+                        "distribution (seeded by --seed)")
+    p.add_argument("--ckpt_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="orbax: async + sharded checkpoints")
     p.add_argument("--fast_argmax", action="store_true",
                    help="scatter-free decode argmax (candidate-set; serving)")
     p.add_argument("--early_exit", action="store_true",
@@ -112,6 +120,7 @@ def train(args):
                      seed=args.seed, output_path=output,
                      resume=not args.no_resume,
                      checkpoint_every_steps=args.checkpoint_every_steps,
+                     ckpt_backend=args.ckpt_backend,
                      compute_dtype="bfloat16" if args.bf16_train else "float32")
     loss_kwargs = {}
     if args.mode == "ps_train":
@@ -139,7 +148,9 @@ def test(args):
     trainer = Trainer(model, tc, total_steps=100)
     predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
                                  args.beam_width, early_exit=args.early_exit,
-                                 fast_argmax=args.fast_argmax)
+                                 fast_argmax=args.fast_argmax,
+                                 decoding=args.decoding,
+                                 sample_seed=args.seed)
 
     splits = []
     for split in ("dev", "test"):

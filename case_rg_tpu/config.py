@@ -84,6 +84,7 @@ class TrainConfig:
     seed: int = 123456
     log_every: int = 100
     checkpoint_every_steps: int = 0   # 0 = epoch-end only
+    ckpt_backend: str = "msgpack"     # "orbax": async, sharded (train/checkpoint.py)
     output_path: str = "./output/"
     resume: bool = True
     # parallelism

@@ -126,12 +126,18 @@ class CaSEModel(nn.Module):
 
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
                 fast_argmax: bool = False,
-                beam_width: int = 1) -> Dict[str, jnp.ndarray]:
-        """(ref: CaSE/Model.py:313-331 do_test)"""
+                beam_width: int = 1,
+                sample_rng=None) -> Dict[str, jnp.ndarray]:
+        """(ref: CaSE/Model.py:313-331 do_test); ``sample_rng`` switches to
+        categorical sampling (capability beyond the reference)."""
         st = self.stages(batch, deterministic=True)
         memories, keeps, weights, src_ids, answer_rep = \
             self._decoder_inputs(batch, st)
-        if beam_width > 1:
+        if sample_rng is not None:
+            ids = self.decoder.sample(memories, keeps, weights, src_ids,
+                                      max_len, sample_rng, feature=answer_rep,
+                                      unk_id=self.cfg.unk_id)
+        elif beam_width > 1:
             ids = self.decoder.beam(memories, keeps, weights, src_ids,
                                     max_len, beam_width, feature=answer_rep)
         else:

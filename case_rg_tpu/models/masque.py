@@ -83,12 +83,18 @@ class MasqueModel(nn.Module):
 
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
                 fast_argmax: bool = False,
-                beam_width: int = 1) -> Dict[str, jnp.ndarray]:
-        """(ref: Masque/Model.py:260-277 do_test)"""
+                beam_width: int = 1,
+                sample_rng=None) -> Dict[str, jnp.ndarray]:
+        """(ref: Masque/Model.py:260-277 do_test); ``sample_rng`` switches to
+        categorical sampling (capability beyond the reference)."""
         score, q_reps, p_reps = self._select(batch, deterministic=True)
         memories, keeps, weights, src_ids = self._decoder_inputs(
             batch, score, q_reps, p_reps)
-        if beam_width > 1:
+        if sample_rng is not None:
+            ids = self.decoder.sample(memories, keeps, weights, src_ids,
+                                      max_len, sample_rng,
+                                      unk_id=self.cfg.unk_id)
+        elif beam_width > 1:
             ids = self.decoder.beam(memories, keeps, weights, src_ids,
                                     max_len, beam_width)
         else:

@@ -249,6 +249,75 @@ class MultiMemoryDecoder(nn.Module):
             cond, wbody, (jnp.int32(0), caches, prev0, hist0, ended0, out0))
         return out
 
+    # ---- categorical sampling (capability beyond the reference, which only
+    #      has greedy for these decoders) ----
+
+    def sample(self, memories, mem_keeps, weights, src_ids, max_len: int,
+               rng, feature: Optional[jnp.ndarray] = None,
+               unk_id: int = 2) -> jnp.ndarray:
+        """Samples each step from the extended (copy-mixed) distribution,
+        with the same EOS bookkeeping as decode/loops.run_sample: an EOS at
+        t=0 is rewritten to UNK, the final step forces EOS, and positions
+        after a row's EOS emit PAD (ref bookkeeping: common/Generations.py
+        sample:47-58; the reference never samples CaSE/Masque, so the
+        distribution choice — the model's actual output distribution, no
+        double softmax — is ours)."""
+        b = memories[0].shape[0]
+        cross = [self.decs[i].precompute_memory(memories[i])
+                 for i in range(self.num_memories)]
+        key_projs = [self.attns[i].key_proj(memories[i])
+                     for i in range(self.num_memories)]
+        caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
+                  for i in range(self.num_memories)]
+        feat = None
+        if self.use_feature:
+            feat = self.norm2(feature)[:, None, :]   # dropout off at eval
+
+        def body(carry, inp):
+            t, key = inp
+            caches, prev, hist, ended = carry
+            hist = jax.lax.dynamic_update_slice(hist, (prev != 0)[:, None],
+                                                (0, t))
+            emb = self.pos(self.embedding(prev[:, None]), offset=t,
+                           deterministic=True)
+            x = emb
+            new_caches, ctxs, ps = [], [], []
+            tgt_keep_t = (prev != 0)[:, None]
+            for i in range(self.num_memories):
+                x, c = self.decs[i].step(x, t, caches[i], cross[i], hist,
+                                         mem_keeps[i])
+                ctx, p = self._memory_attend(i, x, feat, memories[i],
+                                             mem_keeps[i], weights[i],
+                                             tgt_keep_t, uh=key_projs[i])
+                new_caches.append(c)
+                ctxs.append(ctx)
+                ps.append(p)
+            x = self.norm1(x)
+            gen = self._generator(emb, x, feat, True)
+            mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)),
+                                   -1)
+            dist = mix_p[..., 0:1] * gen
+            for i in range(self.num_memories):
+                dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
+                    ps[i], src_ids[i], self.vocab_size)
+            nxt = jax.random.categorical(
+                key, jnp.log(dist[:, 0].astype(jnp.float32) + 1e-10)
+            ).astype(jnp.int32)
+            this_end = nxt == self.eos_id
+            nxt = jnp.where((t == 0) & this_end, unk_id, nxt)
+            nxt = jnp.where(t == max_len - 1, self.eos_id, nxt)
+            nxt = jnp.where((t > 0) & ended, 0, nxt)
+            ended = ended | this_end
+            return (new_caches, nxt, hist, ended), nxt
+
+        prev0 = jnp.full((b,), self.bos_id, jnp.int32)
+        hist0 = jnp.zeros((b, max_len), bool)
+        ended0 = jnp.zeros((b,), bool)
+        keys = jax.random.split(rng, max_len)
+        _, ids = jax.lax.scan(body, (caches, prev0, hist0, ended0),
+                              (jnp.arange(max_len), keys))
+        return ids.T
+
     # ---- beam decoding (capability beyond the reference, which only has
     #      greedy for these decoders; uses the shared vectorized beam) ----
 

@@ -12,20 +12,48 @@ Maps each model to its test-time output dict, mirroring the reference's
 
 from __future__ import annotations
 
+import itertools
 from typing import Callable, Dict
 
 import jax
 
 from ..config import ModelConfig
-from ..models.predict import beam_predict, greedy_predict
+from ..models.predict import beam_predict, greedy_predict, sample_predict
 
 PROTOCOL_MODELS = ("s2sa", "gttp", "glks", "tmemnet")
 
 
 def make_predict_fn(model, cfg: ModelConfig, max_len: int,
                     beam_width: int = 1, early_exit: bool = False,
-                    fast_argmax: bool = False) -> Callable[[dict, dict], Dict]:
+                    fast_argmax: bool = False, decoding: str = "greedy",
+                    sample_seed: int = 0) -> Callable[[dict, dict], Dict]:
     name = cfg.name
+
+    if decoding == "sample":
+        # stateful rng stream: each call draws a fresh fold of the base key
+        # (the reference consumes a global torch RNG stream the same way)
+        base_rng = jax.random.PRNGKey(sample_seed)
+        counter = itertools.count()
+
+        if name in ("masque", "case"):
+            def inner(variables, batch, rng):
+                return model.apply(variables, batch, max_len=max_len,
+                                   sample_rng=rng,
+                                   method=type(model).predict)
+        else:
+            def inner(variables, batch, rng):
+                ids = sample_predict(model, variables, batch, max_len, rng)
+                out = {"answer": ids}
+                if name == "tmemnet":
+                    out["rank"] = model.apply(variables, batch,
+                                              method=type(model).rank)
+                return out
+        inner = jax.jit(inner)
+
+        def fn(variables, batch):
+            rng = jax.random.fold_in(base_rng, next(counter))
+            return inner(variables, batch, rng)
+        return fn
 
     if name in ("masque", "case"):
         def fn(variables, batch):

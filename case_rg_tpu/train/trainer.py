@@ -31,7 +31,7 @@ from ..config import TrainConfig
 from ..data.batching import Batcher
 from ..runtime.mesh import make_mesh, replicated, shard_batch
 from .checkpoint import (checkpoint_exists, latest_epoch, load_checkpoint,
-                         save_checkpoint)
+                         save_checkpoint, wait_for_checkpoints)
 from .schedule import cosine_hard_restarts_with_warmup
 
 
@@ -162,7 +162,8 @@ class Trainer:
                 # the whole epoch on a crash — SURVEY §5)
                 save_checkpoint(output_path, f"{epoch}.mid",
                                 jax.device_get(state), jax.process_index(),
-                                update_latest=False)
+                                update_latest=False,
+                                backend=self.tc.ckpt_backend)
             if j > 0 and j % self.tc.log_every == 0:
                 jax.block_until_ready(losses)
                 meter.stop()
@@ -198,7 +199,9 @@ class Trainer:
                     output_path=output_path,
                     checkpoint_every=self.tc.checkpoint_every_steps)
                 save_checkpoint(output_path, epoch, jax.device_get(state),
-                                jax.process_index())
+                                jax.process_index(),
+                                backend=self.tc.ckpt_backend)
+        wait_for_checkpoints()
         logger.close()
         return state
 

@@ -21,4 +21,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: repeat suite runs skip recompiling the big
+# train-step/decode programs (the suite is compile-dominated on this 1-core
+# host). Keyed on backend+jaxlib+flags, so CPU test entries don't collide
+# with the TPU CLI cache entries.
+_cache_dir = os.environ.get(
+    "CASE_RG_TEST_COMPILE_CACHE",
+    os.path.expanduser("~/.cache/case_rg_tpu_xla_tests"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
