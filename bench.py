@@ -37,8 +37,20 @@ def _read_baseline():
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the CaSE B=64 program compiles in
+    # 200-500 s; repeat runs on unchanged code hit the cache
+    cache_dir = os.environ.get("CASE_RG_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/case_rg_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     from case_rg_tpu.config import ModelConfig
     from case_rg_tpu.models import create_model

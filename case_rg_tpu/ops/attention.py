@@ -99,17 +99,28 @@ class MultiHeadAttention(nn.Module):
         """Precompute K/V (merged-head layout [B, L, E]) for cached decoding."""
         return self._proj(x, "k"), self._proj(x, "v")
 
+    def project_qkv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """All three projections in ONE matmul (decode steps: 1 op instead
+        of 3 — measured 14% faster on the 8-layer decode chain,
+        tools/exp_decode_chain.py). Returns (q [B, L, E], kv [B, L, 2E]);
+        the packed kv half is written to the cache as one buffer."""
+        qkv = x @ self.qkv_kernel + self.qkv_bias
+        e = self.embed_dim
+        return qkv[..., :e], qkv[..., e:]
+
     def attend_with_kv_merged(self, q_in: jnp.ndarray, k: jnp.ndarray,
-                              v: jnp.ndarray, *, key_keep=None):
+                              v: jnp.ndarray, *, key_keep=None,
+                              q_projected: bool = False):
         """Single-query decode attention over merged-layout K/V [B, L, E]
         with reshape-only head handling (no transpose op): einsums contract
         the head axis in place, keeping the 128-wide minor dimension of the
         cache intact (head-split [B,H,L,32] storage measured slower —
-        docs/PERF.md)."""
+        docs/PERF.md). ``q_projected=True`` skips the query projection
+        (already done by ``project_qkv``)."""
         b, lq, e = q_in.shape
         h = self.num_heads
         d = e // h
-        q = self.project_q(q_in).reshape(b, lq, h, d)
+        q = (q_in if q_projected else self.project_q(q_in)).reshape(b, lq, h, d)
         kh = k.reshape(b, -1, h, d)
         vh = v.reshape(b, -1, h, d)
         scale = jnp.asarray(1.0 / np.sqrt(d), q.dtype)

@@ -141,27 +141,30 @@ class DecoderLayer(nn.Module):
         return self.cross_attn.project_kv(memory)
 
     def step(self, x_t: jnp.ndarray, t: jnp.ndarray,
-             k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+             cache: jnp.ndarray,
              hist_keep: jnp.ndarray,
              ck: jnp.ndarray, cv: jnp.ndarray,
              mem_keep: Optional[jnp.ndarray]):
-        """One decode step. x_t: [B, 1, E]; caches merged-layout
-        [B, T_max, E]; hist_keep: [B, T_max] True for valid,
+        """One decode step. x_t: [B, 1, E]; ``cache``: packed K|V buffer
+        [B, T_max, 2E] (one fused QKV matmul + one cache write per step —
+        14% faster chain than separate k/v projections and writes,
+        tools/exp_decode_chain.py); hist_keep: [B, T_max] True for valid,
         already-written positions *including* t.
-        Returns (y_t, k_cache, v_cache)."""
+        Returns (y_t, cache)."""
+        e = self.d_model
         x = self.norm1(x_t)
-        k_t, v_t = self.self_attn.project_kv(x)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, t, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, t, 0))
-        a, _ = self.self_attn.attend_with_kv_merged(x, k_cache, v_cache,
-                                                    key_keep=hist_keep)
-        x = x + a
+        q, kv_t = self.self_attn.project_qkv(x)
+        cache = jax.lax.dynamic_update_slice(cache, kv_t, (0, t, 0))
+        a, _ = self.self_attn.attend_with_kv_merged(
+            q, cache[..., :e], cache[..., e:], key_keep=hist_keep,
+            q_projected=True)
+        x = x + a   # residual around the normalized stream (module docstring)
         x = self.norm2(x)
         c, _ = self.cross_attn.attend_with_kv_merged(x, ck, cv,
                                                      key_keep=mem_keep)
         x = x + c
         x = self.norm3(x)
-        return x + self.ffn(x, deterministic=True), k_cache, v_cache
+        return x + self.ffn(x, deterministic=True), cache
 
 
 class Decoder(nn.Module):
@@ -195,17 +198,17 @@ class Decoder(nn.Module):
         return [layer.precompute_memory(memory) for layer in self.layers]
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
-        shape = (batch, max_len, self.d_model)
-        return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        """One packed K|V buffer [B, T_max, 2E] per layer."""
+        return [jnp.zeros((batch, max_len, 2 * self.d_model), dtype)
                 for _ in range(self.num_layers)]
 
     def step(self, x_t, t, cache, cross_kv, hist_keep, mem_keep):
-        """x_t: [B, 1, E]; cache: list of (k, v) per layer; cross_kv: list of
-        (ck, cv) per layer. Returns (y_t, new_cache)."""
+        """x_t: [B, 1, E]; cache: list of packed K|V buffers per layer;
+        cross_kv: list of (ck, cv) per layer. Returns (y_t, new_cache)."""
         new_cache = []
-        for layer, (k, v), (ck, cv) in zip(self.layers, cache, cross_kv):
-            x_t, k, v = layer.step(x_t, t, k, v, hist_keep, ck, cv, mem_keep)
-            new_cache.append((k, v))
+        for layer, c, (ck, cv) in zip(self.layers, cache, cross_kv):
+            x_t, c = layer.step(x_t, t, c, hist_keep, ck, cv, mem_keep)
+            new_cache.append(c)
         if self.final_norm:
             x_t = self.norm(x_t)
         return x_t, new_cache

@@ -108,23 +108,24 @@ def layer_step_v1(p, x, t, cache, ck, cv):
 def run_variant(name, params, crosses, B, T, unroll=1, merged_cache=False):
     n_layers = len(params)
 
-    def chain(carry, t):
-        x, caches = carry
-        new = []
-        for i in range(n_layers):
-            if merged_cache:
-                y, c = layer_step_v1(params[i], x, t, caches[i], *crosses[i])
-                new.append(c)
-            else:
-                y, kc, vc = layer_step_v0(params[i], x, t, caches[i][0],
-                                          caches[i][1], *crosses[i])
-                new.append((kc, vc))
-            x = y
-        # data dependency into the next step
-        return (x * jnp.asarray(0.5, x.dtype), new), ()
-
     @jax.jit
-    def decode(x0, caches):
+    def decode(x0, caches, params, crosses):
+        def chain(carry, t):
+            x, caches = carry
+            new = []
+            for i in range(n_layers):
+                if merged_cache:
+                    y, c = layer_step_v1(params[i], x, t, caches[i],
+                                         *crosses[i])
+                    new.append(c)
+                else:
+                    y, kc, vc = layer_step_v0(params[i], x, t, caches[i][0],
+                                              caches[i][1], *crosses[i])
+                    new.append((kc, vc))
+                x = y
+            # data dependency into the next step
+            return (x * jnp.asarray(0.5, x.dtype), new), ()
+
         (xT, _), _ = jax.lax.scan(chain, (x0, caches), jnp.arange(T),
                                   unroll=unroll)
         return xT
@@ -136,13 +137,13 @@ def run_variant(name, params, crosses, B, T, unroll=1, merged_cache=False):
                 for _ in range(n_layers)]
 
     x0 = jax.random.normal(jax.random.PRNGKey(9), (B, 1, E), DT)
-    out = np.asarray(decode(x0, init_caches()))   # compile + sync
+    out = np.asarray(decode(x0, init_caches(), params, crosses))  # compile+sync
     reps = 5
     times = []
     for r in range(reps):
         xr = x0 + jnp.asarray(r * 0.01, DT)
         t0 = time.time()
-        np.asarray(decode(xr, init_caches()))
+        np.asarray(decode(xr, init_caches(), params, crosses))
         times.append(time.time() - t0)
     med = float(np.median(times))
     print(f"{name}: {med*1e3:.2f} ms/decode ({med/T*1e6:.1f} us/step) "
