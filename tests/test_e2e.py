@@ -71,6 +71,29 @@ def test_case_full_pipeline(workspace, tmp_path):
     assert "ROUGE_L_F1" in some
 
 
+def test_orbax_sampling_fastrng_pipeline(workspace, tmp_path):
+    """New CLI surfaces: --ckpt_backend orbax (train + auto-detect at test),
+    --decoding sample, --fast_rng (hardware RNG for dropout)."""
+    import jax
+    from case_rg_tpu.cli.run import main as run_main
+    root = workspace
+    out = str(tmp_path / "out_orbax")
+    try:
+        run_main(_run_args(root, out, "s2sa", "train",
+                           ["--epoch", "1", "--ckpt_backend", "orbax",
+                            "--fast_rng"]))
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+    assert os.path.isdir(os.path.join(out, "model", "0.orbax"))
+    # resume from the orbax checkpoint, then sample-decode from it
+    run_main(_run_args(root, out, "s2sa", "train",
+                       ["--epoch", "2", "--ckpt_backend", "orbax"]))
+    run_main(_run_args(root, out, "s2sa", "test",
+                       ["--decoding", "sample"]))
+    files = os.listdir(os.path.join(out, "result"))
+    assert any(f.endswith(".answer") for f in files)
+
+
 def test_train_resume(workspace, tmp_path):
     from case_rg_tpu.cli.run import main as run_main
     root = workspace

@@ -108,6 +108,8 @@ def main():
     run("einsum (current)      ", einsum_attn, B, L, iters)
     run("fullwidth f32-mul     ", fullwidth_attn, B, L, iters)
     run("fullwidth bf16-mul    ", fullwidth_attn_bf16mul, B, L, iters)
+    run_t("ktrans  (K=[B,E,L])   ", ktrans_attn, B, L, iters)
+    run_t("ktrans2 (K,V=[B,E,L]) ", ktrans2_attn, B, L, iters, v_trans=True)
 
 
 def calibrate(B):
@@ -123,6 +125,63 @@ def calibrate(B):
         np.asarray(nop(x + jnp.asarray(r * 0.1, DT)))
         times.append(time.time() - t0)
     print(f"relay roundtrip (trivial call): {np.median(times)*1e3:.1f} ms")
+
+
+def ktrans_attn(q, k_t, v):
+    """K stored transposed [B, E, L]: score reduce over sublane groups
+    (cheap), ctx reduce over L sublanes in [B, L, E] (cheap). The only
+    lane-direction work is the [B, H, L] softmax."""
+    b, e, l = k_t.shape
+    qs = (q * jnp.asarray(1 / np.sqrt(D), q.dtype)).reshape(b, e, 1)
+    prod = k_t * qs                                          # [B, E, L] bf16
+    scores = prod.reshape(b, H, D, l).sum(2, dtype=jnp.float32)  # [B, H, L]
+    p = jax.nn.softmax(scores, axis=-1)                      # over L (lanes)
+    pfull = jnp.broadcast_to(p[:, :, None, :], (b, H, D, l)) \
+        .reshape(b, e, l)                                    # [B, E, L]
+    # transpose probs to [B, L, E] to pair with V's layout
+    pv = jnp.swapaxes(pfull, 1, 2).astype(v.dtype)           # [B, L, E]
+    ctx = (pv * v).sum(axis=1, dtype=jnp.float32)            # over L sublanes
+    return ctx.astype(v.dtype).reshape(b, 1, e)
+
+
+def ktrans2_attn(q, k_t, v):
+    """Like ktrans but the ctx stage multiplies in the [B, E, L] domain and
+    reduces over L (lanes) — avoids the probs transpose, pays a V transpose
+    at precompute time instead (pass v as [B, E, L])."""
+    b, e, l = k_t.shape
+    qs = (q * jnp.asarray(1 / np.sqrt(D), q.dtype)).reshape(b, e, 1)
+    prod = k_t * qs
+    scores = prod.reshape(b, H, D, l).sum(2, dtype=jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1)
+    pfull = jnp.broadcast_to(p[:, :, None, :], (b, H, D, l)).reshape(b, e, l)
+    ctx = (pfull.astype(v.dtype) * v).sum(axis=-1, dtype=jnp.float32)
+    return ctx.astype(jnp.bfloat16).reshape(b, 1, e)
+
+
+def run_t(name, fn, B, L, iters, v_trans=False):
+    k = jax.random.normal(jax.random.PRNGKey(0), (B, E, L), DT)
+    v_shape = (B, E, L) if v_trans else (B, L, E)
+    v = jax.random.normal(jax.random.PRNGKey(1), v_shape, DT)
+
+    @jax.jit
+    def loop(q0, k, v):
+        def body(q, _):
+            out = fn(q, k, v)
+            return out * jnp.asarray(0.5, q.dtype) + q0, ()
+        q, _ = jax.lax.scan(body, q0, jnp.arange(iters))
+        return q
+
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (B, 1, E), DT)
+    np.asarray(loop(q0, k, v))
+    times = []
+    for r in range(5):
+        qr = q0 + jnp.asarray(0.01 * r, DT)
+        t0 = time.time()
+        np.asarray(loop(qr, k, v))
+        times.append(time.time() - t0)
+    us = float(np.median(times)) / iters * 1e6
+    gbs = (2 * B * L * E * 2) / (us * 1e-6) / 1e9
+    print(f"{name}: {us:.1f} us/attn  ~{gbs:.0f} GB/s")
 
 
 if __name__ == "__main__":
