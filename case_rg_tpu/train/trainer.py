@@ -52,6 +52,38 @@ def make_optimizer(tc: TrainConfig, total_steps: int):
     return tx
 
 
+class PreemptionGuard:
+    """Graceful-preemption handling: SIGTERM/SIGINT set a flag; the train
+    loop saves a salvage checkpoint at the next batch boundary and stops
+    cleanly. The reference loses the epoch in progress on any signal
+    (SURVEY §5 — SLURM owns retries, no in-process handling)."""
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            self.requested = True
+            print(f"[train] signal {signum}: will checkpoint and stop at the "
+                  "next batch boundary", flush=True)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, handler)
+            except ValueError:   # non-main thread (tests)
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        return False
+
+
 class Trainer:
     def __init__(self, model, train_cfg: TrainConfig, total_steps: int,
                  mesh=None, loss_method_kwargs: Optional[dict] = None):
@@ -144,13 +176,25 @@ class Trainer:
 
     def train_epoch(self, state: TrainState, batcher: Batcher, epoch: int,
                     rng, metrics_logger=None, output_path: str = "",
-                    checkpoint_every: int = 0) -> TrainState:
+                    checkpoint_every: int = 0, guard=None) -> TrainState:
         from ..runtime.profiling import StepMeter
 
         start = time.time()
         meter = StepMeter()
         last_losses = {}
         for j, batch in enumerate(batcher.epoch(epoch)):
+            if guard is not None and guard.requested:
+                if output_path:
+                    save_checkpoint(output_path, f"{epoch}.preempt",
+                                    jax.device_get(state),
+                                    jax.process_index(),
+                                    update_latest=False,
+                                    backend=self.tc.ckpt_backend)
+                    wait_for_checkpoints()
+                    print(f"[train] preempted at epoch {epoch} batch {j}; "
+                          f"salvage checkpoint {epoch}.preempt written",
+                          flush=True)
+                raise KeyboardInterrupt("preempted")
             rng, step_rng = jax.random.split(rng)
             meter.start()
             state, losses = self.train_step(state, batch, step_rng)
@@ -191,16 +235,22 @@ class Trainer:
         rng = jax.random.PRNGKey(seed)
         logger = MetricsLogger(os.path.join(output_path, "metrics.jsonl")
                                if output_path else None)
-        with trace(profile_dir):
-            for epoch in range(start_epoch, epochs):
-                rng, epoch_rng = jax.random.split(rng)
-                state = self.train_epoch(
-                    state, batcher, epoch, epoch_rng, metrics_logger=logger,
-                    output_path=output_path,
-                    checkpoint_every=self.tc.checkpoint_every_steps)
-                save_checkpoint(output_path, epoch, jax.device_get(state),
-                                jax.process_index(),
-                                backend=self.tc.ckpt_backend)
+        try:
+            with trace(profile_dir), PreemptionGuard() as guard:
+                for epoch in range(start_epoch, epochs):
+                    rng, epoch_rng = jax.random.split(rng)
+                    state = self.train_epoch(
+                        state, batcher, epoch, epoch_rng,
+                        metrics_logger=logger, output_path=output_path,
+                        checkpoint_every=self.tc.checkpoint_every_steps,
+                        guard=guard)
+                    save_checkpoint(output_path, epoch, jax.device_get(state),
+                                    jax.process_index(),
+                                    backend=self.tc.ckpt_backend)
+        except KeyboardInterrupt:
+            # preemption (or ctrl-c routed through the guard): state salvaged
+            # by train_epoch; exit the loop cleanly
+            pass
         wait_for_checkpoints()
         logger.close()
         return state

@@ -191,3 +191,36 @@ def test_mid_epoch_salvage_checkpoint(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "model", "0.mid.ckpt"))
     assert os.path.exists(os.path.join(str(tmp_path), "model", "0.ckpt"))
     assert latest_epoch(str(tmp_path)) == 0  # salvage did not mark complete
+
+
+def test_preemption_salvage_checkpoint(tmp_path):
+    """SIGTERM-style preemption: the guard flag triggers a salvage
+    checkpoint at the batch boundary and a clean stop (fit returns)."""
+    import os
+    from case_rg_tpu.data.batching import Batcher
+    from case_rg_tpu.train.trainer import PreemptionGuard
+
+    mesh = make_mesh((8, 1))
+    model = create_model("s2sa", _cfg())
+    tc = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=1)
+    trainer = Trainer(model, tc, total_steps=50, mesh=mesh)
+    rng = np.random.RandomState(7)
+    arrays = {k: np.concatenate([v] * 4) for k, v in _batch(rng).items()}
+    arrays["id"] = np.arange(len(arrays["response"]), dtype=np.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               {k: v[:8] for k, v in arrays.items()})
+
+    guard = PreemptionGuard()
+    guard.requested = True   # as if SIGTERM already arrived
+    batcher = Batcher(arrays, 8, shuffle=False)
+    with pytest.raises(KeyboardInterrupt):
+        trainer.train_epoch(state, batcher, 0, jax.random.PRNGKey(1),
+                            output_path=str(tmp_path), guard=guard)
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "model", "0.preempt.ckpt"))
+    # the salvage checkpoint restores into the state template
+    from case_rg_tpu.train.checkpoint import load_checkpoint
+    restored = load_checkpoint(str(tmp_path), "0.preempt",
+                               jax.device_get(state))
+    assert int(np.asarray(restored.step)) == int(np.asarray(state.step))
+    assert latest_epoch(str(tmp_path)) is None   # not marked complete

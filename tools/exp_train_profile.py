@@ -69,7 +69,7 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
     # --- full step, K iterations in jit (state carried) ---
-    def build_full(k, bf16=False, dropout=True):
+    def build_full(k, bf16=False, dropout=True, remat=None):
         tx = trainer.tx
 
         @jax.jit
@@ -90,6 +90,13 @@ def main():
                     return sum(jnp.asarray(l, jnp.float32)
                                for l in losses.values())
 
+                if remat == "dots":
+                    loss_fn = jax.checkpoint(
+                        loss_fn,
+                        policy=jax.checkpoint_policies
+                        .dots_with_no_batch_dims_saveable)
+                elif remat == "full":
+                    loss_fn = jax.checkpoint(loss_fn)
                 loss, grads = jax.value_and_grad(loss_fn)(st.params)
                 updates, opt_state = tx.update(grads, st.opt_state, st.params)
                 import optax
@@ -162,6 +169,13 @@ def main():
         t = timed("fb", build_full(K, bf16=True, dropout=False), state,
                   batch, rngk)
         print(f"full step, bf16 nodrop: {t/K*1e3:8.1f} ms", flush=True)
+    if "remat" in parts:
+        t = timed("rd", build_full(K, remat="dots"), state, batch, rngk)
+        print(f"full step, remat dots : {t/K*1e3:8.1f} ms", flush=True)
+    if "rematbf16" in parts:
+        t = timed("rb", build_full(K, bf16=True, remat="dots"), state,
+                  batch, rngk)
+        print(f"full step, remat+bf16 : {t/K*1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
