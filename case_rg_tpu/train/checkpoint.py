@@ -56,7 +56,11 @@ def save_checkpoint(output_path: str, epoch, state: Any,
     host-resident (``jax.device_get``) — orbax saves are scheduled
     asynchronously, so donated/overwritten device buffers are unsafe."""
     if backend == "orbax":
-        # every process participates in a sharded orbax save
+        # our train states are host-resident replicated trees, so rank 0
+        # writes (matching the msgpack semantics); pass device-sharded
+        # jax.Arrays instead to get orbax's coordinated multi-host writes
+        if process_index != 0:
+            return
         d = _model_dir(output_path)
         path = os.path.abspath(os.path.join(d, f"{epoch}.orbax"))
         ck = _orbax()
