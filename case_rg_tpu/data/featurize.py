@@ -112,7 +112,9 @@ def featurize(model: str, samples: Sequence[dict], query: Dict[str, List[str]],
               ) -> Dict[str, np.ndarray]:
     n = len(samples)
     lq, lp, pnum, t = cfg.query_len, cfg.passage_len, cfg.num_passage, cfg.answer_len
-    max_golds = max((len(s["passage_id"]) for s in samples), default=1)
+    # >=1 so gold selection stays well-formed when no sample carries a gold
+    # passage (online serving requests have none)
+    max_golds = max([len(s["passage_id"]) for s in samples] + [1])
 
     out: Dict[str, np.ndarray] = {"id": np.arange(n, dtype=np.int32)}
     responses = np.zeros((n, t), np.int32)

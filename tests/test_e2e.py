@@ -71,6 +71,44 @@ def test_case_full_pipeline(workspace, tmp_path):
     assert "ROUGE_L_F1" in some
 
 
+def test_serve_cli(workspace, tmp_path):
+    """Online serving: JSONL requests -> answers (+ ranking for case),
+    featurized on the fly with the offline code path."""
+    from case_rg_tpu.cli.run import main as run_main
+    from case_rg_tpu.cli.serve import main as serve_main
+    root = workspace
+    out = str(tmp_path / "out_serve")
+    run_main(_run_args(root, out, "case", "train", ["--epoch", "1"]))
+
+    reqs = [
+        {"id": "r1", "query": "what is kinetic energy ?",
+         "history": ["tell me about energy"],
+         "passages": ["kinetic energy is the energy of motion. objects in "
+                      "motion have it.", "whales are large ocean mammals."]},
+        {"id": "r2", "query": "how big are whales ?",
+         "passages": ["whales are large ocean mammals. the blue whale is "
+                      "the largest."]},
+    ]
+    req_path = str(tmp_path / "reqs.jsonl")
+    out_path = str(tmp_path / "resp.jsonl")
+    with open(req_path, "w") as f:
+        for r in reqs:
+            f.write(json.dumps(r) + "\n")
+    serve_main(["--model", "case",
+                "--prepared_dir", os.path.join(root, "toy", "prepared"),
+                "--output_path", out, "--input", req_path,
+                "--output", out_path, "--batch_size", "4",
+                "--embedding_size", "16", "--hidden_size", "16",
+                "--num_heads", "2", "--max_target_length", "8",
+                "--query_len", "24", "--passage_len", "24",
+                "--num_passage", "4"])
+    lines = [json.loads(l) for l in open(out_path)]
+    assert [l["id"] for l in lines] == ["r1", "r2"]
+    assert all(isinstance(l["answer"], str) and l["answer"] for l in lines)
+    assert sorted(lines[0]["ranking"]) == [0, 1]
+    assert lines[1]["ranking"] == [0]
+
+
 def test_orbax_sampling_fastrng_pipeline(workspace, tmp_path):
     """New CLI surfaces: --ckpt_backend orbax (train + auto-detect at test),
     --decoding sample, --fast_rng (hardware RNG for dropout)."""
