@@ -55,9 +55,10 @@ def build_parser():
     p.add_argument("--beam_width", type=int, default=1)
     p.add_argument("--decoding", type=str, default="greedy",
                    choices=["greedy", "sample"],
-                   help="test-time decoding; beam_width>1 selects beam "
-                        "regardless; 'sample' draws from the model "
-                        "distribution (seeded by --seed)")
+                   help="test-time decoding; with the default 'greedy', "
+                        "beam_width>1 selects beam search; 'sample' draws "
+                        "from the model distribution (seeded by --seed) and "
+                        "is incompatible with beam_width>1")
     p.add_argument("--ckpt_backend", type=str, default="msgpack",
                    choices=["msgpack", "orbax"],
                    help="orbax: async + sharded checkpoints")

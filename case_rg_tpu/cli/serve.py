@@ -26,8 +26,11 @@ Usage:
         --input requests.jsonl --output answers.jsonl \\
         [--epoch N] [--bf16] [--batch_size 64] [--beam_width K]
 
-``--input -`` reads stdin and streams each completed batch to ``--output``
-(or stdout) as soon as it is fetched — a minimal line-oriented server.
+``--input -`` reads stdin; requests are consumed in batch_size chunks as
+they arrive and each chunk's responses are flushed as soon as they are
+fetched (up to ``--pipeline_depth`` chunks in flight), so a long-lived
+client piping requests receives rolling responses — a minimal
+line-oriented server.
 """
 
 from __future__ import annotations
@@ -41,7 +44,6 @@ from typing import Dict, List
 import numpy as np
 
 from ..config import DataConfig, ModelConfig, TrainConfig
-from ..data.batching import Batcher
 from ..data.featurize import featurize
 from ..data.text import split_sentences
 from ..data.vocab import Vocabulary
@@ -81,6 +83,8 @@ def build_parser():
     p.add_argument("--min_window_size", type=int, default=4)
     p.add_argument("--num_windows", type=int, default=1)
     p.add_argument("--ema", action="store_true", help="serve EMA weights")
+    p.add_argument("--pipeline_depth", type=int, default=4,
+                   help="max batches in flight before fetching results")
     return p
 
 
@@ -101,6 +105,12 @@ def featurize_requests(requests: List[dict], model: str, vocab: Vocabulary,
             query[cid] = tok(h)
             ctx_ids.append(cid)
         pool = []
+        n_pass = len(req.get("passages", []))
+        if n_pass > dcfg.num_passage:
+            print(f"[serve] warning: request {req.get('id', i)!r} has "
+                  f"{n_pass} passages; only the first {dcfg.num_passage} "
+                  "are scored (raise --num_passage to cover the pool)",
+                  file=sys.stderr)
         for j, ptext in enumerate(req.get("passages", [])):
             pid = f"p{i}_{j}"
             joined = " [SEP] ".join(
@@ -112,6 +122,39 @@ def featurize_requests(requests: List[dict], model: str, vocab: Vocabulary,
                         "answer": []})
     arrays = featurize(model, samples, query, passage, vocab, None, dcfg)
     return arrays
+
+
+def _chunk_to_batch(chunk: List[dict], model: str, vocab: Vocabulary,
+                    dcfg: DataConfig, bs: int) -> Dict[str, np.ndarray]:
+    """Featurize one request chunk into a fixed-size padded batch
+    (pad rows repeat the last request; sample_weight flags them)."""
+    arrays = featurize_requests(chunk, model, vocab, dcfg)
+    real = len(chunk)
+    batch: Dict[str, np.ndarray] = {}
+    for k, v in arrays.items():
+        if k == "passage_labels":
+            continue
+        batch[k] = np.concatenate([v, np.repeat(v[-1:], bs - real, axis=0)]) \
+            if real < bs else v
+    if "passage_labels" in arrays:   # no golds at serving time
+        batch["passage_label"] = np.zeros(bs, np.int32)
+    w = np.zeros(bs, np.float32)
+    w[:real] = 1.0
+    batch["sample_weight"] = w
+    return batch
+
+
+def _read_chunks(src, size: int):
+    chunk: List[dict] = []
+    for line in src:
+        if not line.strip():
+            continue
+        chunk.append(json.loads(line))
+        if len(chunk) == size:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
 
 
 def main(argv=None):
@@ -148,76 +191,73 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint for epoch {epoch!r} under "
                          f"{args.output_path}/model")
 
-    # read all requests up front for file input; stream batches for stdin
     src = sys.stdin if args.input == "-" else open(args.input,
                                                   encoding="utf-8")
     sink = sys.stdout if args.output == "-" else open(args.output, "w",
                                                       encoding="utf-8")
-    requests = [json.loads(line) for line in src if line.strip()]
-    if src is not sys.stdin:
-        src.close()
-    if not requests:
-        print("[serve] no requests", file=sys.stderr)
-        return
-
-    arrays = featurize_requests(requests, args.model, vocab, dcfg)
-
-    # init a state template from one batch, then load the checkpoint
+    bs = args.batch_size
+    detok = vocab.detokenizer()
     from ..train.trainer import Trainer
-    trainer = Trainer(model, TrainConfig(batch_size=args.batch_size,
+    trainer = Trainer(model, TrainConfig(batch_size=bs,
                                          output_path=args.output_path),
                       total_steps=100)
-    batcher = Batcher(arrays, min(args.batch_size, len(requests)),
-                      shuffle=False)
-    sample = next(Batcher(arrays, min(args.batch_size, len(requests)),
-                          shuffle=False).epoch(0))
-    sample = {k: v for k, v in sample.items() if not k.startswith("_")}
-    template = jax.device_get(trainer.init_state(jax.random.PRNGKey(0),
-                                                 sample))
-    state = load_checkpoint(args.output_path, epoch, template)
-    params = state.ema if args.ema else state.params
-    if args.bf16:
-        from ..train.precision import cast_params
-        params = cast_params(params)
-
     predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
                                  args.beam_width, early_exit=args.early_exit,
                                  fast_argmax=args.fast_argmax)
 
-    # pipelined dispatch: submit every batch, then fetch in order
-    host_batches, outs = [], []
-    for batch in batcher.epoch(0):
-        dev = {k: v for k, v in batch.items() if not k.startswith("_")}
-        outs.append(predict_fn({"params": params}, dev))
-        host_batches.append(batch)
-
+    params = None
     served = 0
-    for batch, out in zip(host_batches, outs):
+
+    def write_responses(chunk, out):
+        nonlocal served
         out = jax.device_get(out)
         sents = None
         if "answer" in out:
             sents = [ids_to_sentence(row, vocab)
                      for row in np.asarray(out["answer"])]
             remove_duplicate(sents)
-        detok = vocab.detokenizer()
-        w = batch["sample_weight"]
-        for i in range(len(batch["id"])):
-            if w[i] == 0 or served >= len(requests):
-                continue  # padded duplicate row
-            req = requests[int(batch["id"][i])]
-            resp = {"id": req.get("id", int(batch["id"][i]))}
+        for i, req in enumerate(chunk):
+            resp = {"id": req.get("id", served)}
             if sents is not None:
                 resp["answer"] = detok(sents[i])
             if "rank" in out:
                 scores = np.asarray(out["rank"][i])
-                n_real = len(req.get("passages", []))
+                n_real = min(len(req.get("passages", [])), dcfg.num_passage)
                 order = np.argsort(-scores[:max(n_real, 1)], kind="stable")
                 resp["ranking"] = [int(j) for j in order[:n_real]]
             sink.write(json.dumps(resp) + "\n")
             served += 1
         sink.flush()
+
+    # streaming loop: consume batch_size chunks as they arrive, keep up to
+    # pipeline_depth batches in flight, flush each chunk's responses as
+    # soon as its result is fetched (pipelined dispatch — docs/PERF.md)
+    from collections import deque
+    inflight: deque = deque()
+    for chunk in _read_chunks(src, bs):
+        batch = _chunk_to_batch(chunk, args.model, vocab, dcfg, bs)
+        if params is None:
+            # first chunk: init a state template and load the checkpoint
+            template = jax.device_get(trainer.init_state(
+                jax.random.PRNGKey(0), batch))
+            state = load_checkpoint(args.output_path, epoch, template)
+            params = state.ema if args.ema else state.params
+            if args.bf16:
+                from ..train.precision import cast_params
+                params = cast_params(params)
+        inflight.append((chunk, predict_fn({"params": params}, batch)))
+        while len(inflight) >= max(args.pipeline_depth, 1):
+            write_responses(*inflight.popleft())
+    while inflight:
+        write_responses(*inflight.popleft())
+
+    if src is not sys.stdin:
+        src.close()
     if sink is not sys.stdout:
         sink.close()
+    if served == 0:
+        print("[serve] no requests", file=sys.stderr)
+        return
     print(f"[serve] {served} requests answered (epoch {epoch}, "
           f"{'bf16' if args.bf16 else 'f32'})", file=sys.stderr)
 

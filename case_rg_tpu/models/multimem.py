@@ -138,6 +138,54 @@ class MultiMemoryDecoder(nn.Module):
 
     __call__ = teacher_force
 
+    # ---- shared per-step machinery for greedy/sample/beam decoding ----
+
+    def _decode_precompute(self, memories, feature):
+        """Per-sequence precomputes: cross K/V, copy-attention key
+        projections, and the (normed, dropout-off) feature vector."""
+        cross = [self.decs[i].precompute_memory(memories[i])
+                 for i in range(self.num_memories)]
+        key_projs = [self.attns[i].key_proj(memories[i])
+                     for i in range(self.num_memories)]
+        feat = None
+        if self.use_feature:
+            feat = self.norm2(feature)[:, None, :]   # [B, 1, D]; dropout off
+        return cross, key_projs, feat
+
+    def _step_core(self, caches, prev, hist, t, cross, key_projs, feat,
+                   memories, mem_keeps, weights):
+        """One decode step through the stacks, copy attentions, generator
+        and mix gate. Returns (new_caches, hist, gen [B,1,V], mix_p
+        [B,1,M+1], ps: per-memory copy probs [B,1,Lm])."""
+        hist = jax.lax.dynamic_update_slice(hist, (prev != 0)[:, None],
+                                            (0, t))
+        emb = self.pos(self.embedding(prev[:, None]), offset=t,
+                       deterministic=True)
+        x = emb
+        new_caches, ctxs, ps = [], [], []
+        tgt_keep_t = (prev != 0)[:, None]
+        for i in range(self.num_memories):
+            x, c = self.decs[i].step(x, t, caches[i], cross[i], hist,
+                                     mem_keeps[i])
+            ctx, p = self._memory_attend(i, x, feat, memories[i],
+                                         mem_keeps[i], weights[i],
+                                         tgt_keep_t, uh=key_projs[i])
+            new_caches.append(c)
+            ctxs.append(ctx)
+            ps.append(p)
+        x = self.norm1(x)
+        gen = self._generator(emb, x, feat, True)
+        mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)), -1)
+        return new_caches, hist, gen, mix_p, ps
+
+    def _extend_dist(self, gen, mix_p, ps, src_ids):
+        """Copy-extended distribution (extend — Masque/Model.py:37-44)."""
+        dist = mix_p[..., 0:1] * gen
+        for i in range(self.num_memories):
+            dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
+                ps[i], src_ids[i], self.vocab_size)
+        return dist
+
     # ---- greedy decoding (argmax over the extended distribution,
     #      no EOS bookkeeping — ref CaSE/Model.py:119-123) ----
 
@@ -159,15 +207,9 @@ class MultiMemoryDecoder(nn.Module):
         of the duplicate combine and tie-breaks; XLA's V-sized scatter is the
         decode bottleneck (docs/PERF.md)."""
         b = memories[0].shape[0]
-        cross = [self.decs[i].precompute_memory(memories[i])
-                 for i in range(self.num_memories)]
-        key_projs = [self.attns[i].key_proj(memories[i])
-                     for i in range(self.num_memories)]
+        cross, key_projs, feat = self._decode_precompute(memories, feature)
         caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
                   for i in range(self.num_memories)]
-        feat = None
-        if self.use_feature:
-            feat = self.norm2(feature)[:, None, :]   # [B, 1, D]; dropout off
 
         ids_cat = jnp.concatenate(src_ids, axis=-1)   # [B, Ls]
         if fast_argmax:
@@ -184,24 +226,9 @@ class MultiMemoryDecoder(nn.Module):
 
         def step(carry, t):
             caches, prev, hist = carry
-            hist = jax.lax.dynamic_update_slice(hist, (prev != 0)[:, None], (0, t))
-            emb = self.pos(self.embedding(prev[:, None]), offset=t,
-                           deterministic=True)
-            x = emb
-            new_caches, ctxs, ps = [], [], []
-            tgt_keep_t = (prev != 0)[:, None]
-            for i in range(self.num_memories):
-                x, c = self.decs[i].step(x, t, caches[i], cross[i], hist,
-                                         mem_keeps[i])
-                ctx, p = self._memory_attend(i, x, feat, memories[i],
-                                             mem_keeps[i], weights[i],
-                                             tgt_keep_t, uh=key_projs[i])
-                new_caches.append(c)
-                ctxs.append(ctx)
-                ps.append(p)
-            x = self.norm1(x)
-            gen = self._generator(emb, x, feat, True)               # [B, 1, V]
-            mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)), -1)
+            new_caches, hist, gen, mix_p, ps = self._step_core(
+                caches, prev, hist, t, cross, key_projs, feat, memories,
+                mem_keeps, weights)
             if fast_argmax:
                 g = mix_p[:, 0, 0:1] * gen[:, 0]                    # [B, V]
                 g_idx = jnp.argmax(g, axis=-1)
@@ -217,10 +244,7 @@ class MultiMemoryDecoder(nn.Module):
                 c_idx = jnp.take_along_axis(ids_cat, c_pos[:, None], -1)[:, 0]
                 nxt = jnp.where(c_val > g_val, c_idx, g_idx).astype(jnp.int32)
             else:
-                dist = mix_p[..., 0:1] * gen
-                for i in range(self.num_memories):
-                    dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
-                        ps[i], src_ids[i], self.vocab_size)
+                dist = self._extend_dist(gen, mix_p, ps, src_ids)
                 nxt = jnp.argmax(dist[:, 0], axis=-1).astype(jnp.int32)
             return (new_caches, nxt, hist), nxt
 
@@ -263,43 +287,17 @@ class MultiMemoryDecoder(nn.Module):
         distribution choice — the model's actual output distribution, no
         double softmax — is ours)."""
         b = memories[0].shape[0]
-        cross = [self.decs[i].precompute_memory(memories[i])
-                 for i in range(self.num_memories)]
-        key_projs = [self.attns[i].key_proj(memories[i])
-                     for i in range(self.num_memories)]
+        cross, key_projs, feat = self._decode_precompute(memories, feature)
         caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
                   for i in range(self.num_memories)]
-        feat = None
-        if self.use_feature:
-            feat = self.norm2(feature)[:, None, :]   # dropout off at eval
 
         def body(carry, inp):
             t, key = inp
             caches, prev, hist, ended = carry
-            hist = jax.lax.dynamic_update_slice(hist, (prev != 0)[:, None],
-                                                (0, t))
-            emb = self.pos(self.embedding(prev[:, None]), offset=t,
-                           deterministic=True)
-            x = emb
-            new_caches, ctxs, ps = [], [], []
-            tgt_keep_t = (prev != 0)[:, None]
-            for i in range(self.num_memories):
-                x, c = self.decs[i].step(x, t, caches[i], cross[i], hist,
-                                         mem_keeps[i])
-                ctx, p = self._memory_attend(i, x, feat, memories[i],
-                                             mem_keeps[i], weights[i],
-                                             tgt_keep_t, uh=key_projs[i])
-                new_caches.append(c)
-                ctxs.append(ctx)
-                ps.append(p)
-            x = self.norm1(x)
-            gen = self._generator(emb, x, feat, True)
-            mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)),
-                                   -1)
-            dist = mix_p[..., 0:1] * gen
-            for i in range(self.num_memories):
-                dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
-                    ps[i], src_ids[i], self.vocab_size)
+            new_caches, hist, gen, mix_p, ps = self._step_core(
+                caches, prev, hist, t, cross, key_projs, feat, memories,
+                mem_keeps, weights)
+            dist = self._extend_dist(gen, mix_p, ps, src_ids)
             nxt = jax.random.categorical(
                 key, jnp.log(dist[:, 0].astype(jnp.float32) + 1e-10)
             ).astype(jnp.int32)
@@ -331,13 +329,9 @@ class MultiMemoryDecoder(nn.Module):
         weights = [jnp.repeat(w, width, axis=0) for w in weights]
         src_ids = [jnp.repeat(s, width, axis=0) for s in src_ids]
         bw = b * width
-        cross = [self.decs[i].precompute_memory(memories[i])
-                 for i in range(self.num_memories)]
-        key_projs = [self.attns[i].key_proj(memories[i])
-                     for i in range(self.num_memories)]
-        feat = None
-        if self.use_feature:
-            feat = self.norm2(jnp.repeat(feature, width, axis=0))[:, None, :]
+        feature_t = jnp.repeat(feature, width, axis=0) \
+            if self.use_feature else None
+        cross, key_projs, feat = self._decode_precompute(memories, feature_t)
 
         state0 = {
             "caches": [self.decs[i].init_cache(bw, max_len, memories[i].dtype)
@@ -348,29 +342,10 @@ class MultiMemoryDecoder(nn.Module):
 
         def step_fn(state, prev):
             t = state["t"][0, 0]
-            hist = jax.lax.dynamic_update_slice(
-                state["hist"], (prev != 0)[:, None], (0, t))
-            emb = self.pos(self.embedding(prev[:, None]), offset=t,
-                           deterministic=True)
-            x = emb
-            caches, ctxs, ps = [], [], []
-            tgt_keep_t = (prev != 0)[:, None]
-            for i in range(self.num_memories):
-                x, c = self.decs[i].step(x, t, state["caches"][i], cross[i],
-                                         hist, mem_keeps[i])
-                ctx, p = self._memory_attend(i, x, feat, memories[i],
-                                             mem_keeps[i], weights[i],
-                                             tgt_keep_t, uh=key_projs[i])
-                caches.append(c)
-                ctxs.append(ctx)
-                ps.append(p)
-            x = self.norm1(x)
-            gen = self._generator(emb, x, feat, True)
-            mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)), -1)
-            dist = mix_p[..., 0:1] * gen
-            for i in range(self.num_memories):
-                dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
-                    ps[i], src_ids[i], self.vocab_size)
+            caches, hist, gen, mix_p, ps = self._step_core(
+                state["caches"], prev, state["hist"], t, cross, key_projs,
+                feat, memories, mem_keeps, weights)
+            dist = self._extend_dist(gen, mix_p, ps, src_ids)
             new_state = {"caches": caches, "hist": hist, "t": state["t"] + 1}
             return dist[:, 0], new_state
 

@@ -64,9 +64,10 @@ def beam_predict(model, params, batch: Dict[str, jnp.ndarray], max_len: int,
                     cfg.pad_id)
 
 
-def sample_predict(model, params, batch, max_len: int, rng) -> jnp.ndarray:
+def sample_predict(model, params, batch, max_len: int, rng,
+                   enc=None) -> jnp.ndarray:
     cfg = model.cfg
-    enc, state = _enc_and_state(model, params, batch)
+    enc, state = _enc_and_state(model, params, batch, enc)
     b = jax.tree_util.tree_leaves(state)[0].shape[0]
 
     def step(state, prev):

@@ -30,6 +30,9 @@ def make_predict_fn(model, cfg: ModelConfig, max_len: int,
     name = cfg.name
 
     if decoding == "sample":
+        if beam_width > 1:
+            raise ValueError("--decoding sample is incompatible with "
+                             "beam_width>1 (pick one decode strategy)")
         # stateful rng stream: each call draws a fresh fold of the base key
         # (the reference consumes a global torch RNG stream the same way)
         base_rng = jax.random.PRNGKey(sample_seed)
@@ -42,11 +45,17 @@ def make_predict_fn(model, cfg: ModelConfig, max_len: int,
                                    method=type(model).predict)
         else:
             def inner(variables, batch, rng):
-                ids = sample_predict(model, variables, batch, max_len, rng)
+                enc = None
+                if name == "tmemnet":
+                    # encode once: the same pass provides decode memories and
+                    # the rank scores (mirrors the greedy branch below)
+                    enc = model.apply(variables, batch,
+                                      method=type(model).encode)
+                ids = sample_predict(model, variables, batch, max_len, rng,
+                                     enc=enc)
                 out = {"answer": ids}
                 if name == "tmemnet":
-                    out["rank"] = model.apply(variables, batch,
-                                              method=type(model).rank)
+                    out["rank"] = enc["ck_attn"]
                 return out
         inner = jax.jit(inner)
 

@@ -256,13 +256,24 @@ class Trainer:
         return state
 
     def resume_or_init(self, rng, sample_batch, output_path: str):
-        """Returns (state, start_epoch)."""
+        """Returns (state, start_epoch).
+
+        The latest pointer may outrun an asynchronous (orbax) save that
+        never committed — e.g. a hard kill between scheduling the write and
+        its atomic rename. Resume therefore walks back to the newest epoch
+        whose checkpoint actually exists on disk."""
         state = self.init_state(rng, sample_batch)
         last = latest_epoch(output_path)
         if self.tc.resume and last is not None:
-            state = load_checkpoint(output_path, last, jax.device_get(state))
-            state = jax.device_put(state, replicated(self.mesh))
-            return state, last + 1
+            while last >= 0 and not checkpoint_exists(output_path, last):
+                print(f"[train] checkpoint for epoch {last} missing "
+                      "(uncommitted async save?); falling back", flush=True)
+                last -= 1
+            if last >= 0:
+                state = load_checkpoint(output_path, last,
+                                        jax.device_get(state))
+                state = jax.device_put(state, replicated(self.mesh))
+                return state, last + 1
         return state, 0
 
     # ---- inference ----
