@@ -64,6 +64,29 @@ class WordPieceTokenizer:
         self.unk_word = unk_word
         self.max_chars = max_chars_per_word
         self.lower = lower
+        self._native = None       # C++ fast path (native/fastprep.cpp),
+        self._native_tried = False  # ASCII texts only; lazy-built
+        self._words: List[str] = []
+
+    def _native_tokenizer(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from ..native import make_wordpiece
+                words = [w for w, _ in sorted(self.vocab2id.items(),
+                                              key=lambda kv: kv[1])]
+                try:
+                    unk_idx = words.index(self.unk_word)
+                except ValueError:
+                    unk_idx = len(words)
+                    words = words + [self.unk_word]
+                native = make_wordpiece(words, unk_idx)
+                if native is not None:
+                    self._native = native
+                    self._words = words
+            except Exception:
+                self._native = None
+        return self._native
 
     def wordpiece(self, word: str) -> List[str]:
         if len(word) > self.max_chars:
@@ -88,6 +111,15 @@ class WordPieceTokenizer:
         return pieces
 
     def __call__(self, text: str) -> List[str]:
+        # C++ fast path for ASCII text (byte-identical — tests/test_native.py);
+        # non-ASCII falls through to the Python path, where Unicode
+        # normalization (NFD strip, category-P punctuation) applies.
+        if text.isascii():
+            native = self._native_tokenizer()
+            if native is not None:
+                ids = native.tokenize_ids(text, self.lower, self.max_chars)
+                words = self._words
+                return [words[i] for i in ids]
         out: List[str] = []
         for tok in basic_tokenize(text, lower=self.lower):
             out.extend(self.wordpiece(tok))

@@ -61,6 +61,15 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, f32p]
         lib.glks_window_overlap.restype = ctypes.c_int
+        lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                  ctypes.c_int32]
+        lib.wp_create.restype = ctypes.c_void_p
+        lib.wp_destroy.argtypes = [ctypes.c_void_p]
+        lib.wp_destroy.restype = None
+        lib.wp_tokenize.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, i32p, ctypes.c_int]
+        lib.wp_tokenize.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -85,6 +94,46 @@ def case_token_labels(passages: np.ndarray, answer: np.ndarray,
     lib.case_token_labels(passages, p, l, answer, len(answer),
                           freq_dense, len(freq_dense), labels, conf)
     return labels, conf
+
+
+class NativeWordPiece:
+    """C++ WordPiece over an id-ordered vocabulary; ASCII texts only (the
+    caller falls back to the Python tokenizer for non-ASCII input, where
+    Unicode normalization applies). Returns token ids."""
+
+    def __init__(self, words, unk_id: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        blob = "\n".join(words).encode("utf-8")
+        self._lib = lib
+        self._h = lib.wp_create(blob, len(blob), unk_id)
+        self._buf = np.zeros(4096, np.int32)
+
+    def tokenize_ids(self, text: str, lower: bool = True,
+                     max_chars: int = 100) -> np.ndarray:
+        data = text.encode("ascii")   # caller guarantees ASCII
+        while True:
+            n = self._lib.wp_tokenize(self._h, data, len(data),
+                                      1 if lower else 0, max_chars,
+                                      self._buf, len(self._buf))
+            if n >= 0:
+                return self._buf[:n].copy()
+            self._buf = np.zeros(len(self._buf) * 2, np.int32)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.wp_destroy(self._h)
+        except Exception:
+            pass
+
+
+def make_wordpiece(words, unk_id: int):
+    """NativeWordPiece or None if the toolchain/library is unavailable."""
+    if _load() is None:
+        return None
+    return NativeWordPiece(words, unk_id)
 
 
 def glks_window_overlap(background: np.ndarray, answer: np.ndarray,

@@ -120,3 +120,131 @@ int glks_window_overlap(const int32_t* background, int len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// WordPiece tokenizer fast path (ASCII texts).
+//
+// The reference leans on HuggingFace's (Rust-backed) BertTokenizer
+// (common/Utils.py:30-37); this framework's pure-Python WordPiece
+// (data/text.py) is exact but slow for corpus-scale offline prep. This C++
+// path reproduces data/text.basic_tokenize + WordPieceTokenizer for ASCII
+// input BYTE-FOR-BYTE (Python-side wrapper falls back to the Python
+// implementation for any non-ASCII text, where Unicode normalization
+// matters). Emits vocabulary ids; the wrapper maps ids back to token
+// strings.
+// ---------------------------------------------------------------------------
+
+#include <string>
+#include <unordered_map>
+
+namespace {
+
+struct WpVocab {
+  std::unordered_map<std::string, int32_t> word2id;
+  int32_t unk_id;
+};
+
+// Python str.isspace() for ASCII code points
+inline bool ascii_space(unsigned char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
+         c == '\f' || (c >= 28 && c <= 31);
+}
+
+// data/text._is_punct for ASCII code points (the unicodedata category
+// check only adds non-ASCII punctuation)
+inline bool ascii_punct(unsigned char c) {
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+// greedy longest-match-first wordpiece of one word; appends ids.
+// Returns false only on overflow of the output buffer.
+bool wordpiece(const WpVocab& v, const std::string& word, int max_chars,
+               int32_t* out, int cap, int* n) {
+  if ((int)word.size() > max_chars) {
+    if (*n >= cap) return false;
+    out[(*n)++] = v.unk_id;
+    return true;
+  }
+  int pieces_start = *n;
+  size_t start = 0;
+  std::string sub;
+  while (start < word.size()) {
+    size_t end = word.size();
+    int32_t piece = -1;
+    while (start < end) {
+      sub.assign(start > 0 ? "##" : "");
+      sub.append(word, start, end - start);
+      auto it = v.word2id.find(sub);
+      if (it != v.word2id.end()) {
+        piece = it->second;
+        break;
+      }
+      --end;
+    }
+    if (piece < 0) {   // untokenizable word -> single UNK
+      *n = pieces_start;
+      if (*n >= cap) return false;
+      out[(*n)++] = v.unk_id;
+      return true;
+    }
+    if (*n >= cap) return false;
+    out[(*n)++] = piece;
+    start = end;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* wp_create(const char* vocab_blob, int blob_len, int32_t unk_id) {
+  auto* v = new WpVocab();
+  v->unk_id = unk_id;
+  int32_t id = 0;
+  const char* p = vocab_blob;
+  const char* end = vocab_blob + blob_len;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    if (nl == nullptr) nl = end;
+    v->word2id.emplace(std::string(p, nl - p), id++);
+    p = nl + 1;
+  }
+  return v;
+}
+
+void wp_destroy(void* h) { delete (WpVocab*)h; }
+
+// Tokenize an ASCII text: basic_tokenize (lower + punct isolation) then
+// wordpiece per word. Returns the number of ids written, or -1 if out_cap
+// was too small.
+int wp_tokenize(void* h, const char* text, int text_len, int lower,
+                int max_chars, int32_t* out, int out_cap) {
+  const WpVocab& v = *(const WpVocab*)h;
+  int n = 0;
+  std::string buf;
+  auto flush = [&]() -> bool {
+    if (buf.empty()) return true;
+    bool ok = wordpiece(v, buf, max_chars, out, out_cap, &n);
+    buf.clear();
+    return ok;
+  };
+  for (int i = 0; i < text_len; ++i) {
+    unsigned char c = (unsigned char)text[i];
+    if (lower && c >= 'A' && c <= 'Z') c = c - 'A' + 'a';
+    if (ascii_space(c)) {
+      if (!flush()) return -1;
+    } else if (ascii_punct(c)) {
+      if (!flush()) return -1;
+      std::string p(1, (char)c);
+      if (!wordpiece(v, p, max_chars, out, out_cap, &n)) return -1;
+    } else {
+      buf.push_back((char)c);
+    }
+  }
+  if (!flush()) return -1;
+  return n;
+}
+
+}  // extern "C"

