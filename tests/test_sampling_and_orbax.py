@@ -173,3 +173,28 @@ def test_checkpoint_backend_autodetect(tmp_path):
         restored = load_checkpoint(out, epoch, template)
         np.testing.assert_array_equal(np.asarray(restored.step),
                                       np.asarray(host.step))
+
+
+def test_serve_chunking_helpers(tmp_path):
+    """cli/serve streaming helpers: chunk framing and padded batches."""
+    import io
+    from case_rg_tpu.cli.serve import _read_chunks, _chunk_to_batch
+    from case_rg_tpu.config import DataConfig
+    from case_rg_tpu.data.vocab import Vocabulary
+
+    lines = "\n".join(['{"id": "r%d", "query": "a b", "passages": ["c d"]}'
+                       % i for i in range(5)] + ["", "  "])
+    chunks = list(_read_chunks(io.StringIO(lines), 2))
+    assert [len(c) for c in chunks] == [2, 2, 1]
+    assert chunks[2][0]["id"] == "r4"
+
+    vocab = Vocabulary.build_from_texts([["a", "b", "c", "d"]])
+    dcfg = DataConfig(query_len=8, passage_len=8, num_passage=2,
+                      answer_len=4)
+    batch = _chunk_to_batch(chunks[2], "case", vocab, dcfg, bs=4)
+    assert batch["query"].shape == (4, 1, 8)
+    assert batch["passage"].shape == (4, 2, 8)
+    assert batch["sample_weight"].tolist() == [1.0, 0.0, 0.0, 0.0]
+    assert batch["passage_label"].shape == (4,)
+    # pad rows duplicate the last real request
+    assert (batch["query"][1] == batch["query"][0]).all()
