@@ -31,6 +31,19 @@ they arrive and each chunk's responses are flushed as soon as they are
 fetched (up to ``--pipeline_depth`` chunks in flight), so a long-lived
 client piping requests receives rolling responses — a minimal
 line-oriented server.
+
+``--pool_buckets 2,5,10`` routes each request to the smallest static pool
+size >= its passage count instead of padding every pool to ``num_passage``.
+The decode cross-attention memory is ``query_len + num_passage*passage_len``
+tokens and bandwidth-bound (docs/PERF.md), so a request with 3 passages
+served in the 5-bucket streams roughly half the K/V bytes of the 10-pool.
+Each bucket is its own XLA compilation (cached persistently). Semantics:
+the bucketed pool contains no ``[CLS][SEP]`` dummy rows for absent
+passages, i.e. the model scores exactly the provided pool — answers can
+differ slightly from padded-pool serving (the dummy rows the offline
+pipeline pads with participate in the passage-selection prior). Output
+order is preserved via a reorder buffer; a part-filled bucket dispatches
+only when full or at end of input.
 """
 
 from __future__ import annotations
@@ -85,6 +98,11 @@ def build_parser():
     p.add_argument("--ema", action="store_true", help="serve EMA weights")
     p.add_argument("--pipeline_depth", type=int, default=4,
                    help="max batches in flight before fetching results")
+    p.add_argument("--pool_buckets", type=str, default="",
+                   help="comma-separated static pool sizes (e.g. 2,5,10); "
+                        "requests are routed to the smallest bucket that "
+                        "fits their passage count (module docstring). "
+                        "Empty = every pool padded to --num_passage")
     return p
 
 
@@ -157,6 +175,21 @@ def _read_chunks(src, size: int):
         yield chunk
 
 
+def _read_requests(src):
+    for line in src:
+        if line.strip():
+            yield json.loads(line)
+
+
+def _bucket_for(n_passages: int, buckets: List[int]) -> int:
+    """Smallest bucket that fits the pool (over-long pools get the largest
+    bucket and are truncated with the featurizer's warning)."""
+    for b in buckets:
+        if n_passages <= b:
+            return b
+    return buckets[-1]
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
@@ -208,7 +241,20 @@ def main(argv=None):
     params = None
     served = 0
 
-    def write_responses(chunk, out):
+    def ensure_params(batch):
+        nonlocal params
+        if params is not None:
+            return
+        # first chunk: init a state template and load the checkpoint
+        template = jax.device_get(trainer.init_state(
+            jax.random.PRNGKey(0), batch))
+        state = load_checkpoint(args.output_path, epoch, template)
+        params = state.ema if args.ema else state.params
+        if args.bf16:
+            from ..train.precision import cast_params
+            params = cast_params(params)
+
+    def responses_for(chunk, out, dcfg_k, default_ids=None) -> List[dict]:
         nonlocal served
         out = jax.device_get(out)
         sents = None
@@ -216,40 +262,97 @@ def main(argv=None):
             sents = [ids_to_sentence(row, vocab)
                      for row in np.asarray(out["answer"])]
             remove_duplicate(sents)
+        resps = []
         for i, req in enumerate(chunk):
-            resp = {"id": req.get("id", served)}
+            default = default_ids[i] if default_ids is not None else served + i
+            resp = {"id": req.get("id", default)}
             if sents is not None:
                 resp["answer"] = detok(sents[i])
             if "rank" in out:
                 scores = np.asarray(out["rank"][i])
-                n_real = min(len(req.get("passages", [])), dcfg.num_passage)
+                n_real = min(len(req.get("passages", [])),
+                             dcfg_k.num_passage)
                 order = np.argsort(-scores[:max(n_real, 1)], kind="stable")
                 resp["ranking"] = [int(j) for j in order[:n_real]]
-            sink.write(json.dumps(resp) + "\n")
-            served += 1
-        sink.flush()
+            resps.append(resp)
+        served += len(chunk)
+        return resps
 
     # streaming loop: consume batch_size chunks as they arrive, keep up to
     # pipeline_depth batches in flight, flush each chunk's responses as
     # soon as its result is fetched (pipelined dispatch — docs/PERF.md)
     from collections import deque
     inflight: deque = deque()
-    for chunk in _read_chunks(src, bs):
-        batch = _chunk_to_batch(chunk, args.model, vocab, dcfg, bs)
-        if params is None:
-            # first chunk: init a state template and load the checkpoint
-            template = jax.device_get(trainer.init_state(
-                jax.random.PRNGKey(0), batch))
-            state = load_checkpoint(args.output_path, epoch, template)
-            params = state.ema if args.ema else state.params
-            if args.bf16:
-                from ..train.precision import cast_params
-                params = cast_params(params)
-        inflight.append((chunk, predict_fn({"params": params}, batch)))
-        while len(inflight) >= max(args.pipeline_depth, 1):
+
+    if not args.pool_buckets:
+        def write_responses(chunk, out, dcfg_k):
+            for resp in responses_for(chunk, out, dcfg_k):
+                sink.write(json.dumps(resp) + "\n")
+            sink.flush()
+
+        for chunk in _read_chunks(src, bs):
+            batch = _chunk_to_batch(chunk, args.model, vocab, dcfg, bs)
+            ensure_params(batch)
+            inflight.append((chunk, predict_fn({"params": params}, batch),
+                             dcfg))
+            while len(inflight) >= max(args.pipeline_depth, 1):
+                write_responses(*inflight.popleft())
+        while inflight:
             write_responses(*inflight.popleft())
-    while inflight:
-        write_responses(*inflight.popleft())
+    else:
+        # bucketed pools: per-bucket chunk accumulation, one XLA program
+        # per static pool size (jit caches by shape); input order restored
+        # by a seqno reorder buffer before writing
+        import dataclasses
+        buckets = sorted({int(x) for x in args.pool_buckets.split(",") if x})
+        if any(b <= 0 for b in buckets):
+            raise SystemExit("--pool_buckets entries must be positive")
+        dcfgs = {k: dataclasses.replace(dcfg, num_passage=k)
+                 for k in buckets}
+        accum: Dict[int, List] = {k: [] for k in buckets}  # (seq, req)
+        pending: Dict[int, dict] = {}
+        next_emit = 0
+
+        def emit_ready():
+            nonlocal next_emit
+            wrote = False
+            while next_emit in pending:
+                sink.write(json.dumps(pending.pop(next_emit)) + "\n")
+                next_emit += 1
+                wrote = True
+            if wrote:
+                sink.flush()
+
+        def drain_one():
+            chunk, seqs, out, dcfg_k = inflight.popleft()
+            resps = responses_for(chunk, out, dcfg_k, default_ids=seqs)
+            for s, resp in zip(seqs, resps):
+                pending[s] = resp
+            emit_ready()
+
+        def dispatch(k):
+            entries = accum[k]
+            accum[k] = []
+            seqs = [s for s, _ in entries]
+            chunk = [r for _, r in entries]
+            batch = _chunk_to_batch(chunk, args.model, vocab, dcfgs[k], bs)
+            ensure_params(batch)
+            inflight.append((chunk, seqs,
+                             predict_fn({"params": params}, batch),
+                             dcfgs[k]))
+            while len(inflight) >= max(args.pipeline_depth, 1):
+                drain_one()
+
+        for seq, req in enumerate(_read_requests(src)):
+            k = _bucket_for(len(req.get("passages", [])), buckets)
+            accum[k].append((seq, req))
+            if len(accum[k]) == bs:
+                dispatch(k)
+        for k in buckets:
+            if accum[k]:
+                dispatch(k)
+        while inflight:
+            drain_one()
 
     if src is not sys.stdin:
         src.close()

@@ -108,6 +108,54 @@ def test_serve_cli(workspace, tmp_path):
     assert sorted(lines[0]["ranking"]) == [0, 1]
     assert lines[1]["ranking"] == [0]
 
+    # --pool_buckets: r1 (2 passages) -> bucket 2, r2 (1 passage) -> bucket
+    # 2, so one batch serves both at the compact pool size; order preserved
+    common = ["--model", "case",
+              "--prepared_dir", os.path.join(root, "toy", "prepared"),
+              "--output_path", out, "--batch_size", "4",
+              "--embedding_size", "16", "--hidden_size", "16",
+              "--num_heads", "2", "--max_target_length", "8",
+              "--query_len", "24", "--passage_len", "24"]
+    bucket_path = str(tmp_path / "resp_bucket.jsonl")
+    serve_main(common + ["--input", req_path, "--output", bucket_path,
+                         "--num_passage", "4", "--pool_buckets", "2,4"])
+    blines = [json.loads(l) for l in open(bucket_path)]
+    assert [l["id"] for l in blines] == ["r1", "r2"]
+    assert sorted(blines[0]["ranking"]) == [0, 1]
+    assert blines[1]["ranking"] == [0]
+    # bucket-2 results must equal an unbucketed run at num_passage=2
+    # (identical featurized arrays -> identical answers/rankings)
+    compact_path = str(tmp_path / "resp_np2.jsonl")
+    serve_main(common + ["--input", req_path, "--output", compact_path,
+                         "--num_passage", "2"])
+    clines = [json.loads(l) for l in open(compact_path)]
+    assert blines == clines
+
+    # reorder buffer: rA (3 passages -> bucket 4) arrives first but its
+    # bucket only dispatches at EOF, while rB/rC fill bucket 2 and complete
+    # earlier — output must still come back in input order
+    p = ["kinetic energy is the energy of motion.",
+         "whales are large ocean mammals.",
+         "the blue whale is the largest animal.",
+         "energy is conserved in a closed system."]
+    reqs2 = [{"id": "rA", "query": "what is energy ?", "passages": p[:3]},
+             {"id": "rB", "query": "how big are whales ?", "passages": p[:1]},
+             {"id": "rC", "query": "what is kinetic energy ?",
+              "passages": p[:2]}]
+    req2_path = str(tmp_path / "reqs2.jsonl")
+    with open(req2_path, "w") as f:
+        for r in reqs2:
+            f.write(json.dumps(r) + "\n")
+    order_path = str(tmp_path / "resp_order.jsonl")
+    serve_main(common + ["--input", req2_path, "--output", order_path,
+                         "--batch_size", "2", "--num_passage", "4",
+                         "--pool_buckets", "2,4"])
+    olines = [json.loads(l) for l in open(order_path)]
+    assert [l["id"] for l in olines] == ["rA", "rB", "rC"]
+    assert len(olines[0]["ranking"]) == 3
+    assert len(olines[1]["ranking"]) == 1
+    assert len(olines[2]["ranking"]) == 2
+
 
 def test_orbax_sampling_fastrng_pipeline(workspace, tmp_path):
     """New CLI surfaces: --ckpt_backend orbax (train + auto-detect at test),
