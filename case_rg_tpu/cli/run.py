@@ -83,6 +83,14 @@ def build_parser():
                    help="mid-epoch salvage checkpoints every N steps")
     p.add_argument("--bf16_train", action="store_true",
                    help="mixed-precision training (bf16 compute, f32 master)")
+    p.add_argument("--mesh_shape", type=str, default="",
+                   help="device mesh as 'data,model' (e.g. 4,2); default: "
+                        "all local devices on the data axis")
+    p.add_argument("--pool_shard", action="store_true",
+                   help="shard the passage-pool axis over the 'model' mesh "
+                        "axis (pool parallelism: per-passage tower compute "
+                        "stays local, collectives only at the cross-passage "
+                        "joins; needs --mesh_shape with model>1)")
     p.add_argument("--fast_rng", action="store_true",
                    help="hardware RNG (rbg) for dropout masks: ~14%% faster "
                         "train step (dropout mask generation is ~25%% of the "
@@ -128,7 +136,10 @@ def train(args):
                      resume=not args.no_resume,
                      checkpoint_every_steps=args.checkpoint_every_steps,
                      ckpt_backend=args.ckpt_backend,
-                     compute_dtype="bfloat16" if args.bf16_train else "float32")
+                     compute_dtype="bfloat16" if args.bf16_train else "float32",
+                     mesh_shape=tuple(int(x) for x in
+                                      args.mesh_shape.split(",") if x),
+                     pool_shard=args.pool_shard)
     loss_kwargs = {}
     if args.mode == "ps_train":
         if args.model not in ("masque", "tmemnet"):

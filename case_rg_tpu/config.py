@@ -92,6 +92,8 @@ class TrainConfig:
     model_axis: str = "model"
     mesh_shape: Tuple[int, ...] = ()   # () => all local devices on the data axis
     shard_vocab_dim: bool = False      # shard embedding/generator over 'model'
+    pool_shard: bool = False           # shard the passage-pool axis over 'model'
+                                       # (runtime/mesh.POOL_AXIS_KEYS)
 
 
 @dataclass(frozen=True)

@@ -36,12 +36,31 @@ def batch_sharding(mesh: Mesh, ndim: int, data_axis: str = "data") -> NamedShard
     return NamedSharding(mesh, P(data_axis, *([None] * (ndim - 1))))
 
 
+# [B, num_passage, ...] batch arrays whose passage-pool axis can shard over
+# 'model' (pool parallelism): the ranking towers / per-passage encoders are
+# independent along this axis until the cross-passage reductions (scorer
+# softmax, Interaction max-pool, decode-memory concat), so GSPMD keeps the
+# heavy per-passage compute local and inserts collectives only at those
+# joins. An axis the reference cannot express (its only parallelism is DDP).
+POOL_AXIS_KEYS = ("passage", "token_label", "token_weight")
+
+
+def pool_sharding(mesh: Mesh, ndim: int, data_axis: str = "data",
+                  model_axis: str = "model") -> NamedSharding:
+    return NamedSharding(mesh, P(data_axis, model_axis,
+                                 *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
+def shard_batch(mesh: Mesh, batch: dict, pool_axis: bool = False) -> dict:
     """Device-put every array in the batch sharded over the data axis.
+
+    ``pool_axis=True`` additionally shards the passage-pool axis of
+    POOL_AXIS_KEYS arrays over 'model' (pool parallelism — see
+    POOL_AXIS_KEYS).
 
     Multi-process: each process holds its own (disjoint) per-process batch
     from the Batcher; the global array is assembled from those local shards
@@ -54,7 +73,17 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     for k, v in batch.items():
         if k.startswith("_"):
             continue
-        sharding = batch_sharding(mesh, v.ndim)
+        if pool_axis and k in POOL_AXIS_KEYS and v.ndim >= 2:
+            m = mesh.shape.get("model", 1)
+            if v.shape[1] % m:
+                raise ValueError(
+                    f"pool sharding: '{k}' pool axis ({v.shape[1]}) is not "
+                    f"divisible by the 'model' mesh axis ({m}); pick a mesh "
+                    f"whose model axis divides num_passage (e.g. 2 or 5 "
+                    f"for the 10-passage CAsT pool)")
+            sharding = pool_sharding(mesh, v.ndim)
+        else:
+            sharding = batch_sharding(mesh, v.ndim)
         if multiprocess:
             out[k] = jax.make_array_from_process_local_data(
                 sharding, np.asarray(v))

@@ -169,7 +169,7 @@ class Trainer:
     def train_step(self, state, batch, rng):
         if self._train_step is None:
             self._build_step()
-        batch = shard_batch(self.mesh, batch)
+        batch = shard_batch(self.mesh, batch, pool_axis=self.tc.pool_shard)
         return self._train_step(state, batch, rng)
 
     # ---- epoch loops ----

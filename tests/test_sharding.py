@@ -67,6 +67,52 @@ def test_dp_tp_loss_and_grads_match_replicated():
     np.testing.assert_allclose(bgr, a, rtol=3e-4, atol=1e-6)
 
 
+def test_pool_sharded_loss_and_grads_match_replicated():
+    """Pool parallelism: sharding the passage-pool axis over 'model'
+    (runtime/mesh.shard_batch(pool_axis=True)) must not change the math —
+    per-passage tower compute is independent until the cross-passage joins,
+    where GSPMD inserts the collectives."""
+    from case_rg_tpu.runtime.mesh import POOL_AXIS_KEYS, shard_batch
+
+    cfg = ModelConfig(name="case", vocab_size=V, embedding_size=32,
+                      hidden_size=32, num_heads=2, enc_layers=1, dec_layers=1,
+                      max_dec_len=8)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(2)
+    batch = _batch(rng)
+    # p=4 divides the model axis (2); label tensors exercise POOL_AXIS_KEYS
+    batch["passage"] = jnp.asarray(rng.randint(4, V, size=(8, 4, 16)),
+                                   jnp.int32)
+    batch["token_label"] = jnp.zeros((8, 4, 16), jnp.float32)
+    batch["token_weight"] = jnp.ones((8, 4, 16), jnp.float32)
+    batch["passage_label"] = jnp.asarray(rng.randint(0, 4, size=(8,)),
+                                         jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        batch, method=type(model).train_losses)["params"]
+
+    def loss(p, bt):
+        return sum(model.apply({"params": p}, bt, deterministic=True,
+                               method=type(model).train_losses).values())
+
+    base_loss = float(jax.jit(loss)(params, batch))
+    base_grad = jax.jit(jax.grad(loss))(params, batch)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    b_sh = shard_batch(mesh, batch, pool_axis=True)
+    # the pool keys must actually carry 'model' on axis 1
+    for k in POOL_AXIS_KEYS:
+        assert "model" in str(b_sh[k].sharding.spec), k
+    p_sh = jax.device_put(params, NamedSharding(mesh, P()))
+    sh_loss = float(jax.jit(loss)(p_sh, b_sh))
+    np.testing.assert_allclose(sh_loss, base_loss, rtol=2e-5)
+
+    sh_grad = jax.jit(jax.grad(loss))(p_sh, b_sh)
+    a = np.asarray(jax.device_get(base_grad["ps_scorer"]["kernel"]))
+    bgr = np.asarray(jax.device_get(sh_grad["ps_scorer"]["kernel"]))
+    np.testing.assert_allclose(bgr, a, rtol=3e-4, atol=1e-6)
+
+
 def test_dp_tp_predict_matches_replicated():
     cfg = ModelConfig(name="case", vocab_size=V, embedding_size=32,
                       hidden_size=32, num_heads=2, enc_layers=1, dec_layers=1,
