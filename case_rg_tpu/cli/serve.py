@@ -44,6 +44,14 @@ differ slightly from padded-pool serving (the dummy rows the offline
 pipeline pads with participate in the passage-selection prior). Output
 order is preserved via a reorder buffer; a part-filled bucket dispatches
 only when full or at end of input.
+
+``--listen HOST:PORT`` turns the CLI into an HTTP micro-batching server
+(zero dependencies — stdlib http.server): POST JSONL request lines to
+``/``, receive JSONL responses; GET ``/healthz`` for liveness. Concurrent
+client requests are coalesced into device batches (``--max_wait_ms``
+window, ``--batch_size`` cap) with pipelined dispatch, composing with
+``--pool_buckets`` (each coalesced batch runs at the smallest static pool
+size that fits its largest request).
 """
 
 from __future__ import annotations
@@ -52,6 +60,7 @@ import argparse
 import json
 import os
 import sys
+import time
 from typing import Dict, List
 
 import numpy as np
@@ -103,6 +112,17 @@ def build_parser():
                         "requests are routed to the smallest bucket that "
                         "fits their passage count (module docstring). "
                         "Empty = every pool padded to --num_passage")
+    p.add_argument("--listen", type=str, default="",
+                   help="HOST:PORT: serve over HTTP instead of files/stdin. "
+                        "POST JSONL request lines to / and receive JSONL "
+                        "responses; GET /healthz for liveness. Concurrent "
+                        "requests are coalesced into device batches "
+                        "(--max_wait_ms window, --batch_size cap) with "
+                        "pipelined dispatch")
+    p.add_argument("--max_wait_ms", type=float, default=20.0,
+                   help="micro-batching window: how long the HTTP "
+                        "dispatcher waits to fill a batch after the first "
+                        "queued request")
     return p
 
 
@@ -190,7 +210,139 @@ def _bucket_for(n_passages: int, buckets: List[int]) -> int:
     return buckets[-1]
 
 
-def main(argv=None):
+def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
+                get_params, vocab, server_ready=None):
+    """HTTP micro-batching server (``--listen``).
+
+    Handler threads only enqueue requests and wait on per-request events;
+    a single dispatcher thread owns all device work (featurize -> dispatch),
+    and a completer thread fetches results and releases the waiters — the
+    dispatch/fetch split pipelines the host roundtrip exactly like the
+    offline path (docs/PERF.md). Requests arriving within ``--max_wait_ms``
+    of each other coalesce into one device batch (up to ``--batch_size``).
+    With ``--pool_buckets``, each coalesced batch runs at the smallest
+    static pool size that fits its largest request."""
+    import dataclasses
+    import queue
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    bs = args.batch_size
+    buckets = sorted({int(x) for x in args.pool_buckets.split(",") if x})
+    dcfgs = {k: dataclasses.replace(dcfg, num_passage=k) for k in buckets}
+
+    reqq: queue.Queue = queue.Queue()
+    doneq: queue.Queue = queue.Queue(maxsize=max(args.pipeline_depth, 1))
+    stop = object()
+
+    def dispatcher():
+        while True:
+            item = reqq.get()
+            if item is stop:
+                doneq.put(stop)
+                return
+            items = [item]
+            deadline = time.time() + args.max_wait_ms / 1000.0
+            while len(items) < bs:
+                t = deadline - time.time()
+                if t <= 0:
+                    break
+                try:
+                    nxt = reqq.get(timeout=t)
+                except queue.Empty:
+                    break
+                if nxt is stop:
+                    reqq.put(stop)   # re-queue: stop after this batch
+                    break
+                items.append(nxt)
+            chunk = [p["req"] for p in items]
+            if buckets:
+                k = _bucket_for(max(len(r.get("passages", []))
+                                    for r in chunk), buckets)
+                dk = dcfgs[k]
+            else:
+                dk = dcfg
+            batch = _chunk_to_batch(chunk, args.model, vocab, dk, bs)
+            ensure_params(batch)
+            doneq.put((items, predict_fn({"params": get_params()}, batch), dk))
+
+    def completer():
+        while True:
+            got = doneq.get()
+            if got is stop:
+                return
+            items, out, dk = got
+            chunk = [p["req"] for p in items]
+            for p, resp in zip(items, responses_for(chunk, out, dk)):
+                p["resp"] = resp
+                p["event"].set()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):   # keep stderr quiet under load
+            pass
+
+        def _send(self, code, data, ctype="application/jsonl"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok\n", "text/plain")
+            else:
+                self._send(404, b"not found\n", "text/plain")
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            body = self.rfile.read(length).decode("utf-8")
+            try:
+                pend = [{"req": json.loads(line), "resp": None,
+                         "event": threading.Event()}
+                        for line in body.splitlines() if line.strip()]
+            except json.JSONDecodeError as e:
+                self._send(400, f"bad request line: {e}\n".encode(),
+                           "text/plain")
+                return
+            if not pend:
+                self._send(400, b"empty body\n", "text/plain")
+                return
+            for p in pend:
+                reqq.put(p)
+            ok = all(p["event"].wait(timeout=600.0) for p in pend)
+            if not ok:
+                self._send(503, b"timed out\n", "text/plain")
+                return
+            out = "".join(json.dumps(p["resp"]) + "\n" for p in pend)
+            self._send(200, out.encode("utf-8"))
+
+    host, _, port = args.listen.rpartition(":")
+    server = ThreadingHTTPServer((host or "127.0.0.1", int(port)), Handler)
+    threads = [threading.Thread(target=dispatcher, daemon=True),
+               threading.Thread(target=completer, daemon=True)]
+    for t in threads:
+        t.start()
+    print(f"[serve] listening on http://{server.server_address[0]}:"
+          f"{server.server_address[1]} (batch {bs}, "
+          f"window {args.max_wait_ms} ms)", file=sys.stderr)
+    if server_ready is not None:
+        server_ready(server)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        reqq.put(stop)
+        for t in threads:
+            t.join(timeout=30)
+        server.server_close()
+
+
+def main(argv=None, _server_ready=None):
+    """``_server_ready``: test hook — called with the HTTPServer instance
+    (from the serving thread) once ``--listen`` is bound, so a test can
+    issue requests and ``shutdown()`` it."""
     args = build_parser().parse_args(argv)
     import jax
 
@@ -224,10 +376,6 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint for epoch {epoch!r} under "
                          f"{args.output_path}/model")
 
-    src = sys.stdin if args.input == "-" else open(args.input,
-                                                  encoding="utf-8")
-    sink = sys.stdout if args.output == "-" else open(args.output, "w",
-                                                      encoding="utf-8")
     bs = args.batch_size
     detok = vocab.detokenizer()
     from ..train.trainer import Trainer
@@ -277,6 +425,16 @@ def main(argv=None):
             resps.append(resp)
         served += len(chunk)
         return resps
+
+    if args.listen:
+        _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
+                    lambda: params, vocab, _server_ready)
+        return
+
+    src = sys.stdin if args.input == "-" else open(args.input,
+                                                  encoding="utf-8")
+    sink = sys.stdout if args.output == "-" else open(args.output, "w",
+                                                      encoding="utf-8")
 
     # streaming loop: consume batch_size chunks as they arrive, keep up to
     # pipeline_depth batches in flight, flush each chunk's responses as

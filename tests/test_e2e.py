@@ -157,6 +157,88 @@ def test_serve_cli(workspace, tmp_path):
     assert len(olines[2]["ranking"]) == 2
 
 
+def test_serve_http(workspace, tmp_path):
+    """--listen: HTTP micro-batching server — health check, concurrent
+    JSONL POSTs coalesced into device batches, clean shutdown."""
+    import threading
+    import urllib.error
+    import urllib.request
+    from case_rg_tpu.cli.run import main as run_main
+    from case_rg_tpu.cli.serve import main as serve_main
+    root = workspace
+    out = str(tmp_path / "out_http")
+    run_main(_run_args(root, out, "case", "train", ["--epoch", "1"]))
+
+    holder = {}
+    ready = threading.Event()
+
+    def on_ready(server):
+        holder["server"] = server
+        ready.set()
+
+    argv = ["--model", "case",
+            "--prepared_dir", os.path.join(root, "toy", "prepared"),
+            "--output_path", out, "--batch_size", "4",
+            "--embedding_size", "16", "--hidden_size", "16",
+            "--num_heads", "2", "--max_target_length", "8",
+            "--query_len", "24", "--passage_len", "24", "--num_passage", "4",
+            "--pool_buckets", "2,4",
+            "--listen", "127.0.0.1:0", "--max_wait_ms", "50"]
+    t = threading.Thread(target=serve_main, args=(argv,),
+                         kwargs={"_server_ready": on_ready}, daemon=True)
+    t.start()
+    assert ready.wait(timeout=60), "server did not come up"
+    host, port = holder["server"].server_address[:2]
+    base = f"http://{host}:{port}"
+
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert r.read() == b"ok\n"
+
+    def post(lines):
+        data = "".join(json.dumps(x) + "\n" for x in lines).encode()
+        req = urllib.request.Request(base + "/", data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            return [json.loads(l) for l in r.read().decode().splitlines()]
+
+    ra = {"id": "a1", "query": "what is kinetic energy ?",
+          "passages": ["kinetic energy is the energy of motion .",
+                       "whales are large ocean mammals ."]}
+    rb = {"id": "b1", "query": "how big are whales ?",
+          "passages": ["whales are large ocean mammals ."]}
+    results = {}
+
+    def worker(name, lines):
+        results[name] = post(lines)
+
+    threads = [threading.Thread(target=worker, args=("a", [ra])),
+               threading.Thread(target=worker, args=("b", [rb]))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert [x["id"] for x in results["a"]] == ["a1"]
+    assert [x["id"] for x in results["b"]] == ["b1"]
+    assert sorted(results["a"][0]["ranking"]) == [0, 1]
+    assert results["b"][0]["ranking"] == [0]
+    assert all(isinstance(x["answer"], str) for x in results["a"] + results["b"])
+
+    # malformed request -> 400, server stays healthy
+    bad = urllib.request.Request(base + "/", data=b"{not json}\n",
+                                 method="POST")
+    try:
+        urllib.request.urlopen(bad, timeout=30)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert r.read() == b"ok\n"
+
+    holder["server"].shutdown()
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+
 def test_orbax_sampling_fastrng_pipeline(workspace, tmp_path):
     """New CLI surfaces: --ckpt_backend orbax (train + auto-detect at test),
     --decoding sample, --fast_rng (hardware RNG for dropout)."""
