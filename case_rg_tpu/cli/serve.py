@@ -43,7 +43,10 @@ passages, i.e. the model scores exactly the provided pool — answers can
 differ slightly from padded-pool serving (the dummy rows the offline
 pipeline pads with participate in the passage-selection prior). Output
 order is preserved via a reorder buffer; a part-filled bucket dispatches
-only when full or at end of input.
+when full, when ``--bucket_flush_after`` newer requests have streamed past
+its oldest entry (bounded latency for stdin pipes), or at end of input.
+``--num_passage`` always joins as the largest bucket, so pools bigger than
+every listed bucket are scored at the full pool size.
 
 ``--listen HOST:PORT`` turns the CLI into an HTTP micro-batching server
 (zero dependencies — stdlib http.server): POST JSONL request lines to
@@ -123,6 +126,16 @@ def build_parser():
                    help="micro-batching window: how long the HTTP "
                         "dispatcher waits to fill a batch after the first "
                         "queued request")
+    p.add_argument("--request_timeout", type=float, default=1800.0,
+                   help="HTTP mode: seconds a request waits for its result "
+                        "before a 503 (must cover the first request's "
+                        "compile: 200-500 s per pool bucket on TPU)")
+    p.add_argument("--bucket_flush_after", type=int, default=0,
+                   help="offline --pool_buckets: dispatch a part-filled "
+                        "bucket once this many newer requests have been "
+                        "read since its oldest entry (bounds latency and "
+                        "reorder-buffer growth for streaming stdin input; "
+                        "0 = 2x batch_size)")
     return p
 
 
@@ -182,23 +195,21 @@ def _chunk_to_batch(chunk: List[dict], model: str, vocab: Vocabulary,
     return batch
 
 
+def _read_requests(src):
+    for line in src:
+        if line.strip():
+            yield json.loads(line)
+
+
 def _read_chunks(src, size: int):
     chunk: List[dict] = []
-    for line in src:
-        if not line.strip():
-            continue
-        chunk.append(json.loads(line))
+    for req in _read_requests(src):
+        chunk.append(req)
         if len(chunk) == size:
             yield chunk
             chunk = []
     if chunk:
         yield chunk
-
-
-def _read_requests(src):
-    for line in src:
-        if line.strip():
-            yield json.loads(line)
 
 
 def _bucket_for(n_passages: int, buckets: List[int]) -> int:
@@ -208,6 +219,17 @@ def _bucket_for(n_passages: int, buckets: List[int]) -> int:
         if n_passages <= b:
             return b
     return buckets[-1]
+
+
+def _parse_buckets(spec: str, num_passage: int) -> List[int]:
+    """Parse --pool_buckets; ``num_passage`` always joins as the largest
+    bucket so pools bigger than every listed bucket are still scored at
+    the full configured pool size (not silently truncated)."""
+    buckets = {int(x) for x in spec.split(",") if x}
+    if any(b <= 0 for b in buckets):
+        raise SystemExit("--pool_buckets entries must be positive")
+    buckets.add(num_passage)
+    return sorted(buckets)
 
 
 def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
@@ -228,12 +250,25 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     bs = args.batch_size
-    buckets = sorted({int(x) for x in args.pool_buckets.split(",") if x})
+    buckets = _parse_buckets(args.pool_buckets, dcfg.num_passage) \
+        if args.pool_buckets else []
     dcfgs = {k: dataclasses.replace(dcfg, num_passage=k) for k in buckets}
+    arrival = iter(range(1 << 62))   # fallback ids = arrival order
+    arrival_lock = threading.Lock()
 
     reqq: queue.Queue = queue.Queue()
     doneq: queue.Queue = queue.Queue(maxsize=max(args.pipeline_depth, 1))
     stop = object()
+
+    def fail_items(items, exc):
+        # a bad request must not kill the serving threads: release its
+        # waiters with an error payload and keep going
+        print(f"[serve] batch failed: {exc!r}", file=sys.stderr)
+        for p in items:
+            p["resp"] = {"id": p["req"].get("id", p["seq"])
+                         if isinstance(p["req"], dict) else p["seq"],
+                         "error": str(exc)}
+            p["event"].set()
 
     def dispatcher():
         while True:
@@ -242,9 +277,9 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
                 doneq.put(stop)
                 return
             items = [item]
-            deadline = time.time() + args.max_wait_ms / 1000.0
+            deadline = time.monotonic() + args.max_wait_ms / 1000.0
             while len(items) < bs:
-                t = deadline - time.time()
+                t = deadline - time.monotonic()
                 if t <= 0:
                     break
                 try:
@@ -255,16 +290,20 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
                     reqq.put(stop)   # re-queue: stop after this batch
                     break
                 items.append(nxt)
-            chunk = [p["req"] for p in items]
-            if buckets:
-                k = _bucket_for(max(len(r.get("passages", []))
-                                    for r in chunk), buckets)
-                dk = dcfgs[k]
-            else:
-                dk = dcfg
-            batch = _chunk_to_batch(chunk, args.model, vocab, dk, bs)
-            ensure_params(batch)
-            doneq.put((items, predict_fn({"params": get_params()}, batch), dk))
+            try:
+                chunk = [p["req"] for p in items]
+                if buckets:
+                    k = _bucket_for(max(len(r.get("passages", []))
+                                        for r in chunk), buckets)
+                    dk = dcfgs[k]
+                else:
+                    dk = dcfg
+                batch = _chunk_to_batch(chunk, args.model, vocab, dk, bs)
+                ensure_params(batch)
+                doneq.put((items, predict_fn({"params": get_params()}, batch),
+                           dk))
+            except Exception as e:   # malformed request, featurize error, ...
+                fail_items(items, e)
 
     def completer():
         while True:
@@ -272,10 +311,15 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
             if got is stop:
                 return
             items, out, dk = got
-            chunk = [p["req"] for p in items]
-            for p, resp in zip(items, responses_for(chunk, out, dk)):
-                p["resp"] = resp
-                p["event"].set()
+            try:
+                chunk = [p["req"] for p in items]
+                seqs = [p["seq"] for p in items]
+                resps = responses_for(chunk, out, dk, default_ids=seqs)
+                for p, resp in zip(items, resps):
+                    p["resp"] = resp
+                    p["event"].set()
+            except Exception as e:   # device failure must not strand waiters
+                fail_items(items, e)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):   # keep stderr quiet under load
@@ -298,19 +342,24 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
             length = int(self.headers.get("Content-Length", 0) or 0)
             body = self.rfile.read(length).decode("utf-8")
             try:
-                pend = [{"req": json.loads(line), "resp": None,
-                         "event": threading.Event()}
-                        for line in body.splitlines() if line.strip()]
-            except json.JSONDecodeError as e:
+                reqs = [json.loads(line) for line in body.splitlines()
+                        if line.strip()]
+                if not all(isinstance(r, dict) for r in reqs):
+                    raise ValueError("each line must be a JSON object")
+            except (json.JSONDecodeError, ValueError) as e:
                 self._send(400, f"bad request line: {e}\n".encode(),
                            "text/plain")
                 return
-            if not pend:
+            if not reqs:
                 self._send(400, b"empty body\n", "text/plain")
                 return
+            with arrival_lock:
+                pend = [{"req": r, "resp": None, "seq": next(arrival),
+                         "event": threading.Event()} for r in reqs]
             for p in pend:
                 reqq.put(p)
-            ok = all(p["event"].wait(timeout=600.0) for p in pend)
+            ok = all(p["event"].wait(timeout=args.request_timeout)
+                     for p in pend)
             if not ok:
                 self._send(503, b"timed out\n", "text/plain")
                 return
@@ -462,11 +511,13 @@ def main(argv=None, _server_ready=None):
         # per static pool size (jit caches by shape); input order restored
         # by a seqno reorder buffer before writing
         import dataclasses
-        buckets = sorted({int(x) for x in args.pool_buckets.split(",") if x})
-        if any(b <= 0 for b in buckets):
-            raise SystemExit("--pool_buckets entries must be positive")
+        buckets = _parse_buckets(args.pool_buckets, dcfg.num_passage)
         dcfgs = {k: dataclasses.replace(dcfg, num_passage=k)
                  for k in buckets}
+        # a part-filled bucket dispatches once flush_after newer requests
+        # have been read past its oldest entry: bounds response latency and
+        # reorder-buffer growth when streaming from a long-lived stdin pipe
+        flush_after = args.bucket_flush_after or 2 * bs
         accum: Dict[int, List] = {k: [] for k in buckets}  # (seq, req)
         pending: Dict[int, dict] = {}
         next_emit = 0
@@ -506,6 +557,9 @@ def main(argv=None, _server_ready=None):
             accum[k].append((seq, req))
             if len(accum[k]) == bs:
                 dispatch(k)
+            for j in buckets:   # age out part-filled buckets
+                if accum[j] and seq - accum[j][0][0] >= flush_after:
+                    dispatch(j)
         for k in buckets:
             if accum[k]:
                 dispatch(k)

@@ -156,6 +156,15 @@ def test_serve_cli(workspace, tmp_path):
     assert len(olines[1]["ranking"]) == 1
     assert len(olines[2]["ranking"]) == 2
 
+    # --bucket_flush_after: part-filled buckets age out early; per-request
+    # results are independent of chunk grouping, so output is identical
+    flush_path = str(tmp_path / "resp_flush.jsonl")
+    serve_main(common + ["--input", req2_path, "--output", flush_path,
+                         "--batch_size", "2", "--num_passage", "4",
+                         "--pool_buckets", "2,4",
+                         "--bucket_flush_after", "1"])
+    assert [json.loads(l) for l in open(flush_path)] == olines
+
 
 def test_serve_http(workspace, tmp_path):
     """--listen: HTTP micro-batching server — health check, concurrent
@@ -231,6 +240,19 @@ def test_serve_http(workspace, tmp_path):
         assert False, "expected HTTP 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+    # non-object line -> 400 before it reaches the dispatcher
+    bad2 = urllib.request.Request(base + "/", data=b"42\n", method="POST")
+    try:
+        urllib.request.urlopen(bad2, timeout=30)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # structurally-bad but valid-JSON object: error payload, not a wedged
+    # dispatcher — and the server still answers real requests afterwards
+    errs = post([{"id": "x1", "passages": 42}])
+    assert errs[0]["id"] == "x1" and "error" in errs[0]
+    again = post([rb])
+    assert again[0]["id"] == "b1" and again[0]["ranking"] == [0]
     with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
         assert r.read() == b"ok\n"
 

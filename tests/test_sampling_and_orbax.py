@@ -191,12 +191,18 @@ def test_serve_chunking_helpers(tmp_path):
     vocab = Vocabulary.build_from_texts([["a", "b", "c", "d"]])
     dcfg = DataConfig(query_len=8, passage_len=8, num_passage=2,
                       answer_len=4)
-    from case_rg_tpu.cli.serve import _bucket_for
+    from case_rg_tpu.cli.serve import _bucket_for, _parse_buckets
     assert _bucket_for(0, [2, 5, 10]) == 2
     assert _bucket_for(2, [2, 5, 10]) == 2
     assert _bucket_for(3, [2, 5, 10]) == 5
     assert _bucket_for(10, [2, 5, 10]) == 10
     assert _bucket_for(17, [2, 5, 10]) == 10   # truncated to the largest
+    # num_passage always joins as the largest bucket
+    assert _parse_buckets("2,5", 10) == [2, 5, 10]
+    assert _parse_buckets("2,10", 10) == [2, 10]
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        _parse_buckets("0,4", 10)
 
     batch = _chunk_to_batch(chunks[2], "case", vocab, dcfg, bs=4)
     assert batch["query"].shape == (4, 1, 8)
