@@ -450,6 +450,11 @@ def main(argv=None, _server_ready=None):
         if args.bf16:
             from ..train.precision import cast_params
             params = cast_params(params)
+        # commit the tree to the device ONCE: host-numpy params would be
+        # re-uploaded on every predict call (~tens of MB through the relay
+        # per batch — measured as a 30x serving slowdown by
+        # tools/exp_http_load.py before this device_put)
+        params = jax.device_put(params)
 
     def responses_for(chunk, out, dcfg_k, default_ids=None) -> List[dict]:
         nonlocal served
