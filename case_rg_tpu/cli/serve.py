@@ -50,7 +50,9 @@ every listed bucket are scored at the full pool size.
 
 ``--listen HOST:PORT`` turns the CLI into an HTTP micro-batching server
 (zero dependencies — stdlib http.server): POST JSONL request lines to
-``/``, receive JSONL responses; GET ``/healthz`` for liveness. Concurrent
+``/``, receive JSONL responses; GET ``/healthz`` for liveness and
+``/varz`` for serving stats (requests, batches, occupancy, batch
+latency, errors). Concurrent
 client requests are coalesced into device batches (``--max_wait_ms``
 window, ``--batch_size`` cap) with pipelined dispatch, composing with
 ``--pool_buckets`` (each coalesced batch runs at the smallest static pool
@@ -255,6 +257,9 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
     dcfgs = {k: dataclasses.replace(dcfg, num_passage=k) for k in buckets}
     arrival = iter(range(1 << 62))   # fallback ids = arrival order
     arrival_lock = threading.Lock()
+    stats = {"requests": 0, "batches": 0, "errors": 0,
+             "batch_rows": 0, "batch_seconds": 0.0}
+    stats_lock = threading.Lock()
 
     reqq: queue.Queue = queue.Queue()
     doneq: queue.Queue = queue.Queue(maxsize=max(args.pipeline_depth, 1))
@@ -264,6 +269,8 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
         # a bad request must not kill the serving threads: release its
         # waiters with an error payload and keep going
         print(f"[serve] batch failed: {exc!r}", file=sys.stderr)
+        with stats_lock:
+            stats["errors"] += len(items)
         for p in items:
             p["resp"] = {"id": p["req"].get("id", p["seq"])
                          if isinstance(p["req"], dict) else p["seq"],
@@ -301,7 +308,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
                 batch = _chunk_to_batch(chunk, args.model, vocab, dk, bs)
                 ensure_params(batch)
                 doneq.put((items, predict_fn({"params": get_params()}, batch),
-                           dk))
+                           dk, time.monotonic()))
             except Exception as e:   # malformed request, featurize error, ...
                 fail_items(items, e)
 
@@ -310,7 +317,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
             got = doneq.get()
             if got is stop:
                 return
-            items, out, dk = got
+            items, out, dk, t_dispatch = got
             try:
                 chunk = [p["req"] for p in items]
                 seqs = [p["seq"] for p in items]
@@ -318,6 +325,11 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
                 for p, resp in zip(items, resps):
                     p["resp"] = resp
                     p["event"].set()
+                with stats_lock:
+                    stats["requests"] += len(items)
+                    stats["batches"] += 1
+                    stats["batch_rows"] += len(items)
+                    stats["batch_seconds"] += time.monotonic() - t_dispatch
             except Exception as e:   # device failure must not strand waiters
                 fail_items(items, e)
 
@@ -335,6 +347,20 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, b"ok\n", "text/plain")
+            elif self.path == "/varz":
+                with stats_lock:
+                    n, b_ = stats["requests"], stats["batches"]
+                    varz = {"requests_served": n, "batches": b_,
+                            "errors": stats["errors"],
+                            "mean_batch_occupancy":
+                                round(stats["batch_rows"] / b_, 2) if b_ else 0,
+                            "mean_batch_seconds":
+                                round(stats["batch_seconds"] / b_, 4)
+                                if b_ else 0,
+                            "batch_size": bs, "pool_buckets": buckets,
+                            "max_wait_ms": args.max_wait_ms}
+                self._send(200, (json.dumps(varz) + "\n").encode(),
+                           "application/json")
             else:
                 self._send(404, b"not found\n", "text/plain")
 

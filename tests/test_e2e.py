@@ -255,6 +255,12 @@ def test_serve_http(workspace, tmp_path):
     assert again[0]["id"] == "b1" and again[0]["ranking"] == [0]
     with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
         assert r.read() == b"ok\n"
+    with urllib.request.urlopen(base + "/varz", timeout=30) as r:
+        varz = json.loads(r.read().decode())
+    assert varz["requests_served"] >= 3
+    assert varz["errors"] >= 1
+    assert varz["batches"] >= 2
+    assert varz["mean_batch_occupancy"] >= 1
 
     holder["server"].shutdown()
     t.join(timeout=60)
