@@ -468,9 +468,12 @@ def main(argv=None, _server_ready=None):
         nonlocal params
         if params is not None:
             return
-        # first chunk: init a state template and load the checkpoint
-        template = jax.device_get(trainer.init_state(
-            jax.random.PRNGKey(0), batch))
+        # first chunk: build the restore template WITHOUT computing —
+        # eval_shape traces init_state abstractly (flax/orbax restore only
+        # need the tree structure + shapes), skipping the full train-losses
+        # init compile that used to dominate serving cold-start
+        template = jax.eval_shape(
+            lambda: trainer.init_state(jax.random.PRNGKey(0), batch))
         state = load_checkpoint(args.output_path, epoch, template)
         params = state.ema if args.ema else state.params
         if args.bf16:

@@ -175,6 +175,44 @@ def test_checkpoint_backend_autodetect(tmp_path):
                                       np.asarray(host.step))
 
 
+def test_restore_with_eval_shape_template(tmp_path):
+    """Checkpoint restore accepts a compute-free jax.eval_shape template
+    (what cli/serve.ensure_params builds instead of running the full init
+    on device) — both msgpack and orbax backends."""
+    import jax
+    import jax.numpy as jnp
+    from case_rg_tpu.config import ModelConfig, TrainConfig
+    from case_rg_tpu.models import create_model
+    from case_rg_tpu.train.trainer import Trainer
+    from case_rg_tpu.train.checkpoint import (load_checkpoint,
+                                              save_checkpoint,
+                                              wait_for_checkpoints)
+
+    cfg = ModelConfig(name="s2sa", vocab_size=64, embedding_size=8,
+                      hidden_size=8, num_heads=2, max_dec_len=4)
+    model = create_model("s2sa", cfg)
+    rng = np.random.RandomState(0)
+    batch = {"context": jnp.asarray(rng.randint(4, 64, (2, 6)), jnp.int32),
+             "background": jnp.asarray(rng.randint(4, 64, (2, 8)), jnp.int32),
+             "response": jnp.asarray(rng.randint(4, 64, (2, 4)), jnp.int32),
+             "sample_weight": jnp.ones((2,), jnp.float32)}
+    tr = Trainer(model, TrainConfig(batch_size=2, output_path=str(tmp_path)),
+                 total_steps=4)
+    state = tr.init_state(jax.random.PRNGKey(0), batch)
+    host = jax.device_get(state)
+    tmpl = jax.eval_shape(lambda: tr.init_state(jax.random.PRNGKey(0), batch))
+
+    for backend in ("msgpack", "orbax"):
+        out = str(tmp_path / backend)
+        save_checkpoint(out, 0, host, backend=backend)
+        wait_for_checkpoints()
+        restored = load_checkpoint(out, 0, tmpl)
+        a = jax.tree_util.tree_leaves(restored.params)
+        b = jax.tree_util.tree_leaves(host.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_serve_chunking_helpers(tmp_path):
     """cli/serve streaming helpers: chunk framing and padded batches."""
     import io
