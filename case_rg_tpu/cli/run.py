@@ -64,6 +64,13 @@ def build_parser():
                    help="orbax: async + sharded checkpoints")
     p.add_argument("--fast_argmax", action="store_true",
                    help="scatter-free decode argmax (candidate-set; serving)")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="sampling temperature (--decoding sample); 1.0 "
+                        "keeps the reference-parity sampler")
+    p.add_argument("--top_k", type=int, default=0,
+                   help="top-k sampling cutoff (0 = off)")
+    p.add_argument("--top_p", type=float, default=1.0,
+                   help="nucleus sampling mass (1.0 = off)")
     p.add_argument("--early_exit", action="store_true",
                    help="stop decoding once every row emitted EOS "
                         "(sentence-identical, faster)")
@@ -168,7 +175,9 @@ def test(args):
                                  args.beam_width, early_exit=args.early_exit,
                                  fast_argmax=args.fast_argmax,
                                  decoding=args.decoding,
-                                 sample_seed=args.seed)
+                                 sample_seed=args.seed,
+                                 temperature=args.temperature,
+                                 top_k=args.top_k, top_p=args.top_p)
 
     splits = []
     for split in ("dev", "test"):

@@ -30,6 +30,34 @@ import jax.numpy as jnp
 StepFn = Callable[[object, jnp.ndarray], Tuple[jnp.ndarray, object]]
 
 
+def sampling_controls(logits: jnp.ndarray, temperature: float = 1.0,
+                      top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:
+    """Standard sampling controls on [B, V] f32 logits (all opt-in; the
+    defaults are identity). Order: temperature -> top-k -> nucleus (top-p),
+    masked positions set to -inf. The reference has no sampling controls
+    (its sampler is plain Categorical — common/Utils.py:90-95), so this is
+    a capability extension, gated off by default for parity."""
+    neg = jnp.asarray(-1e30, logits.dtype)
+    if temperature != 1.0:
+        logits = logits / jnp.asarray(temperature, logits.dtype)
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        v = logits.shape[-1]
+        sorted_logits, sorted_idx = jax.lax.top_k(logits, v)   # descending
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose cumulative mass BEFORE them is < top_p
+        # (always keeps the most-probable token)
+        keep_sorted = (cum - probs) < top_p
+        keep = jnp.zeros(logits.shape, bool)
+        rows = jnp.arange(logits.shape[0])[:, None]
+        keep = keep.at[rows, sorted_idx].set(keep_sorted)
+        logits = jnp.where(keep, logits, neg)
+    return logits
+
+
 def run_greedy(step_fn: StepFn, init_state, batch_size: int, max_len: int,
                bos: int, eos: int, unk: int, pad: int = 0,
                early_exit: bool = False) -> jnp.ndarray:
@@ -75,20 +103,35 @@ def run_greedy(step_fn: StepFn, init_state, batch_size: int, max_len: int,
 
 
 def run_sample(step_fn: StepFn, init_state, batch_size: int, max_len: int,
-               bos: int, eos: int, unk: int, pad: int, rng: jax.Array
+               bos: int, eos: int, unk: int, pad: int, rng: jax.Array,
+               temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0
                ) -> jnp.ndarray:
     """Categorical sampling over softmax(scores) with the reference's
-    bookkeeping (sample:47-58): last step forces EOS (or PAD if ended)."""
+    bookkeeping (sample:47-58): last step forces EOS (or PAD if ended).
+
+    With any control set (temperature/top_k/top_p), sampling switches to
+    the STANDARD distribution — ``categorical(controls(log_softmax))`` —
+    instead of the reference's double-softmax quirk below; the defaults
+    keep the quirk for parity."""
+    controlled = temperature != 1.0 or top_k > 0 or top_p < 1.0
+
     def body(carry, inp):
         t, key = inp
         state, prev, ended = carry
         scores, state = step_fn(state, prev)
-        # NB: the reference double-softmaxes — Generations.py:41 applies
-        # F.softmax to the model scores and Categorical(logits=...) then
-        # softmaxes again (common/Utils.py:90-95). Reproduced by softmaxing
-        # once here and letting categorical() apply the second.
-        idx = jax.random.categorical(key, jax.nn.softmax(scores, axis=-1)
-                                     ).astype(jnp.int32)
+        if controlled:
+            logits = sampling_controls(
+                jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1),
+                temperature, top_k, top_p)
+            idx = jax.random.categorical(key, logits).astype(jnp.int32)
+        else:
+            # NB: the reference double-softmaxes — Generations.py:41 applies
+            # F.softmax to the model scores and Categorical(logits=...) then
+            # softmaxes again (common/Utils.py:90-95). Reproduced by
+            # softmaxing once here and letting categorical() apply the
+            # second.
+            idx = jax.random.categorical(key, jax.nn.softmax(scores, axis=-1)
+                                         ).astype(jnp.int32)
         this_end = idx == eos
         idx = jnp.where((t == 0) & this_end, unk, idx)
         idx = jnp.where(t == max_len - 1, eos, idx)

@@ -127,16 +127,20 @@ class CaSEModel(nn.Module):
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
                 fast_argmax: bool = False,
                 beam_width: int = 1,
-                sample_rng=None) -> Dict[str, jnp.ndarray]:
+                sample_rng=None, temperature: float = 1.0, top_k: int = 0,
+                top_p: float = 1.0) -> Dict[str, jnp.ndarray]:
         """(ref: CaSE/Model.py:313-331 do_test); ``sample_rng`` switches to
-        categorical sampling (capability beyond the reference)."""
+        categorical sampling (capability beyond the reference), with
+        optional temperature/top_k/top_p controls."""
         st = self.stages(batch, deterministic=True)
         memories, keeps, weights, src_ids, answer_rep = \
             self._decoder_inputs(batch, st)
         if sample_rng is not None:
             ids = self.decoder.sample(memories, keeps, weights, src_ids,
                                       max_len, sample_rng, feature=answer_rep,
-                                      unk_id=self.cfg.unk_id)
+                                      unk_id=self.cfg.unk_id,
+                                      temperature=temperature, top_k=top_k,
+                                      top_p=top_p)
         elif beam_width > 1:
             ids = self.decoder.beam(memories, keeps, weights, src_ids,
                                     max_len, beam_width, feature=answer_rep)

@@ -84,16 +84,20 @@ class MasqueModel(nn.Module):
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
                 fast_argmax: bool = False,
                 beam_width: int = 1,
-                sample_rng=None) -> Dict[str, jnp.ndarray]:
+                sample_rng=None, temperature: float = 1.0, top_k: int = 0,
+                top_p: float = 1.0) -> Dict[str, jnp.ndarray]:
         """(ref: Masque/Model.py:260-277 do_test); ``sample_rng`` switches to
-        categorical sampling (capability beyond the reference)."""
+        categorical sampling (capability beyond the reference), with
+        optional temperature/top_k/top_p controls."""
         score, q_reps, p_reps = self._select(batch, deterministic=True)
         memories, keeps, weights, src_ids = self._decoder_inputs(
             batch, score, q_reps, p_reps)
         if sample_rng is not None:
             ids = self.decoder.sample(memories, keeps, weights, src_ids,
                                       max_len, sample_rng,
-                                      unk_id=self.cfg.unk_id)
+                                      unk_id=self.cfg.unk_id,
+                                      temperature=temperature, top_k=top_k,
+                                      top_p=top_p)
         elif beam_width > 1:
             ids = self.decoder.beam(memories, keeps, weights, src_ids,
                                     max_len, beam_width)

@@ -278,14 +278,18 @@ class MultiMemoryDecoder(nn.Module):
 
     def sample(self, memories, mem_keeps, weights, src_ids, max_len: int,
                rng, feature: Optional[jnp.ndarray] = None,
-               unk_id: int = 2) -> jnp.ndarray:
+               unk_id: int = 2, temperature: float = 1.0, top_k: int = 0,
+               top_p: float = 1.0) -> jnp.ndarray:
         """Samples each step from the extended (copy-mixed) distribution,
         with the same EOS bookkeeping as decode/loops.run_sample: an EOS at
         t=0 is rewritten to UNK, the final step forces EOS, and positions
         after a row's EOS emit PAD (ref bookkeeping: common/Generations.py
         sample:47-58; the reference never samples CaSE/Masque, so the
         distribution choice — the model's actual output distribution, no
-        double softmax — is ours)."""
+        double softmax — is ours). temperature/top_k/top_p apply the
+        standard controls (decode/loops.sampling_controls) on the log of
+        the extended distribution; defaults are identity."""
+        from ..decode.loops import sampling_controls
         b = memories[0].shape[0]
         cross, key_projs, feat = self._decode_precompute(memories, feature)
         caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
@@ -298,9 +302,9 @@ class MultiMemoryDecoder(nn.Module):
                 caches, prev, hist, t, cross, key_projs, feat, memories,
                 mem_keeps, weights)
             dist = self._extend_dist(gen, mix_p, ps, src_ids)
-            nxt = jax.random.categorical(
-                key, jnp.log(dist[:, 0].astype(jnp.float32) + 1e-10)
-            ).astype(jnp.int32)
+            logits = jnp.log(dist[:, 0].astype(jnp.float32) + 1e-10)
+            logits = sampling_controls(logits, temperature, top_k, top_p)
+            nxt = jax.random.categorical(key, logits).astype(jnp.int32)
             this_end = nxt == self.eos_id
             nxt = jnp.where((t == 0) & this_end, unk_id, nxt)
             nxt = jnp.where(t == max_len - 1, self.eos_id, nxt)

@@ -65,7 +65,8 @@ def beam_predict(model, params, batch: Dict[str, jnp.ndarray], max_len: int,
 
 
 def sample_predict(model, params, batch, max_len: int, rng,
-                   enc=None) -> jnp.ndarray:
+                   enc=None, temperature: float = 1.0, top_k: int = 0,
+                   top_p: float = 1.0) -> jnp.ndarray:
     cfg = model.cfg
     enc, state = _enc_and_state(model, params, batch, enc)
     b = jax.tree_util.tree_leaves(state)[0].shape[0]
@@ -76,4 +77,5 @@ def sample_predict(model, params, batch, max_len: int, rng,
         return scores, state
 
     return run_sample(step, state, b, max_len, cfg.bos_id, cfg.eos_id,
-                      cfg.unk_id, cfg.pad_id, rng)
+                      cfg.unk_id, cfg.pad_id, rng,
+                      temperature=temperature, top_k=top_k, top_p=top_p)

@@ -26,7 +26,9 @@ PROTOCOL_MODELS = ("s2sa", "gttp", "glks", "tmemnet")
 def make_predict_fn(model, cfg: ModelConfig, max_len: int,
                     beam_width: int = 1, early_exit: bool = False,
                     fast_argmax: bool = False, decoding: str = "greedy",
-                    sample_seed: int = 0) -> Callable[[dict, dict], Dict]:
+                    sample_seed: int = 0, temperature: float = 1.0,
+                    top_k: int = 0, top_p: float = 1.0
+                    ) -> Callable[[dict, dict], Dict]:
     name = cfg.name
 
     if decoding == "sample":
@@ -41,7 +43,8 @@ def make_predict_fn(model, cfg: ModelConfig, max_len: int,
         if name in ("masque", "case"):
             def inner(variables, batch, rng):
                 return model.apply(variables, batch, max_len=max_len,
-                                   sample_rng=rng,
+                                   sample_rng=rng, temperature=temperature,
+                                   top_k=top_k, top_p=top_p,
                                    method=type(model).predict)
         else:
             def inner(variables, batch, rng):
@@ -52,7 +55,8 @@ def make_predict_fn(model, cfg: ModelConfig, max_len: int,
                     enc = model.apply(variables, batch,
                                       method=type(model).encode)
                 ids = sample_predict(model, variables, batch, max_len, rng,
-                                     enc=enc)
+                                     enc=enc, temperature=temperature,
+                                     top_k=top_k, top_p=top_p)
                 out = {"answer": ids}
                 if name == "tmemnet":
                     out["rank"] = enc["ck_attn"]

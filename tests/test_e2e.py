@@ -62,6 +62,10 @@ def test_case_full_pipeline(workspace, tmp_path):
 
     run_main(_run_args(root, out, "case", "train", ["--epoch", "1"]))
     run_main(_run_args(root, out, "case", "test", ["--epoch", "1"]))
+    # multimem sampling with controls (CaSE decoder path)
+    run_main(_run_args(root, out, "case", "test",
+                       ["--epoch", "1", "--decoding", "sample",
+                        "--temperature", "0.8", "--top_p", "0.9"]))
     report = eval_main(["--model", "case", "--data_path", root,
                         "--datasets", "toy", "--output_path", out])
     toy = report["toy"]
@@ -288,6 +292,10 @@ def test_orbax_sampling_fastrng_pipeline(workspace, tmp_path):
                        ["--decoding", "sample"]))
     files = os.listdir(os.path.join(out, "result"))
     assert any(f.endswith(".answer") for f in files)
+    # sampling controls (temperature / top-k / nucleus) through the CLI
+    run_main(_run_args(root, out, "s2sa", "test",
+                       ["--decoding", "sample", "--temperature", "0.7",
+                        "--top_k", "5", "--top_p", "0.9"]))
 
 
 def test_train_resume(workspace, tmp_path):

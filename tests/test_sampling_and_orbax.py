@@ -175,6 +175,34 @@ def test_checkpoint_backend_autodetect(tmp_path):
                                       np.asarray(host.step))
 
 
+def test_sampling_controls():
+    """decode/loops.sampling_controls: identity defaults, temperature,
+    top-k mask, nucleus mass (always keeps the argmax)."""
+    import jax.numpy as jnp
+    from case_rg_tpu.decode.loops import sampling_controls
+
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0],
+                          [3.0, 2.0, 1.0, 0.0]], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(sampling_controls(logits)),
+                                  np.asarray(logits))
+    np.testing.assert_allclose(
+        np.asarray(sampling_controls(logits, temperature=2.0)),
+        np.asarray(logits) / 2.0)
+    out = np.asarray(sampling_controls(logits, top_k=2))
+    assert (out[0, :2] < -1e29).all() and (out[0, 2:] > -1).all()
+    assert (out[1, 2:] < -1e29).all() and (out[1, :2] > -1).all()
+    out = np.asarray(sampling_controls(logits, top_p=0.1))
+    assert (out[0] > -1e29).sum() == 1 and out[0, 3] > -1e29
+    assert (out[1] > -1e29).sum() == 1 and out[1, 0] > -1e29
+    # softmax([0..3]) cum mass before the last token is ~0.356 < 0.999:
+    # everything stays
+    out = np.asarray(sampling_controls(logits, top_p=0.999))
+    assert (out[0] > -1e29).sum() == 4
+    # combined: temperature + top_k compose
+    out = np.asarray(sampling_controls(logits, temperature=0.5, top_k=1))
+    assert (out[0] > -1e29).sum() == 1 and abs(out[0, 3] - 6.0) < 1e-5
+
+
 def test_restore_with_eval_shape_template(tmp_path):
     """Checkpoint restore accepts a compute-free jax.eval_shape template
     (what cli/serve.ensure_params builds instead of running the full init

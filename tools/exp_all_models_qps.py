@@ -1,0 +1,127 @@
+"""Per-model serving throughput: all six models at full CAsT scale.
+
+bench.py tracks the flagship CaSE number; this measures the same pipelined
+predict (greedy decode [+ rank where the model has a rank head], B=64
+bfloat16, V=30522, d=256, CAsT shapes) for every model family so the
+per-model inference paths all have a recorded number.
+
+Batches come from the REAL featurizers (data/featurize.featurize over
+synthetic word samples drawn from a 30522-token vocab), so shapes and key
+sets are exactly what the CLI produces. Parameters are random normals
+materialized from `jax.eval_shape` shapes (timing is data-independent).
+
+Usage: python tools/exp_all_models_qps.py [B] [iters] [model ...]
+"""
+
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+MODELS = ("case", "masque", "tmemnet", "glks", "gttp", "s2sa")
+
+
+def synth_samples(n, rng, n_passages=10):
+    words = [f"w{i:05d}" for i in range(20000)]
+    query, passage = {}, {}
+    samples = []
+    for i in range(n):
+        qid = f"q{i}"
+        query[qid] = [rng.choice(words) for _ in range(8)] + ["?"]
+        cid = f"q{i}_h0"
+        query[cid] = [rng.choice(words) for _ in range(8)]
+        pool = []
+        for j in range(n_passages):
+            pid = f"p{i}_{j}"
+            passage[pid] = [rng.choice(words) for _ in range(90)] + ["."]
+            pool.append(pid)
+        samples.append({"query_id": qid, "context_id": [cid],
+                        "passage_pool_id": pool, "passage_id": [pool[0]],
+                        "answer": [rng.choice(words) for _ in range(12)]})
+    return samples, query, passage
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    models = sys.argv[3:] or MODELS
+
+    cache_dir = os.path.expanduser("~/.cache/case_rg_tpu_xla")
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from case_rg_tpu.config import DataConfig, ModelConfig
+    from case_rg_tpu.data.featurize import featurize
+    from case_rg_tpu.data.vocab import Vocabulary
+    from case_rg_tpu.models import build_model_cfg, create_model
+    from case_rg_tpu.runtime.inference import make_predict_fn
+    from case_rg_tpu.train.precision import cast_params
+
+    vocab = Vocabulary.load("/tmp/http_bench/prepared/vocab.txt")
+    dcfg = DataConfig(query_len=60, passage_len=100, num_passage=10,
+                      answer_len=40)
+    base = ModelConfig(embedding_size=256, hidden_size=256, num_heads=8,
+                       max_target_length=40, max_dec_len=40)
+    rng = random.Random(0)
+    print(f"devices={jax.devices()} B={B} iters={iters}")
+
+    for name in models:
+        mcfg = build_model_cfg(base, name, vocab)
+        model = create_model(name, mcfg)
+        samples, query, passage = synth_samples(B, rng)
+        arrays = featurize(name, samples, query, passage, vocab, {}, dcfg)
+        init_batch = {k: jnp.asarray(v) for k, v in arrays.items()
+                      if k != "id"}
+        if "passage_labels" in init_batch:
+            labels = init_batch.pop("passage_labels")
+            init_batch["passage_label"] = labels[:, 0]
+        init_batch["sample_weight"] = jnp.ones((B,), jnp.float32)
+
+        shapes = jax.eval_shape(
+            lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               init_batch,
+                               method=type(model).train_losses))
+        nrng = np.random.RandomState(0)
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.asarray(
+                nrng.standard_normal(s.shape).astype(np.float32) * 0.02),
+            shapes)
+        variables = cast_params(variables)
+        predict = make_predict_fn(model, mcfg, max_len=40)
+
+        pred_keys = {"case": ("query", "passage"),
+                     "masque": ("query", "passage"),
+                     "tmemnet": ("context", "passage"),
+                     "glks": ("context", "background"),
+                     "gttp": ("context", "background"),
+                     "s2sa": ("context", "background")}[name]
+
+        def fresh(i):
+            s, q, p = synth_samples(B, random.Random(1000 + i))
+            arr = featurize(name, s, q, p, vocab, {}, dcfg)
+            return {k: jnp.asarray(arr[k]) for k in pred_keys}
+
+        batches = [fresh(i) for i in range(iters)]
+        t0 = time.time()
+        out0 = predict(variables, batches[0])
+        np.asarray(out0["answer"])
+        compile_s = time.time() - t0
+        t0 = time.time()
+        outs = [predict(variables, bt)["answer"] for bt in batches]
+        for o in outs:
+            np.asarray(o)
+        dt = (time.time() - t0) / iters
+        print(f"{name:>8}: {dt*1e3:7.1f} ms/batch  {B/dt:6.0f} qps  "
+              f"(compile {compile_s:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
