@@ -99,7 +99,12 @@ def build_parser():
     p.add_argument("--num_heads", type=int, default=8)
     p.add_argument("--max_target_length", type=int, default=40)
     p.add_argument("--beam_width", type=int, default=1)
-    p.add_argument("--early_exit", action="store_true")
+    p.add_argument("--early_exit", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="greedy decode stops once every row in the batch "
+                        "has emitted EOS (sentence-identical to the fixed "
+                        "40-step loop — opt-in for offline parity runs, ON "
+                        "by default for serving; --no-early_exit disables)")
     p.add_argument("--fast_argmax", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 parameters (metric-identical serving "
