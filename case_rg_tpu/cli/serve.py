@@ -143,6 +143,13 @@ def build_parser():
                         "read since its oldest entry (bounds latency and "
                         "reorder-buffer growth for streaming stdin input; "
                         "0 = 2x batch_size)")
+    p.add_argument("--batch_buckets", type=str, default="",
+                   help="comma-separated static batch sizes (e.g. 8,64): "
+                        "a part-filled chunk runs at the smallest batch "
+                        "size that fits it instead of padding to "
+                        "--batch_size — lower latency at low load; one "
+                        "cached XLA program per size. Empty = always "
+                        "--batch_size")
     return p
 
 
@@ -260,6 +267,8 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
     buckets = _parse_buckets(args.pool_buckets, dcfg.num_passage) \
         if args.pool_buckets else []
     dcfgs = {k: dataclasses.replace(dcfg, num_passage=k) for k in buckets}
+    bbuckets = _parse_buckets(args.batch_buckets, bs) \
+        if args.batch_buckets else [bs]
     arrival = iter(range(1 << 62))   # fallback ids = arrival order
     arrival_lock = threading.Lock()
     stats = {"requests": 0, "batches": 0, "errors": 0,
@@ -310,7 +319,8 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
                     dk = dcfgs[k]
                 else:
                     dk = dcfg
-                batch = _chunk_to_batch(chunk, args.model, vocab, dk, bs)
+                batch = _chunk_to_batch(chunk, args.model, vocab, dk,
+                                        _bucket_for(len(chunk), bbuckets))
                 ensure_params(batch)
                 doneq.put((items, predict_fn({"params": get_params()}, batch),
                            dk, time.monotonic()))
@@ -530,6 +540,9 @@ def main(argv=None, _server_ready=None):
     from collections import deque
     inflight: deque = deque()
 
+    bbuckets = _parse_buckets(args.batch_buckets, bs) \
+        if args.batch_buckets else [bs]
+
     if not args.pool_buckets:
         def write_responses(chunk, out, dcfg_k):
             for resp in responses_for(chunk, out, dcfg_k):
@@ -537,7 +550,8 @@ def main(argv=None, _server_ready=None):
             sink.flush()
 
         for chunk in _read_chunks(src, bs):
-            batch = _chunk_to_batch(chunk, args.model, vocab, dcfg, bs)
+            batch = _chunk_to_batch(chunk, args.model, vocab, dcfg,
+                                    _bucket_for(len(chunk), bbuckets))
             ensure_params(batch)
             inflight.append((chunk, predict_fn({"params": params}, batch),
                              dcfg))
@@ -583,7 +597,8 @@ def main(argv=None, _server_ready=None):
             accum[k] = []
             seqs = [s for s, _ in entries]
             chunk = [r for _, r in entries]
-            batch = _chunk_to_batch(chunk, args.model, vocab, dcfgs[k], bs)
+            batch = _chunk_to_batch(chunk, args.model, vocab, dcfgs[k],
+                                    _bucket_for(len(chunk), bbuckets))
             ensure_params(batch)
             inflight.append((chunk, seqs,
                              predict_fn({"params": params}, batch),

@@ -120,6 +120,14 @@ def test_serve_cli(workspace, tmp_path):
               "--embedding_size", "16", "--hidden_size", "16",
               "--num_heads", "2", "--max_target_length", "8",
               "--query_len", "24", "--passage_len", "24"]
+    # --batch_buckets: the 2-request chunk runs in the batch-2 program;
+    # per-row results are independent of batch padding, so output is
+    # byte-identical to the padded batch-4 run
+    bb_path = str(tmp_path / "resp_bb.jsonl")
+    serve_main(common + ["--input", req_path, "--output", bb_path,
+                         "--num_passage", "4", "--batch_buckets", "2,4"])
+    assert [json.loads(l) for l in open(bb_path)] == lines
+
     bucket_path = str(tmp_path / "resp_bucket.jsonl")
     serve_main(common + ["--input", req_path, "--output", bucket_path,
                          "--num_passage", "4", "--pool_buckets", "2,4"])
