@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--answer_len", type=int, default=40)
     p.add_argument("--min_window_size", type=int, default=4)
     p.add_argument("--num_windows", type=int, default=1)
+    p.add_argument("--workers", type=int, default=0,
+                   help="featurize the (split x model) jobs in a process "
+                        "pool of this size (0/1 = serial; output identical)")
     args = p.parse_args(argv)
 
     cfg = DataConfig(dataset=args.dataset, data_path=args.data_path,
@@ -32,7 +35,7 @@ def main(argv=None):
                      min_window_size=args.min_window_size,
                      num_windows=args.num_windows, vocab_file=args.vocab_file)
     prepare_dataset(args.data_path, args.dataset, cfg, args.out_dir,
-                    models=args.models.split(","))
+                    models=args.models.split(","), workers=args.workers)
 
 
 if __name__ == "__main__":

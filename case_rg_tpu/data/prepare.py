@@ -78,11 +78,32 @@ def build_vocab_and_freq(data_path: str, dataset: str, cfg: DataConfig,
     return vocab, id2freq
 
 
+# fork-shared context for parallel featurization: the worker processes are
+# forked after this is populated, so the (large) query/passage dicts are
+# inherited copy-on-write instead of being pickled per task
+_PREP_CTX: dict = {}
+
+
+def _feat_job(split: str, model: str):
+    ctx = _PREP_CTX
+    arrays = featurize(model, ctx["splits"][split], ctx["query"],
+                       ctx["passage"], ctx["vocab"], ctx["id2freq"],
+                       ctx["cfg"])
+    np.savez_compressed(
+        os.path.join(ctx["out_dir"], f"{split}.{model}.npz"), **arrays)
+    return split, model, {k: v.shape for k, v in arrays.items()}
+
+
 def prepare_dataset(data_path: str, dataset: str, cfg: Optional[DataConfig] = None,
                     out_dir: Optional[str] = None,
-                    models: Optional[List[str]] = None, verbose: bool = True
-                    ) -> str:
-    """Run the full offline pipeline; returns the artifact directory."""
+                    models: Optional[List[str]] = None, verbose: bool = True,
+                    workers: int = 0) -> str:
+    """Run the full offline pipeline; returns the artifact directory.
+
+    ``workers > 1`` featurizes the (split x model) jobs — independent by
+    construction — in a fork-based process pool (falls back to serial where
+    fork is unavailable). Output arrays are deterministic and identical to
+    the serial path (tests/test_data_pipeline.py)."""
     cfg = cfg or DataConfig(dataset=dataset, data_path=data_path)
     base = os.path.join(data_path, dataset)
     out_dir = out_dir or os.path.join(base, "prepared")
@@ -112,11 +133,27 @@ def prepare_dataset(data_path: str, dataset: str, cfg: Optional[DataConfig] = No
     for split, ss in split_map.items():
         with open(os.path.join(out_dir, f"{split}.meta.json"), "w") as f:
             json.dump(sample_metadata(ss), f)
-        for model in models:
-            if not ss:
-                continue
-            arrays = featurize(model, ss, query, passage, vocab, id2freq, cfg)
-            np.savez_compressed(os.path.join(out_dir, f"{split}.{model}.npz"), **arrays)
+    jobs = [(split, model) for split, ss in split_map.items() if ss
+            for model in models]
+
+    if workers > 1 and hasattr(os, "fork"):
+        import multiprocessing as mp
+        _PREP_CTX.update(splits=split_map, query=query, passage=passage,
+                         vocab=vocab, id2freq=id2freq, cfg=cfg,
+                         out_dir=out_dir)
+        try:
+            with mp.get_context("fork").Pool(workers) as pool:
+                for split, model, shapes in pool.starmap(_feat_job, jobs):
+                    if verbose:
+                        print(f"[prepare] {split}.{model}: {shapes}")
+        finally:
+            _PREP_CTX.clear()
+    else:
+        for split, model in jobs:
+            arrays = featurize(model, split_map[split], query, passage,
+                               vocab, id2freq, cfg)
+            np.savez_compressed(
+                os.path.join(out_dir, f"{split}.{model}.npz"), **arrays)
             if verbose:
                 shapes = {k: v.shape for k, v in arrays.items()}
                 print(f"[prepare] {split}.{model}: {shapes}")

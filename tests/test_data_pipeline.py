@@ -87,6 +87,22 @@ def prepared(tmp_path_factory):
     return root, out, cfg
 
 
+def test_prepare_workers_matches_serial(prepared, tmp_path):
+    """--workers N featurizes (split x model) jobs in a process pool with
+    arrays identical to the serial path."""
+    root, serial_out, cfg = prepared
+    par_out = prepare_dataset(root, "toy", cfg, out_dir=str(tmp_path / "p"),
+                              verbose=False, workers=2)
+    for model in MODEL_NAMES:
+        for split in ("train", "dev", "test"):
+            a = dict(np.load(os.path.join(serial_out,
+                                          f"{split}.{model}.npz")))
+            b = dict(np.load(os.path.join(par_out, f"{split}.{model}.npz")))
+            assert sorted(a) == sorted(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{split}.{model}.{k}")
+
+
 def test_prepare_all_models(prepared):
     _, out, cfg = prepared
     for model in MODEL_NAMES:
