@@ -64,6 +64,10 @@ def build_parser():
                    help="orbax: async + sharded checkpoints")
     p.add_argument("--fast_argmax", action="store_true",
                    help="scatter-free decode argmax (candidate-set; serving)")
+    p.add_argument("--rank_only", action="store_true",
+                   help="--mode test: write only the .run ranking files, "
+                        "skipping answer generation (case/masque/tmemnet; "
+                        "the sequential decode dominates predict cost)")
     p.add_argument("--temperature", type=float, default=1.0,
                    help="sampling temperature (--decoding sample); 1.0 "
                         "keeps the reference-parity sampler")
@@ -171,13 +175,18 @@ def test(args):
     prepared, output, _unused, vocab, mcfg, model = setup(args, need_train=False)
     tc = TrainConfig(batch_size=args.batch_size, output_path=output)
     trainer = Trainer(model, tc, total_steps=100)
-    predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
-                                 args.beam_width, early_exit=args.early_exit,
-                                 fast_argmax=args.fast_argmax,
-                                 decoding=args.decoding,
-                                 sample_seed=args.seed,
-                                 temperature=args.temperature,
-                                 top_k=args.top_k, top_p=args.top_p)
+    try:
+        predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
+                                     args.beam_width,
+                                     early_exit=args.early_exit,
+                                     fast_argmax=args.fast_argmax,
+                                     decoding=args.decoding,
+                                     sample_seed=args.seed,
+                                     temperature=args.temperature,
+                                     top_k=args.top_k, top_p=args.top_p,
+                                     rank_only=args.rank_only)
+    except ValueError as e:   # --rank_only on a model without a rank head
+        raise SystemExit(str(e))
 
     splits = []
     for split in ("dev", "test"):
@@ -199,8 +208,11 @@ def test(args):
             sample = next(Batcher(splits[0][1], args.batch_size,
                                   shuffle=False).epoch(0))
             sample = {k: v for k, v in sample.items() if not k.startswith("_")}
-            state_t = trainer.init_state(jax.random.PRNGKey(0), sample)
-            template = jax.device_get(state_t)
+            # compute-free restore template (restore only needs tree
+            # structure + shapes) — skips the full init compile that
+            # dominated serving cold-start (docs/PERF.md round 3)
+            template = jax.eval_shape(
+                lambda: trainer.init_state(jax.random.PRNGKey(0), sample))
         state = load_checkpoint(output, epoch, template)
         if args.bf16_eval:
             from ..train.precision import cast_params

@@ -106,6 +106,12 @@ def build_parser():
                         "40-step loop — opt-in for offline parity runs, ON "
                         "by default for serving; --no-early_exit disables)")
     p.add_argument("--fast_argmax", action="store_true")
+    p.add_argument("--rank_only", action="store_true",
+                   help="return passage rankings only, skipping answer "
+                        "generation (case/masque/tmemnet). The sequential "
+                        "decode dominates full predict cost, so "
+                        "ranking-only serving runs several times faster "
+                        "(docs/PERF.md)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 parameters (metric-identical serving "
                         "config — docs/PERF.md)")
@@ -235,19 +241,20 @@ def _bucket_for(n_passages: int, buckets: List[int]) -> int:
     return buckets[-1]
 
 
-def _parse_buckets(spec: str, num_passage: int) -> List[int]:
-    """Parse --pool_buckets; ``num_passage`` always joins as the largest
-    bucket so pools bigger than every listed bucket are still scored at
-    the full configured pool size (not silently truncated)."""
+def _parse_buckets(spec: str, cap: int,
+                   flag: str = "--pool_buckets") -> List[int]:
+    """Parse a bucket-size list; ``cap`` (num_passage resp. batch_size)
+    always joins as the largest bucket so inputs bigger than every listed
+    bucket still run at the full configured size (not silently truncated)."""
     buckets = {int(x) for x in spec.split(",") if x}
     if any(b <= 0 for b in buckets):
-        raise SystemExit("--pool_buckets entries must be positive")
-    buckets.add(num_passage)
+        raise SystemExit(f"{flag} entries must be positive")
+    buckets.add(cap)
     return sorted(buckets)
 
 
 def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
-                get_params, vocab, server_ready=None):
+                get_params, vocab, bbuckets, server_ready=None):
     """HTTP micro-batching server (``--listen``).
 
     Handler threads only enqueue requests and wait on per-request events;
@@ -267,8 +274,6 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
     buckets = _parse_buckets(args.pool_buckets, dcfg.num_passage) \
         if args.pool_buckets else []
     dcfgs = {k: dataclasses.replace(dcfg, num_passage=k) for k in buckets}
-    bbuckets = _parse_buckets(args.batch_buckets, bs) \
-        if args.batch_buckets else [bs]
     arrival = iter(range(1 << 62))   # fallback ids = arrival order
     arrival_lock = threading.Lock()
     stats = {"requests": 0, "batches": 0, "errors": 0,
@@ -369,10 +374,16 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
                             "errors": stats["errors"],
                             "mean_batch_occupancy":
                                 round(stats["batch_rows"] / b_, 2) if b_ else 0,
-                            "mean_batch_seconds":
+                            # dispatch -> completion, INCLUDING time queued
+                            # behind other in-flight batches: pipeline
+                            # residence, not device batch latency (can read
+                            # up to pipeline_depth x the device time under
+                            # sustained load)
+                            "mean_batch_residence_s":
                                 round(stats["batch_seconds"] / b_, 4)
                                 if b_ else 0,
                             "batch_size": bs, "pool_buckets": buckets,
+                            "batch_buckets": bbuckets,
                             "max_wait_ms": args.max_wait_ms}
                 self._send(200, (json.dumps(varz) + "\n").encode(),
                            "application/json")
@@ -472,9 +483,14 @@ def main(argv=None, _server_ready=None):
     trainer = Trainer(model, TrainConfig(batch_size=bs,
                                          output_path=args.output_path),
                       total_steps=100)
-    predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
-                                 args.beam_width, early_exit=args.early_exit,
-                                 fast_argmax=args.fast_argmax)
+    try:
+        predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
+                                     args.beam_width,
+                                     early_exit=args.early_exit,
+                                     fast_argmax=args.fast_argmax,
+                                     rank_only=args.rank_only)
+    except ValueError as e:   # --rank_only on a model without a rank head
+        raise SystemExit(str(e))
 
     params = None
     served = 0
@@ -524,9 +540,12 @@ def main(argv=None, _server_ready=None):
         served += len(chunk)
         return resps
 
+    bbuckets = _parse_buckets(args.batch_buckets, bs, "--batch_buckets") \
+        if args.batch_buckets else [bs]
+
     if args.listen:
         _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
-                    lambda: params, vocab, _server_ready)
+                    lambda: params, vocab, bbuckets, _server_ready)
         return
 
     src = sys.stdin if args.input == "-" else open(args.input,
@@ -539,9 +558,6 @@ def main(argv=None, _server_ready=None):
     # soon as its result is fetched (pipelined dispatch — docs/PERF.md)
     from collections import deque
     inflight: deque = deque()
-
-    bbuckets = _parse_buckets(args.batch_buckets, bs) \
-        if args.batch_buckets else [bs]
 
     if not args.pool_buckets:
         def write_responses(chunk, out, dcfg_k):

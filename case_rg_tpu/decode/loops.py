@@ -37,6 +37,12 @@ def sampling_controls(logits: jnp.ndarray, temperature: float = 1.0,
     masked positions set to -inf. The reference has no sampling controls
     (its sampler is plain Categorical — common/Utils.py:90-95), so this is
     a capability extension, gated off by default for parity."""
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0, got {top_k}")
     neg = jnp.asarray(-1e30, logits.dtype)
     if temperature != 1.0:
         logits = logits / jnp.asarray(temperature, logits.dtype)

@@ -124,6 +124,15 @@ class CaSEModel(nn.Module):
         loss_rg = nll_from_probs(prob_at, batch["response"], w)
         return {"select": loss_ps, "token": loss_se, "gen": loss_rg}
 
+    def rank(self, batch, *, deterministic: bool = True) -> jnp.ndarray:
+        """Passage scores only (rank-only serving). Under jit, XLA
+        dead-code-eliminates the token-identification tower and the whole
+        decoder, so this costs just encoder + selection tower — the
+        reference has no rank-only inference (its closest analogue is
+        Masque's ps_train training mode, Masque/Model.py:244-258)."""
+        return self.stages(batch,
+                           deterministic=deterministic)["passage_score"]
+
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
                 fast_argmax: bool = False,
                 beam_width: int = 1,

@@ -81,6 +81,13 @@ class MasqueModel(nn.Module):
         loss_rg = nll_from_probs(prob_at, batch["response"], w)
         return {"select": 0.25 * loss_ps, "gen": loss_rg}
 
+    def rank(self, batch, *, deterministic: bool = True) -> jnp.ndarray:
+        """Passage scores only (rank-only serving) — the inference
+        counterpart of the reference's ps_train rank-only training mode
+        (Masque/Model.py:244-258). The decoder is dead-code-eliminated
+        under jit."""
+        return self._select(batch, deterministic=deterministic)[0]
+
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
                 fast_argmax: bool = False,
                 beam_width: int = 1,

@@ -23,13 +23,31 @@ from ..models.predict import beam_predict, greedy_predict, sample_predict
 PROTOCOL_MODELS = ("s2sa", "gttp", "glks", "tmemnet")
 
 
+RANK_MODELS = ("case", "masque", "tmemnet")
+
+
 def make_predict_fn(model, cfg: ModelConfig, max_len: int,
                     beam_width: int = 1, early_exit: bool = False,
                     fast_argmax: bool = False, decoding: str = "greedy",
                     sample_seed: int = 0, temperature: float = 1.0,
-                    top_k: int = 0, top_p: float = 1.0
+                    top_k: int = 0, top_p: float = 1.0,
+                    rank_only: bool = False
                     ) -> Callable[[dict, dict], Dict]:
     name = cfg.name
+
+    if rank_only:
+        # ranking without generation: skip the sequential decode entirely.
+        # Each rank model's ``rank`` method returns just the pool scores,
+        # so XLA dead-code-eliminates the decoder (and for CaSE the
+        # token-identification tower too) from the compiled program.
+        if name not in RANK_MODELS:
+            raise ValueError(f"model {name!r} has no rank head "
+                             f"(rank_only needs one of {RANK_MODELS})")
+
+        def fn(variables, batch):
+            return {"rank": model.apply(variables, batch,
+                                        method=type(model).rank)}
+        return jax.jit(fn)
 
     if decoding == "sample":
         if beam_width > 1:

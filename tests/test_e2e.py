@@ -62,10 +62,6 @@ def test_case_full_pipeline(workspace, tmp_path):
 
     run_main(_run_args(root, out, "case", "train", ["--epoch", "1"]))
     run_main(_run_args(root, out, "case", "test", ["--epoch", "1"]))
-    # multimem sampling with controls (CaSE decoder path)
-    run_main(_run_args(root, out, "case", "test",
-                       ["--epoch", "1", "--decoding", "sample",
-                        "--temperature", "0.8", "--top_p", "0.9"]))
     report = eval_main(["--model", "case", "--data_path", root,
                         "--datasets", "toy", "--output_path", out])
     toy = report["toy"]
@@ -73,6 +69,11 @@ def test_case_full_pipeline(workspace, tmp_path):
     # CaSE emits both rank and answer outputs
     assert "map" in some and "ndcg" in some
     assert "ROUGE_L_F1" in some
+    # multimem sampling with controls (CaSE decoder path) — after eval so
+    # the evaluated result files stay the greedy ones
+    run_main(_run_args(root, out, "case", "test",
+                       ["--epoch", "1", "--decoding", "sample",
+                        "--temperature", "0.8", "--top_p", "0.9"]))
 
 
 def test_serve_cli(workspace, tmp_path):
@@ -111,6 +112,20 @@ def test_serve_cli(workspace, tmp_path):
     assert all(isinstance(l["answer"], str) and l["answer"] for l in lines)
     assert sorted(lines[0]["ranking"]) == [0, 1]
     assert lines[1]["ranking"] == [0]
+
+    # --rank_only: same rankings as the full run, no answers, decode skipped
+    ro_path = str(tmp_path / "resp_rank_only.jsonl")
+    serve_main(["--model", "case",
+                "--prepared_dir", os.path.join(root, "toy", "prepared"),
+                "--output_path", out, "--input", req_path,
+                "--output", ro_path, "--batch_size", "4",
+                "--embedding_size", "16", "--hidden_size", "16",
+                "--num_heads", "2", "--max_target_length", "8",
+                "--query_len", "24", "--passage_len", "24",
+                "--num_passage", "4", "--rank_only"])
+    rlines = [json.loads(l) for l in open(ro_path)]
+    assert [l["ranking"] for l in rlines] == [l["ranking"] for l in lines]
+    assert all("answer" not in l for l in rlines)
 
     # --pool_buckets: r1 (2 passages) -> bucket 2, r2 (1 passage) -> bucket
     # 2, so one batch serves both at the compact pool size; order preserved

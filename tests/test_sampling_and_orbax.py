@@ -201,6 +201,63 @@ def test_sampling_controls():
     # combined: temperature + top_k compose
     out = np.asarray(sampling_controls(logits, temperature=0.5, top_k=1))
     assert (out[0] > -1e29).sum() == 1 and abs(out[0, 3] - 6.0) < 1e-5
+    # degenerate values are rejected (not silently uniform/NaN)
+    for bad in (dict(temperature=0.0), dict(temperature=-1.0),
+                dict(top_p=0.0), dict(top_p=1.5), dict(top_k=-1)):
+        with pytest.raises(ValueError):
+            sampling_controls(logits, **bad)
+
+
+def test_rank_only_predict():
+    """make_predict_fn(rank_only=True): returns exactly the same pool
+    scores as the full predict path (whose decode it skips), for every
+    model with a rank head; models without one are rejected."""
+    rng = np.random.RandomState(3)
+
+    # case
+    batch = _case_batch(rng)
+    cfg = _cfg("case")
+    model = create_model("case", cfg)
+    variables = _init(model, batch)
+    full = jax.device_get(make_predict_fn(model, cfg, T)(variables, batch))
+    ro = jax.device_get(
+        make_predict_fn(model, cfg, T, rank_only=True)(variables, batch))
+    assert set(ro) == {"rank"}
+    np.testing.assert_allclose(ro["rank"], full["rank"], rtol=1e-6)
+
+    # masque (no token labels)
+    mb = {k: v for k, v in _case_batch(rng).items()
+          if k not in ("token_label", "token_weight")}
+    mcfg = _cfg("masque")
+    mmodel = create_model("masque", mcfg)
+    mvars = _init(mmodel, mb)
+    full = jax.device_get(make_predict_fn(mmodel, mcfg, T)(mvars, mb))
+    ro = jax.device_get(
+        make_predict_fn(mmodel, mcfg, T, rank_only=True)(mvars, mb))
+    np.testing.assert_allclose(ro["rank"], full["rank"], rtol=1e-6)
+
+    # tmemnet (rank = knowledge attention from encode)
+    resp = _ids(rng, (B, T))
+    resp[:, -1] = 3
+    tb = {"context": jnp.array(_ids(rng, (B, LQ), pad_tail=2)),
+          "passage": jnp.array(_ids(rng, (B, P, LP), pad_tail=3)),
+          "passage_label": jnp.array(rng.randint(0, P, B).astype(np.int32)),
+          "response": jnp.array(resp),
+          "sample_weight": jnp.ones(B, np.float32)}
+    tcfg = ModelConfig(name="tmemnet", vocab_size=V, embedding_size=E,
+                       hidden_size=E, num_heads=2, tmemnet_layers=2,
+                       max_dec_len=T)
+    tmodel = create_model("tmemnet", tcfg)
+    tvars = _init(tmodel, tb)
+    full = jax.device_get(make_predict_fn(tmodel, tcfg, T)(tvars, tb))
+    ro = jax.device_get(
+        make_predict_fn(tmodel, tcfg, T, rank_only=True)(tvars, tb))
+    np.testing.assert_allclose(ro["rank"], full["rank"], rtol=1e-6)
+
+    # no rank head -> explicit error
+    scfg = _cfg("s2sa")
+    with pytest.raises(ValueError):
+        make_predict_fn(create_model("s2sa", scfg), scfg, T, rank_only=True)
 
 
 def test_restore_with_eval_shape_template(tmp_path):

@@ -10,7 +10,10 @@ synthetic word samples drawn from a 30522-token vocab), so shapes and key
 sets are exactly what the CLI produces. Parameters are random normals
 materialized from `jax.eval_shape` shapes (timing is data-independent).
 
-Usage: python tools/exp_all_models_qps.py [B] [iters] [model ...]
+Usage: python tools/exp_all_models_qps.py [--rank_only] [B] [iters] [model ...]
+
+--rank_only times make_predict_fn(rank_only=True) (pool scores without the
+sequential decode) for the rank-head models case/masque/tmemnet.
 """
 
 import os
@@ -44,9 +47,14 @@ def synth_samples(n, rng, n_passages=10):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    models = sys.argv[3:] or MODELS
+    argv = list(sys.argv[1:])
+    rank_only = "--rank_only" in argv
+    if rank_only:
+        argv.remove("--rank_only")
+    B = int(argv[0]) if len(argv) > 0 else 64
+    iters = int(argv[1]) if len(argv) > 1 else 8
+    models = argv[2:] or (("case", "masque", "tmemnet") if rank_only
+                          else MODELS)
 
     cache_dir = os.path.expanduser("~/.cache/case_rg_tpu_xla")
     import jax
@@ -95,7 +103,9 @@ def main():
                 nrng.standard_normal(s.shape).astype(np.float32) * 0.02),
             shapes)
         variables = cast_params(variables)
-        predict = make_predict_fn(model, mcfg, max_len=40)
+        predict = make_predict_fn(model, mcfg, max_len=40,
+                                  rank_only=rank_only)
+        out_key = "rank" if rank_only else "answer"
 
         pred_keys = {"case": ("query", "passage"),
                      "masque": ("query", "passage"),
@@ -109,13 +119,16 @@ def main():
             arr = featurize(name, s, q, p, vocab, {}, dcfg)
             return {k: jnp.asarray(arr[k]) for k in pred_keys}
 
+        # warm up on a batch that is NOT re-timed below: the relay serves
+        # byte-identical calls from a cache (CLAUDE.md), which would
+        # inflate qps by one near-free iteration
+        warm = fresh(999_999)
         batches = [fresh(i) for i in range(iters)]
         t0 = time.time()
-        out0 = predict(variables, batches[0])
-        np.asarray(out0["answer"])
+        np.asarray(predict(variables, warm)[out_key])
         compile_s = time.time() - t0
         t0 = time.time()
-        outs = [predict(variables, bt)["answer"] for bt in batches]
+        outs = [predict(variables, bt)[out_key] for bt in batches]
         for o in outs:
             np.asarray(o)
         dt = (time.time() - t0) / iters
