@@ -253,8 +253,8 @@ def _parse_buckets(spec: str, cap: int,
     return sorted(buckets)
 
 
-def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
-                get_params, vocab, bbuckets, server_ready=None):
+def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
+                vocab, bbuckets, server_ready=None):
     """HTTP micro-batching server (``--listen``).
 
     Handler threads only enqueue requests and wait on per-request events;
@@ -327,8 +327,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
                 batch = _chunk_to_batch(chunk, args.model, vocab, dk,
                                         _bucket_for(len(chunk), bbuckets))
                 ensure_params(batch)
-                doneq.put((items, predict_fn({"params": get_params()}, batch),
-                           dk, time.monotonic()))
+                doneq.put((items, run_predict(batch), dk, time.monotonic()))
             except Exception as e:   # malformed request, featurize error, ...
                 fail_items(items, e)
 
@@ -492,8 +491,24 @@ def main(argv=None, _server_ready=None):
     except ValueError as e:   # --rank_only on a model without a rank head
         raise SystemExit(str(e))
 
+    bbuckets = _parse_buckets(args.batch_buckets, bs, "--batch_buckets") \
+        if args.batch_buckets else [bs]
+
+    # serving mesh: batches shard over the data axis of THIS process's
+    # devices, params are replicated — the same dp layout trainer.predict
+    # uses for offline --mode test, so a multi-chip host serves multi-chip
+    # with no flag needed. The data-axis size divides every batch-bucket
+    # size (gcd), and on a single chip this degrades to a plain device_put.
+    import math
+    from functools import reduce
+    from ..runtime.mesh import local_mesh, replicated, shard_batch
+    mesh = local_mesh(reduce(math.gcd, bbuckets))
+
     params = None
     served = 0
+
+    def run_predict(batch):
+        return predict_fn({"params": params}, shard_batch(mesh, batch))
 
     def ensure_params(batch):
         nonlocal params
@@ -510,11 +525,12 @@ def main(argv=None, _server_ready=None):
         if args.bf16:
             from ..train.precision import cast_params
             params = cast_params(params)
-        # commit the tree to the device ONCE: host-numpy params would be
-        # re-uploaded on every predict call (~tens of MB through the relay
-        # per batch — measured as a 30x serving slowdown by
-        # tools/exp_http_load.py before this device_put)
-        params = jax.device_put(params)
+        # commit the tree to the device(s) ONCE (replicated over the
+        # serving mesh): host-numpy params would be re-uploaded on every
+        # predict call (~tens of MB through the relay per batch — measured
+        # as a 30x serving slowdown by tools/exp_http_load.py before this
+        # device_put)
+        params = jax.device_put(params, replicated(mesh))
 
     def responses_for(chunk, out, dcfg_k, default_ids=None) -> List[dict]:
         nonlocal served
@@ -540,12 +556,9 @@ def main(argv=None, _server_ready=None):
         served += len(chunk)
         return resps
 
-    bbuckets = _parse_buckets(args.batch_buckets, bs, "--batch_buckets") \
-        if args.batch_buckets else [bs]
-
     if args.listen:
-        _serve_http(args, dcfg, ensure_params, responses_for, predict_fn,
-                    lambda: params, vocab, bbuckets, _server_ready)
+        _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
+                    vocab, bbuckets, _server_ready)
         return
 
     src = sys.stdin if args.input == "-" else open(args.input,
@@ -569,8 +582,7 @@ def main(argv=None, _server_ready=None):
             batch = _chunk_to_batch(chunk, args.model, vocab, dcfg,
                                     _bucket_for(len(chunk), bbuckets))
             ensure_params(batch)
-            inflight.append((chunk, predict_fn({"params": params}, batch),
-                             dcfg))
+            inflight.append((chunk, run_predict(batch), dcfg))
             while len(inflight) >= max(args.pipeline_depth, 1):
                 write_responses(*inflight.popleft())
         while inflight:
@@ -616,9 +628,7 @@ def main(argv=None, _server_ready=None):
             batch = _chunk_to_batch(chunk, args.model, vocab, dcfgs[k],
                                     _bucket_for(len(chunk), bbuckets))
             ensure_params(batch)
-            inflight.append((chunk, seqs,
-                             predict_fn({"params": params}, batch),
-                             dcfgs[k]))
+            inflight.append((chunk, seqs, run_predict(batch), dcfgs[k]))
             while len(inflight) >= max(args.pipeline_depth, 1):
                 drain_one()
 
