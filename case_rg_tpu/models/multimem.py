@@ -202,10 +202,14 @@ class MultiMemoryDecoder(nn.Module):
         candidate-set argmax: the extended distribution differs from the
         generation distribution only at source-token ids, so the argmax is
         either argmax(gen) or the best source id after combining duplicate-id
-        copy mass (a step-invariant equality matrix hoisted out of the scan,
-        combined per step with one small matmul). Exact up to bf16 rounding
-        of the duplicate combine and tie-breaks; XLA's V-sized scatter is the
-        decode bottleneck (docs/PERF.md)."""
+        copy mass. The combine is ONE [B, Ls, Ls] einsum against a hoisted
+        first-occurrence matrix — xprof on the real predict program shows
+        the V-wide scatter is ~42% of the decode step (0.57 ms at B=64) and
+        its cost is the 64·1060 serialized updates, so an update-count-
+        preserving scatter (the previous combine) cannot win; the MXU
+        matvec measures 3.7x faster (tools/exp_scatter_variants.py,
+        docs/PERF.md round 4). Exact up to rounding of the duplicate
+        combine and tie-breaks."""
         b = memories[0].shape[0]
         cross, key_projs, feat = self._decode_precompute(memories, feature)
         caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
@@ -215,14 +219,24 @@ class MultiMemoryDecoder(nn.Module):
         if fast_argmax:
             # step-invariant duplicate-id structure: for each source position,
             # the index of the first position carrying the same vocab id.
-            # Per step, copy mass is scatter-added onto these first-occurrence
-            # positions (an Ls-wide scatter, ~30x smaller than the V-wide
-            # extended-distribution scatter).
+            # Per step, copy mass is combined onto first occurrences with one
+            # MXU matvec against this one-hot matrix (scatters serialize
+            # their 64k updates on TPU; the matvec streams at HBM rate —
+            # tools/exp_scatter_variants.py: 219 vs 801 us/step at B=64).
             eq = ids_cat[:, :, None] == ids_cat[:, None, :]      # [B, Ls, Ls]
             first_occ = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # [B, Ls]
             ls = ids_cat.shape[1]
             is_first = first_occ == jnp.arange(ls)[None, :]
-            b_idx = jnp.arange(b)[:, None]
+            dtype = memories[0].dtype
+            # comb_m[b, k, l] = 1 iff first occurrence of ids[b, l] is k.
+            # The optimization barrier forces the matrix to MATERIALIZE here:
+            # without it XLA re-derives it from the comparison INSIDE the
+            # scan body each step, fusing compare+multiply+reduce into a VPU
+            # loop (xprof: 0.68 ms/step) instead of one MXU matvec over the
+            # hoisted operand (0.22 ms — tools/exp_scatter_variants.py).
+            comb_m = (first_occ[:, None, :]
+                      == jnp.arange(ls)[None, :, None]).astype(dtype)
+            comb_m = jax.lax.optimization_barrier(comb_m)
 
         def step(carry, t):
             caches, prev, hist = carry
@@ -236,7 +250,7 @@ class MultiMemoryDecoder(nn.Module):
                 cw = jnp.concatenate(
                     [mix_p[:, 0, i + 1:i + 2] * ps[i][:, 0]
                      for i in range(self.num_memories)], axis=-1)   # [B, Ls]
-                comb = jnp.zeros_like(cw).at[b_idx, first_occ].add(cw)
+                comb = jnp.einsum("bkl,bl->bk", comb_m, cw.astype(dtype))
                 g_at = jnp.take_along_axis(g, ids_cat, axis=-1)     # [B, Ls]
                 cand = jnp.where(is_first, g_at + comb, -1.0)
                 c_pos = jnp.argmax(cand, axis=-1)

@@ -27,10 +27,17 @@ def copy_scatter(weights: jnp.ndarray, src_ids: jnp.ndarray,
     if squeeze:
         weights = weights[:, None, :]
     b, t, l = weights.shape
-    out = jnp.zeros((b, t, vocab_size), weights.dtype)
+    # accumulate in f32: the TPU scatter path runs ~1.5x FASTER in f32 than
+    # bf16 (tools/exp_scatter_variants.py: 542 vs 801 us at B=64 L=1060)
+    # and the rounding of the duplicate-id accumulation improves; the f32
+    # parity dtype is unchanged by this.
+    acc = jnp.float32 if weights.dtype in (jnp.bfloat16, jnp.float16) \
+        else weights.dtype
+    out = jnp.zeros((b, t, vocab_size), acc)
     bi = jnp.arange(b)[:, None, None]
     ti = jnp.arange(t)[None, :, None]
-    out = out.at[bi, ti, src_ids[:, None, :]].add(weights)
+    out = out.at[bi, ti, src_ids[:, None, :]].add(weights.astype(acc))
+    out = out.astype(weights.dtype)
     if squeeze:
         out = out[:, 0]
     return out

@@ -51,6 +51,9 @@ def main():
     rank_only = "--rank_only" in argv
     if rank_only:
         argv.remove("--rank_only")
+    fast_argmax = "--fast_argmax" in argv
+    if fast_argmax:
+        argv.remove("--fast_argmax")
     B = int(argv[0]) if len(argv) > 0 else 64
     iters = int(argv[1]) if len(argv) > 1 else 8
     models = argv[2:] or (("case", "masque", "tmemnet") if rank_only
@@ -104,7 +107,8 @@ def main():
             shapes)
         variables = cast_params(variables)
         predict = make_predict_fn(model, mcfg, max_len=40,
-                                  rank_only=rank_only)
+                                  rank_only=rank_only,
+                                  fast_argmax=fast_argmax)
         out_key = "rank" if rank_only else "answer"
 
         pred_keys = {"case": ("query", "passage"),

@@ -1,0 +1,215 @@
+"""Copy-scatter variants for the decode step (xprof round-4 follow-up).
+
+xprof on the REAL CaSE predict program (tools/exp_xprof_decode.py) shows
+the per-step [B, V] copy scatter-add (ops/copynet.copy_scatter, lowered to
+an XLA kCustom scatter fusion) is the single largest decode-step op:
+~0.574 ms/step of a ~1.375 ms/step device time at B=64 — ~20% of the whole
+predict batch. The scatter's cost is its 64·1060 serialized updates (the
+earlier fast_argmax candidate path kept a same-update-count scatter onto
+first-occurrence positions, which is why it measured neutral-to-worse).
+
+Variants measured here (all on the real chip, K-iteration in-jit scan with
+a carry data dependency, relay roundtrip + scan overhead subtracted):
+
+  base      [B,V].at[bi, ids].add(w)                      (current path)
+  base_f32  same in f32 (dtype effect on the scatter path)
+  sorted    hoisted argsort(ids); per step: fixed-index gather of w +
+            scatter with indices_are_sorted=True
+  runsum    hoisted sort + run boundaries; per step: gather + cumsum +
+            run-sum at run starts (zeros elsewhere), scatter sorted
+  matcomb   greedy-only: duplicate combine as one [B,Ls,Ls] einsum with a
+            hoisted first-occurrence matrix, then candidate-set argmax
+            (no V-wide output at all)
+  cumargmax greedy-only: sorted-run combine via cumsum + fixed boundary
+            gathers, candidate-set argmax (no V-wide output, no scatter)
+
+ids are step-invariant in the real decoder (the source tokens), so all
+hoisted structures are free per step.
+
+Usage: python tools/exp_scatter_variants.py [B] [Ls] [iters]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+V = 30522
+DT = jnp.bfloat16
+
+
+def calibrate():
+    nop = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), DT)
+    np.asarray(nop(x))
+    times = []
+    for r in range(7):
+        t0 = time.time()
+        np.asarray(nop(x + jnp.asarray(r * 0.1, DT)))
+        times.append(time.time() - t0)
+    rt = float(np.median(times))
+    print(f"relay roundtrip: {rt*1e3:.1f} ms")
+    return rt
+
+
+def run(name, make_loop, w0, iters, roundtrip, per_iter_overhead_us=0.0):
+    loop = make_loop()
+    out = np.asarray(loop(w0), np.float32)
+    times = []
+    for r in range(5):
+        t0 = time.time()
+        np.asarray(loop(w0 * jnp.asarray(1 + 0.01 * (r + 1), DT)))
+        times.append(time.time() - t0)
+    us = (float(np.median(times)) - roundtrip) / iters * 1e6 \
+        - per_iter_overhead_us
+    print(f"{name:>10}: {us:7.1f} us/step   (checksum {out.sum():+.3e})")
+    return us
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    Ls = int(sys.argv[2]) if len(sys.argv) > 2 else 1060
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    print(f"devices={jax.devices()} B={B} Ls={Ls} V={V} iters={iters}")
+    roundtrip = calibrate()
+
+    rng = np.random.RandomState(0)
+    # realistic id structure: wordpiece ids with heavy duplication + PAD runs
+    ids_np = rng.zipf(1.3, size=(B, Ls)).astype(np.int64) % (V - 4) + 4
+    ids_np[:, -Ls // 10:] = 0                       # trailing PAD block
+    ids = jnp.asarray(ids_np, jnp.int32)
+    bi = jnp.arange(B)[:, None]
+    w0 = jnp.asarray(np.abs(rng.standard_normal((B, Ls))), DT) * 0.01
+    g = jnp.asarray(np.abs(rng.standard_normal((B, V))), DT) * 0.01  # gen dist
+
+    # hoisted structures (step-invariant in the decoder)
+    perm = jnp.argsort(ids, axis=-1)
+    sorted_ids = jnp.take_along_axis(ids, perm, axis=-1)
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool),
+         sorted_ids[:, 1:] != sorted_ids[:, :-1]], axis=-1)
+    # for each position, index of its run's END (last position of the run)
+    pos = jnp.arange(Ls)[None, :]
+    is_end = jnp.concatenate(
+        [sorted_ids[:, 1:] != sorted_ids[:, :-1],
+         jnp.ones((B, 1), bool)], axis=-1)
+    # run end index for each run START position: the next end at or after it.
+    # computed via reverse cummin of end positions
+    end_pos = jnp.where(is_end, pos, Ls - 1)
+    run_end = jax.lax.associative_scan(jnp.minimum, end_pos, reverse=True,
+                                       axis=1)                    # [B, Ls]
+    first_occ_sorted = jnp.where(is_start, pos, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, first_occ_sorted,
+                                         axis=1)                  # [B, Ls]
+    # first-occurrence combine matrix (fast_argmax's eq, as bf16 matmul
+    # operand): M[b, k, l] = 1 iff first occurrence of ids[b, l] is k
+    eq = (ids[:, :, None] == ids[:, None, :])
+    first_occ = jnp.argmax(eq, axis=-1)                            # [B, Ls]
+    M = (first_occ[:, None, :] == jnp.arange(Ls)[None, :, None])
+    M = M.astype(DT)                                               # [B,Ls,Ls]
+    is_first = first_occ == jnp.arange(Ls)[None, :]
+
+    def scan_loop(body):
+        @jax.jit
+        def loop(w0):
+            def step(w, _):
+                dep = body(w)
+                return w * (jnp.asarray(1.0, DT)
+                            + jnp.asarray(1e-6, DT) * dep), ()
+            w, _ = jax.lax.scan(step, w0, jnp.arange(iters))
+            return w
+        return loop
+
+    # per-iter scan overhead: nop body
+    nop_us = run("nop", lambda: scan_loop(
+        lambda w: w[:, 3:4]), w0, iters, roundtrip)
+
+    def base(w):
+        dist = jnp.zeros((B, V), w.dtype).at[bi, ids].add(w)
+        return dist[:, 1234:1235]
+    run("base", lambda: scan_loop(base), w0, iters, roundtrip, nop_us)
+
+    def base_f32(w):
+        dist = jnp.zeros((B, V), jnp.float32).at[bi, ids].add(
+            w.astype(jnp.float32))
+        return dist[:, 1234:1235].astype(DT)
+    run("base_f32", lambda: scan_loop(base_f32), w0, iters, roundtrip, nop_us)
+
+    def sorted_scatter(w):
+        sw = jnp.take_along_axis(w, perm, axis=-1)
+        dist = jnp.zeros((B, V), w.dtype).at[bi, sorted_ids].add(
+            sw, indices_are_sorted=True)
+        return dist[:, 1234:1235]
+    run("sorted", lambda: scan_loop(sorted_scatter), w0, iters, roundtrip,
+        nop_us)
+
+    def runsum_scatter(w):
+        sw = jnp.take_along_axis(w, perm, axis=-1).astype(jnp.float32)
+        cs = jnp.cumsum(sw, axis=-1)
+        total = jnp.take_along_axis(cs, run_end, axis=-1)
+        before = jnp.where(run_start > 0,
+                           jnp.take_along_axis(
+                               cs, jnp.maximum(run_start - 1, 0), axis=-1),
+                           0.0)
+        vals = jnp.where(is_start, total - before, 0.0).astype(w.dtype)
+        dist = jnp.zeros((B, V), w.dtype).at[bi, sorted_ids].add(
+            vals, indices_are_sorted=True)
+        return dist[:, 1234:1235]
+    run("runsum", lambda: scan_loop(runsum_scatter), w0, iters, roundtrip,
+        nop_us)
+
+    def matcomb_argmax(w):
+        comb = jnp.einsum("bkl,bl->bk", M, w)          # duplicate combine
+        g_idx = jnp.argmax(g, axis=-1)
+        g_val = jnp.take_along_axis(g, g_idx[:, None], -1)[:, 0]
+        g_at = jnp.take_along_axis(g, ids, axis=-1)
+        cand = jnp.where(is_first, g_at + comb, -1.0)
+        c_pos = jnp.argmax(cand, axis=-1)
+        c_val = jnp.take_along_axis(cand, c_pos[:, None], -1)[:, 0]
+        c_idx = jnp.take_along_axis(ids, c_pos[:, None], -1)[:, 0]
+        nxt = jnp.where(c_val > g_val, c_idx, g_idx)
+        return nxt[:, None].astype(DT) * jnp.asarray(1e-5, DT)
+    run("matcomb", lambda: scan_loop(matcomb_argmax), w0, iters, roundtrip,
+        nop_us)
+
+    def cum_argmax(w):
+        sw = jnp.take_along_axis(w, perm, axis=-1).astype(jnp.float32)
+        cs = jnp.cumsum(sw, axis=-1)
+        total = jnp.take_along_axis(cs, run_end, axis=-1)
+        before = jnp.where(run_start > 0,
+                           jnp.take_along_axis(
+                               cs, jnp.maximum(run_start - 1, 0), axis=-1),
+                           0.0)
+        comb = (total - before).astype(w.dtype)        # [B, Ls] run sums
+        g_idx = jnp.argmax(g, axis=-1)
+        g_val = jnp.take_along_axis(g, g_idx[:, None], -1)[:, 0]
+        g_at = jnp.take_along_axis(g, sorted_ids, axis=-1)
+        cand = jnp.where(is_start, g_at + comb, -1.0)
+        c_pos = jnp.argmax(cand, axis=-1)
+        c_val = jnp.take_along_axis(cand, c_pos[:, None], -1)[:, 0]
+        c_idx = jnp.take_along_axis(sorted_ids, c_pos[:, None], -1)[:, 0]
+        nxt = jnp.where(c_val > g_val, c_idx, g_idx)
+        return nxt[:, None].astype(DT) * jnp.asarray(1e-5, DT)
+    run("cumargmax", lambda: scan_loop(cum_argmax), w0, iters, roundtrip,
+        nop_us)
+
+    # correctness cross-check of every variant against the base scatter
+    d0 = np.asarray(base(w0), np.float32)
+    for name, fn in (("sorted", sorted_scatter), ("runsum", runsum_scatter)):
+        d = np.asarray(fn(w0), np.float32)
+        print(f"{name} max|diff| vs base: {np.abs(d - d0).max():.2e}")
+    full = np.asarray(
+        jnp.zeros((B, V), jnp.float32).at[bi, ids].add(
+            w0.astype(jnp.float32)) + g.astype(jnp.float32))
+    ref_idx = full.argmax(-1)
+    for name, fn in (("matcomb", matcomb_argmax), ("cumargmax", cum_argmax)):
+        idx = (np.asarray(fn(w0), np.float32)[:, 0] / 1e-5).round()
+        ok = (idx == ref_idx).mean()
+        print(f"{name} argmax agreement vs dense f32: {ok*100:.1f}%")
+
+
+if __name__ == "__main__":
+    main()
