@@ -81,6 +81,11 @@ def build_parser():
     p.add_argument("--bf16_eval", action="store_true",
                    help="cast parameters to bfloat16 for inference "
                         "(MXU-native; softmax stays f32)")
+    p.add_argument("--bf16_scores", action="store_true",
+                   help="with bf16 compute: keep attention scores in bf16 "
+                        "instead of f32 (+16%% CaSE serving qps; generation "
+                        "metrics unchanged, ranking can flip near-ties — "
+                        "docs/PERF.md round 4)")
     p.add_argument("--ema_eval", action="store_true")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--seed", type=int, default=123456)
@@ -231,6 +236,9 @@ def main(argv=None):
     np.random.seed(args.seed)
     if args.fast_rng:
         jax.config.update("jax_default_prng_impl", "rbg")
+    if args.bf16_scores:
+        from ..ops.attention import set_bf16_scores
+        set_bf16_scores(True)
     # persistent XLA compilation cache: first CaSE compile is 200-500 s on
     # TPU; subsequent runs hit the cache
     cache_dir = os.environ.get("CASE_RG_COMPILE_CACHE",

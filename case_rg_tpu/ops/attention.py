@@ -23,6 +23,30 @@ import flax.linen as nn
 
 from .masking import neg_inf
 
+# --- attention-score precision switch (--bf16_scores) -----------------------
+# f32 inputs (the parity dtype) ALWAYS get f32 scores. For bf16 inputs the
+# default also accumulates scores to f32 (keeps the documented
+# "bf16 inference is metric-identical" contract); opting in via
+# set_bf16_scores(True) keeps the scores in bf16, which avoids materializing
+# + layout-converting f32 [B,H,L,L] score tensors (xprof: ~19% of the CaSE
+# predict batch) — measured +16% case / +13% masque serving qps, with
+# generation metrics unchanged and only near-tie rank flips on the toy gate
+# corpus (docs/PERF.md round 4).
+_BF16_SCORES = False
+
+
+def set_bf16_scores(on: bool) -> None:
+    """Enable bf16 attention scores for bf16 inputs (process-wide; call
+    before the first jit trace — the CLIs set it at startup)."""
+    global _BF16_SCORES
+    _BF16_SCORES = bool(on)
+
+
+def _score_dtype(in_dtype):
+    if in_dtype == jnp.float32 or not _BF16_SCORES:
+        return jnp.float32
+    return in_dtype
+
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     b, l, e = x.shape
@@ -48,14 +72,15 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     [B, Lk], True = attend. Rows whose keys are all masked produce zeros
     (torch would produce NaN; no model consumes such rows).
 
-    Mixed precision: the score matmul accumulates in f32 regardless of input
-    dtype (MXU-native bf16 inputs, f32 softmax), and the probability matrix
-    is cast back to the value dtype for the PV matmul.
+    Mixed precision: the score matmul accumulates in f32 by default (bf16
+    MXU inputs, f32 softmax); ``set_bf16_scores(True)`` keeps bf16 scores
+    for bf16 inputs (faster — see the module-level note), f32 inputs are
+    always f32.
     """
     d = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)), q.dtype)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=_score_dtype(q.dtype))
     if attn_bias is not None:
         scores = scores + attn_bias[None, None, :, :].astype(scores.dtype)
     if key_keep is not None:
@@ -125,7 +150,7 @@ class MultiHeadAttention(nn.Module):
         vh = v.reshape(b, -1, h, d)
         scale = jnp.asarray(1.0 / np.sqrt(d), q.dtype)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kh,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=_score_dtype(q.dtype))
         if key_keep is not None:
             scores = jnp.where(key_keep[:, None, None, :], scores,
                                neg_inf(scores.dtype))

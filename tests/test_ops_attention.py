@@ -84,3 +84,37 @@ def test_fully_masked_rows_zero_not_nan():
     out, _ = mha.apply(params, jnp.array(x), jnp.array(x), jnp.array(x),
                        key_keep=jnp.array(keep))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_scores_opt_in():
+    """set_bf16_scores(True): bf16 inputs keep bf16 scores (avoids the f32
+    [B,H,L,L] materialization xprof flagged — docs/PERF.md round 4) and
+    must stay close to the default f32-score result; f32 inputs are always
+    f32-scored regardless of the switch (parity dtype unchanged)."""
+    from case_rg_tpu.ops.attention import attend, set_bf16_scores
+
+    rng = np.random.RandomState(7)
+    q = rng.standard_normal((4, 2, 10, 16)).astype(np.float32)
+    k = rng.standard_normal((4, 2, 12, 16)).astype(np.float32)
+    v = rng.standard_normal((4, 2, 12, 16)).astype(np.float32)
+    keep = np.arange(12)[None, :] < rng.randint(6, 13, size=(4,))[:, None]
+
+    ref, _ = attend(jnp.array(q), jnp.array(k), jnp.array(v),
+                    key_keep=jnp.array(keep))
+    assert np.asarray(ref).dtype == np.float32
+
+    bq, bk, bv = (jnp.array(x, jnp.bfloat16) for x in (q, k, v))
+    base, _ = attend(bq, bk, bv, key_keep=jnp.array(keep))
+    try:
+        set_bf16_scores(True)
+        fast, _ = attend(bq, bk, bv, key_keep=jnp.array(keep))
+        f32_again, _ = attend(jnp.array(q), jnp.array(k), jnp.array(v),
+                              key_keep=jnp.array(keep))
+    finally:
+        set_bf16_scores(False)
+    assert fast.dtype == jnp.bfloat16
+    # f32 path is bit-identical with the switch on
+    np.testing.assert_array_equal(np.asarray(f32_again), np.asarray(ref))
+    # bf16-scored output stays within bf16 resolution of the default
+    np.testing.assert_allclose(np.asarray(fast, np.float32),
+                               np.asarray(base, np.float32), atol=0.05)

@@ -54,6 +54,10 @@ def main():
     fast_argmax = "--fast_argmax" in argv
     if fast_argmax:
         argv.remove("--fast_argmax")
+    if "--bf16_scores" in argv:
+        argv.remove("--bf16_scores")
+        from case_rg_tpu.ops.attention import set_bf16_scores
+        set_bf16_scores(True)
     B = int(argv[0]) if len(argv) > 0 else 64
     iters = int(argv[1]) if len(argv) > 1 else 8
     models = argv[2:] or (("case", "masque", "tmemnet") if rank_only
