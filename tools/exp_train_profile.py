@@ -148,6 +148,10 @@ def main():
     rngk = jax.random.PRNGKey(7)
 
     import os as _os
+    if _os.environ.get("CASE_RG_BF16_SCORES") == "1":
+        from case_rg_tpu.ops.attention import set_bf16_scores
+        set_bf16_scores(True)
+        print("[profile] bf16 attention scores ON", flush=True)
     parts = _os.environ.get("PROFILE_PARTS", "fwd,full").split(",")
     if "fwd" in parts:
         t = timed("stages", build_fwd(K, "stages", True), params, batch, rngk)

@@ -193,6 +193,9 @@ if __name__ == "__main__":
     fast_argmax = "--fast_argmax" in argv
     if fast_argmax:
         argv.remove("--fast_argmax")
+    bf16_scores = "--bf16_scores" in argv
+    if bf16_scores:
+        argv.remove("--bf16_scores")
     analyze_only = "--analyze" in argv
     if analyze_only:
         argv.remove("--analyze")
@@ -203,7 +206,13 @@ if __name__ == "__main__":
         del argv[i:i + 2]
     B = int(argv[0]) if argv else 64
     logdir = f"/tmp/xprof_decode_{model}" \
-        f"{'_ro' if rank_only else ''}{'_fa' if fast_argmax else ''}"
+        f"{'_ro' if rank_only else ''}{'_fa' if fast_argmax else ''}" \
+        f"{'_bs' if bf16_scores else ''}"
+    if bf16_scores:
+        import sys as _sys
+        _sys.path.insert(0, "/root/repo")
+        from case_rg_tpu.ops.attention import set_bf16_scores
+        set_bf16_scores(True)
     if not analyze_only:
         run_traced(B, model, rank_only, logdir, fast_argmax)
     analyze(logdir)
