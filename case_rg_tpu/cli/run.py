@@ -86,6 +86,12 @@ def build_parser():
                         "instead of f32 (+16%% CaSE serving qps; generation "
                         "metrics unchanged, ranking can flip near-ties — "
                         "docs/PERF.md round 4)")
+    p.add_argument("--fused_attn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Pallas fused encoder attention for bf16 inference "
+                        "on TPU (scores stay in VMEM; ~1-ULP bf16 rounding "
+                        "differences vs the einsum path — docs/PERF.md "
+                        "round 5; --no-fused_attn restores the einsum path)")
     p.add_argument("--ema_eval", action="store_true")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--seed", type=int, default=123456)
@@ -239,6 +245,9 @@ def main(argv=None):
     if args.bf16_scores:
         from ..ops.attention import set_bf16_scores
         set_bf16_scores(True)
+    if not args.fused_attn:
+        from ..ops.attention import set_fused_attention
+        set_fused_attention(False)
     # persistent XLA compilation cache: first CaSE compile is 200-500 s on
     # TPU; subsequent runs hit the cache
     cache_dir = os.environ.get("CASE_RG_COMPILE_CACHE",

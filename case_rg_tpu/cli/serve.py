@@ -119,6 +119,12 @@ def build_parser():
                    help="with --bf16: keep attention scores in bf16 instead "
                         "of f32 (+16%% CaSE qps; generation unchanged, "
                         "ranking can flip near-ties — docs/PERF.md)")
+    p.add_argument("--fused_attn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Pallas fused encoder attention for bf16 serving on "
+                        "TPU (scores stay in VMEM; ~1-ULP bf16 rounding "
+                        "differences vs the einsum path — docs/PERF.md "
+                        "round 5; --no-fused_attn restores the einsum path)")
     p.add_argument("--query_len", type=int, default=60)
     p.add_argument("--passage_len", type=int, default=100)
     p.add_argument("--num_passage", type=int, default=10)
@@ -453,6 +459,9 @@ def main(argv=None, _server_ready=None):
     if args.bf16_scores:
         from ..ops.attention import set_bf16_scores
         set_bf16_scores(True)
+    if not args.fused_attn:
+        from ..ops.attention import set_fused_attention
+        set_fused_attention(False)
 
     cache_dir = os.environ.get("CASE_RG_COMPILE_CACHE",
                                os.path.expanduser("~/.cache/case_rg_tpu_xla"))

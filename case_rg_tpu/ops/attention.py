@@ -42,6 +42,40 @@ def set_bf16_scores(on: bool) -> None:
     _BF16_SCORES = bool(on)
 
 
+# --- fused (Pallas) encoder attention ---------------------------------------
+# For deterministic, no-bias, no-weights bf16 attention sites on TPU, the
+# fused kernel in kernels/encoder_attention.py keeps the f32 [R,H,L,L]
+# score tensor in VMEM instead of materializing + layout-converting it in
+# HBM (xprof: ~19% of the CaSE predict batch; 2x faster per passage-tower
+# site, +48% rank-only qps). Outputs differ from the einsum path by at
+# most 1 bf16 ULP (softmax reduction order — see the kernel docstring);
+# f32 (the parity dtype) never takes this path. Disable with
+# set_fused_attention(False) / --no-fused_attn.
+_FUSED_ATTN = True
+
+
+def set_fused_attention(on: bool) -> None:
+    """Enable/disable the Pallas fused attention path (process-wide; call
+    before the first jit trace)."""
+    global _FUSED_ATTN
+    _FUSED_ATTN = bool(on)
+
+
+def _fused_attention_ok(dtype, attn_bias, need_weights, deterministic,
+                        dropout) -> bool:
+    if not _FUSED_ATTN or attn_bias is not None or need_weights:
+        return False
+    if not deterministic:
+        return False  # inference-only: pallas_call defines no VJP
+    if dtype != jnp.bfloat16:
+        return False  # f32 stays on the XLA path (the parity dtype)
+    try:
+        from ..kernels.encoder_attention import HAVE_PALLAS
+        return HAVE_PALLAS and jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _score_dtype(in_dtype):
     if in_dtype == jnp.float32 or not _BF16_SCORES:
         return jnp.float32
@@ -149,8 +183,26 @@ class MultiHeadAttention(nn.Module):
         kh = k.reshape(b, -1, h, d)
         vh = v.reshape(b, -1, h, d)
         scale = jnp.asarray(1.0 / np.sqrt(d), q.dtype)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kh,
-                            preferred_element_type=_score_dtype(q.dtype))
+        if lq == 1 and q.dtype != jnp.float32:
+            # Single-query scores as ONE batched MXU matmul instead of the
+            # per-head matvec XLA strength-reduces to a VPU multiply+reduce
+            # (which relayouts + upcasts the whole bf16 K cache to f32 per
+            # step — xprof round 5; with the fused encoder kernel this is
+            # case 554->737 qps). ``qbd`` places each head's scaled query
+            # slice block-diagonally on the merged E axis; masked lanes
+            # contribute exact +0.0 products, but the longer contraction
+            # associates the 32 live terms differently, so scores can move
+            # by 1 ULP — f32 (the parity dtype, and no upcast to save)
+            # keeps the per-head einsum below bit-for-bit.
+            qs = (q * scale)[:, 0]                       # [B, H, d]
+            eye = jnp.eye(h, dtype=q.dtype)
+            qbd = (qs[:, :, :, None] * eye[:, None, :]).reshape(b, e, h)
+            s_lh = jnp.einsum("ble,beh->blh", k, qbd,
+                              preferred_element_type=_score_dtype(q.dtype))
+            scores = s_lh.transpose(0, 2, 1)[:, :, None, :]   # [B, H, 1, L]
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kh,
+                                preferred_element_type=_score_dtype(q.dtype))
         if key_keep is not None:
             scores = jnp.where(key_keep[:, None, None, :], scores,
                                neg_inf(scores.dtype))
@@ -166,6 +218,12 @@ class MultiHeadAttention(nn.Module):
                        deterministic: bool = True,
                        need_weights: bool = False):
         """Attention where K/V are already projected ([B, Lk, E])."""
+        if _fused_attention_ok(q_in.dtype, attn_bias, need_weights,
+                               deterministic, self.dropout):
+            from ..kernels.encoder_attention import fused_mha
+            ctx = fused_mha(self.project_q(q_in), k, v, key_keep,
+                            self.num_heads)
+            return self.out(ctx), None
         h = self.num_heads
         return self.attend_with_kv_heads(
             q_in, split_heads(k, h), split_heads(v, h), attn_bias=attn_bias,

@@ -60,3 +60,38 @@ def test_single_query_mha_interpret_matches_xla():
     out0 = single_query_mha(q, k, v, keep0, h, True)
     assert np.isfinite(np.asarray(out0)).all()
     np.testing.assert_allclose(np.asarray(out0)[1], 0.0)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+@pytest.mark.parametrize("r,lq,lk,e,h", [
+    (6, 13, 17, 64, 8),        # non-tile-aligned, cross-shaped
+    (4, 100, 100, 256, 8),     # passage encoder/tower site
+    (2, 60, 60, 1280, 8),      # first tower block (5D wide, d=160)
+])
+def test_fused_mha_interpret_matches_xla(r, lq, lk, e, h):
+    from case_rg_tpu.kernels.encoder_attention import fused_mha, fused_mha_xla
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(r, lq, e), jnp.float32)
+    k = jnp.asarray(rng.randn(r, lk, e), jnp.float32)
+    v = jnp.asarray(rng.randn(r, lk, e), jnp.float32)
+    keep = jnp.asarray(rng.rand(r, lk) > 0.3)
+    ref = fused_mha_xla(q, k, v, keep, h)
+    out = fused_mha(q, k, v, keep, h, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+    # fully-masked row -> zero context, no NaN (attend():90-91 semantics)
+    keep0 = keep.at[0].set(False)
+    out0 = np.asarray(fused_mha(q, k, v, keep0, h, True))
+    assert np.isfinite(out0).all()
+    np.testing.assert_allclose(out0[0], 0.0)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_fused_mha_no_mask_and_bf16():
+    from case_rg_tpu.kernels.encoder_attention import fused_mha, fused_mha_xla
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(3, 10, 32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 12, 32), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(3, 12, 32), jnp.bfloat16)
+    ref = np.asarray(fused_mha_xla(q, k, v, None, 4), np.float32)
+    out = np.asarray(fused_mha(q, k, v, None, 4, True), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2)  # bf16 1-ULP

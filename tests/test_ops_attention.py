@@ -77,6 +77,53 @@ def test_cross_attention_and_kv_cache_paths_agree():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-6)
 
 
+def test_single_query_block_diagonal_scores():
+    """attend_with_kv_merged's Lq==1 fast path (non-f32 only) computes
+    scores as one batched [L,E]x[E,H] MXU matmul over a block-diagonal
+    query (ops/attention.py). The longer contraction can re-associate the
+    live terms (~1 ULP), so f32 — the parity dtype — must keep the plain
+    per-head einsum: the gate is a trace-time dtype branch, checked here
+    on the jaxpr (the block-diagonal build is the only eye/iota in the
+    method). The bf16 result must stay within bf16 resolution of the
+    general head-split path."""
+    import jax
+
+    _, mha, params = _setup(seed=5)
+    rng = np.random.RandomState(5)
+    b, lk, e = 3, 11, 32
+    q = rng.randn(b, 1, e).astype(np.float32)
+    m = rng.randn(b, lk, e).astype(np.float32)
+    keep = rng.rand(b, lk) > 0.4
+    keep[:, 0] = True
+    k, v = mha.apply(params, jnp.array(m), method=MultiHeadAttention.project_kv)
+
+    def merged(qx, kx, vx):
+        return mha.apply(params, qx, kx, vx, key_keep=jnp.array(keep),
+                         method=MultiHeadAttention.attend_with_kv_merged)
+
+    # f32 (parity dtype): the block-diagonal trick must NOT be traced in
+    jx32 = jax.make_jaxpr(merged)(jnp.array(q), k, v)
+    assert "iota" not in repr(jx32), "lq==1 fast path leaked into f32"
+
+    # bf16: fast path active, and within bf16 resolution of the general
+    # path (params cast like --bf16_eval does, else project_q promotes to
+    # f32 and the trace-time dtype gate correctly stays off)
+    bparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    bq, bk, bv = (jnp.asarray(x, jnp.bfloat16) for x in (q, k, v))
+
+    def bmerged(qx, kx, vx):
+        return mha.apply(bparams, qx, kx, vx, key_keep=jnp.array(keep),
+                         method=MultiHeadAttention.attend_with_kv_merged)
+
+    jx16 = jax.make_jaxpr(bmerged)(bq, bk, bv)
+    assert "iota" in repr(jx16), "lq==1 fast path inactive for bf16"
+    out_bsq, _ = bmerged(bq, bk, bv)
+    out_bgen, _ = mha.apply(bparams, bq, bk, bv, key_keep=jnp.array(keep),
+                            method=MultiHeadAttention.attend_with_kv)
+    np.testing.assert_allclose(np.asarray(out_bsq, np.float32),
+                               np.asarray(out_bgen, np.float32), atol=0.05)
+
+
 def test_fully_masked_rows_zero_not_nan():
     _, mha, params = _setup(seed=3)
     x = np.random.RandomState(3).randn(2, 4, 32).astype(np.float32)
