@@ -62,8 +62,12 @@ def build_parser():
     p.add_argument("--ckpt_backend", type=str, default="msgpack",
                    choices=["msgpack", "orbax"],
                    help="orbax: async + sharded checkpoints")
-    p.add_argument("--fast_argmax", action="store_true",
-                   help="scatter-free decode argmax (candidate-set; serving)")
+    p.add_argument("--fast_argmax", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="scatter-free decode argmax (candidate-set, Pallas "
+                        "duplicate-combine kernel). Default: auto — on for "
+                        "bf16 inference on TPU, off for f32 (the parity "
+                        "dtype); --no-fast_argmax forces the dense scatter")
     p.add_argument("--rank_only", action="store_true",
                    help="--mode test: write only the .run ranking files, "
                         "skipping answer generation (case/masque/tmemnet; "

@@ -105,7 +105,11 @@ def build_parser():
                         "has emitted EOS (sentence-identical to the fixed "
                         "40-step loop — opt-in for offline parity runs, ON "
                         "by default for serving; --no-early_exit disables)")
-    p.add_argument("--fast_argmax", action="store_true")
+    p.add_argument("--fast_argmax", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="scatter-free decode argmax (auto: on for bf16 on "
+                        "TPU, off for f32; --no-fast_argmax forces the "
+                        "dense scatter)")
     p.add_argument("--rank_only", action="store_true",
                    help="return passage rankings only, skipping answer "
                         "generation (case/masque/tmemnet). The sequential "

@@ -64,19 +64,14 @@ def sampling_controls(logits: jnp.ndarray, temperature: float = 1.0,
     return logits
 
 
-def run_greedy(step_fn: StepFn, init_state, batch_size: int, max_len: int,
-               bos: int, eos: int, unk: int, pad: int = 0,
-               early_exit: bool = False) -> jnp.ndarray:
-    """Greedy loop with the reference's EOS bookkeeping.
-
-    ``early_exit=True`` switches to a ``while_loop`` that stops once every
-    row has emitted EOS. Emitted sentences are identical (positions past a
-    row's EOS are PAD either way); only wall-clock changes.
-    """
+def _greedy_loop(pick_fn, init_state, batch_size: int, max_len: int,
+                 bos: int, eos: int, unk: int, pad: int,
+                 early_exit: bool) -> jnp.ndarray:
+    """Shared greedy driver: ``pick_fn(state, prev) -> (idx [B], state)``
+    chooses the next token; this applies the reference's EOS bookkeeping."""
     def body(carry, t):
         state, prev, ended = carry
-        scores, state = step_fn(state, prev)
-        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        idx, state = pick_fn(state, prev)
         this_end = idx == eos
         idx = jnp.where((t == 0) & this_end, unk, idx)
         idx = jnp.where((t > 0) & ended, pad, idx)
@@ -106,6 +101,50 @@ def run_greedy(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     _, _, _, _, out = jax.lax.while_loop(
         cond, wbody, (jnp.int32(0), init_state, prev0, ended0, out0))
     return out
+
+
+def run_greedy(step_fn: StepFn, init_state, batch_size: int, max_len: int,
+               bos: int, eos: int, unk: int, pad: int = 0,
+               early_exit: bool = False) -> jnp.ndarray:
+    """Greedy loop with the reference's EOS bookkeeping.
+
+    ``early_exit=True`` switches to a ``while_loop`` that stops once every
+    row has emitted EOS. Emitted sentences are identical (positions past a
+    row's EOS are PAD either way); only wall-clock changes.
+    """
+    def pick(state, prev):
+        scores, state = step_fn(state, prev)
+        return jnp.argmax(scores, axis=-1).astype(jnp.int32), state
+
+    return _greedy_loop(pick, init_state, batch_size, max_len, bos, eos,
+                        unk, pad, early_exit)
+
+
+def run_greedy_copy(fast_fn, src_ids: jnp.ndarray, init_state,
+                    batch_size: int, max_len: int,
+                    bos: int, eos: int, unk: int, pad: int = 0,
+                    early_exit: bool = False) -> jnp.ndarray:
+    """Greedy loop over a copy-mixture step WITHOUT the [B, V] scatter.
+
+    ``fast_fn(state, prev) -> (logits [B, V], l_at [B, L], gate, cw [B, L],
+    state)``: the pre-softmax vocabulary logits, those logits gathered at
+    the (step-invariant) source ids via hoisted weight columns, the gate on
+    the softmax branch, and the gate-scaled copy mass, such that the step
+    distribution is ``gate*softmax(logits) + scatter_add(cw, src_ids)``.
+    The next token comes from ``candidate_argmax_from_logits`` (the
+    per-step [B, V] scatter — and the [B, V] gather a naive candidate
+    argmax pays — are the largest single decode ops at B=64; docs/PERF.md
+    rounds 4-6). Same EOS bookkeeping as ``run_greedy``.
+    """
+    from ..kernels.copy_argmax import candidate_argmax_from_logits
+
+    def pick(state, prev):
+        logits, l_at, gate, cw, state = fast_fn(state, prev)
+        return candidate_argmax_from_logits(logits, l_at, gate, cw,
+                                            src_ids), state
+
+    return _greedy_loop(pick, init_state, batch_size, max_len, bos, eos,
+                        unk, pad, early_exit)
 
 
 def run_sample(step_fn: StepFn, init_state, batch_size: int, max_len: int,

@@ -8,7 +8,7 @@ the answer-vector feature (models/multimem.py, use_feature=True).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +134,7 @@ class CaSEModel(nn.Module):
                            deterministic=deterministic)["passage_score"]
 
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
-                fast_argmax: bool = False,
+                fast_argmax: Optional[bool] = None,
                 beam_width: int = 1,
                 sample_rng=None, temperature: float = 1.0, top_k: int = 0,
                 top_p: float = 1.0) -> Dict[str, jnp.ndarray]:

@@ -138,6 +138,15 @@ class GLKSModel(nn.Module):
     def _generate(self, word_emb, state, enc) -> jnp.ndarray:
         """One-step mixture distribution [B, V]
         (decode+generate, GLKS/Model.py:219-239)."""
+        logits, _, p_k, p_mix = self._generate_core(word_emb, state, enc)
+        p_v = jax.nn.softmax(logits, axis=-1)
+        copied = copy_scatter(p_k, enc["background"], self.cfg.vocab_size)
+        return p_mix * p_v + (1.0 - p_mix) * copied
+
+    def _generate_core(self, word_emb, state, enc):
+        """(vocab logits [B, V], readout r [B, H] feeding the generator,
+        copy attention p_k [B, Lb], mix gate p_mix [B, 1]);
+        p_v == softmax(logits)."""
         seg = enc["segment"]
         q = jnp.concatenate([word_emb, state, seg], axis=-1)      # [B, 1, E+2H]
         from ..ops.masking import masked_softmax
@@ -149,10 +158,10 @@ class GLKSModel(nn.Module):
             q, enc["vg_b_uh"], enc["b_out"], mask=enc["b_keep"][:, None, :])
         concat = jnp.concatenate([word_emb[:, 0], state[:, 0], seg[:, 0],
                                   c_ctx[:, 0], b_ctx[:, 0]], axis=-1)
-        p_v = jax.nn.softmax(self.vg_generator(self.vg_readout(concat)), axis=-1)
+        r = self.vg_readout(concat)
+        logits = self.vg_generator(r)
         p_mix = jax.nn.sigmoid(self.mix_linear(state[:, 0]))       # [B, 1]
-        copied = copy_scatter(p_k, enc["background"], self.cfg.vocab_size)
-        return p_mix * p_v + (1.0 - p_mix) * copied
+        return logits, r, p_k, p_mix
 
     def decode_step(self, enc, state, prev_ids, *, deterministic: bool = True):
         """state: [B, 1, H] (single-layer tracker GRU)."""
@@ -160,6 +169,40 @@ class GLKSModel(nn.Module):
         _, state = self.st_gru.step(emb[:, 0], state)
         probs = self._generate(emb, state, enc)
         return probs, state
+
+    def decode_step_parts(self, enc, state, prev_ids, *,
+                          deterministic: bool = True):
+        """Scatter-free step: (vocab mass [B, V], copy mass [B, Lb], state)
+        with ``dist == vocab + scatter_add(copy, enc['background'])`` (the
+        mix gate multiplies the copy attention BEFORE the scatter-sum —
+        same value, ~1 ULP). The math spec for ``decode_step_fast``."""
+        emb = self.emb_drop(self.embedding(prev_ids),
+                            deterministic=deterministic)[:, None]
+        _, state = self.st_gru.step(emb[:, 0], state)
+        logits, _, p_k, p_mix = self._generate_core(emb, state, enc)
+        return p_mix * jax.nn.softmax(logits, axis=-1), \
+            (1.0 - p_mix) * p_k, state
+
+    def prepare_fast_decode(self, enc):
+        """Hoisted (step-invariant) gathered generator columns for the
+        scatter-free greedy loop (kernels/copy_argmax)."""
+        from ..kernels.copy_argmax import gather_weight_columns
+        p = self.vg_generator.variables["params"]
+        w_at, b_at = gather_weight_columns(p["kernel"].T, enc["background"],
+                                           p["bias"])
+        return {"w_at": w_at, "b_at": b_at}
+
+    def decode_step_fast(self, enc, fast, state, prev_ids, *,
+                         deterministic: bool = True):
+        """(logits [B, V], logits-at-source-ids [B, Lb], vocab gate [B, 1],
+        copy mass [B, Lb], state) for candidate_argmax_from_logits."""
+        emb = self.emb_drop(self.embedding(prev_ids),
+                            deterministic=deterministic)[:, None]
+        _, state = self.st_gru.step(emb[:, 0], state)
+        logits, r, p_k, p_mix = self._generate_core(emb, state, enc)
+        l_at = jnp.einsum("bld,bd->bl", fast["w_at"],
+                          r.astype(fast["w_at"].dtype)) + fast["b_at"]
+        return logits, l_at, p_mix, (1.0 - p_mix) * p_k, state
 
     def train_losses(self, batch, *, deterministic: bool = False,
                      mode: str = "ds_mle_mce_train"):

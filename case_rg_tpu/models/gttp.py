@@ -62,6 +62,46 @@ class GTTPModel(nn.Module):
         copied = copy_scatter(bg_attn, enc["background"], self.cfg.vocab_size)
         return out_prob + copied * p_copy, state
 
+    def decode_step_parts(self, enc, state, prev_ids, *,
+                          deterministic: bool = True):
+        """Scatter-free step: (vocab mass [B, V], copy mass [B, Lb], state)
+        with ``dist == vocab + scatter_add(copy, enc['background'])`` (the
+        gate multiplies the attention BEFORE the scatter-sum — same value,
+        ~1 ULP). The math spec for ``decode_step_fast``."""
+        emb = self.dec.embed(prev_ids, deterministic)
+        feature, state, _, bg_attn = self.dec.step(
+            emb, state, enc["c_out"], enc["b_out"], enc["c_keep"],
+            enc["b_keep"], enc.get("src_uh"), enc.get("bg_uh"))
+        out_prob, p_copy = self._vocab_and_copy(feature, bg_attn)
+        return out_prob, bg_attn * p_copy, state
+
+    def prepare_fast_decode(self, enc):
+        """Hoisted (step-invariant) gathered generator columns for the
+        scatter-free greedy loop (kernels/copy_argmax)."""
+        from ..kernels.copy_argmax import gather_weight_columns
+        p = self.gen_linear.variables["params"]
+        w_at, b_at = gather_weight_columns(p["kernel"].T, enc["background"],
+                                           p["bias"])
+        return {"w_at": w_at, "b_at": b_at}
+
+    def decode_step_fast(self, enc, fast, state, prev_ids, *,
+                         deterministic: bool = True):
+        """(logits [B, V], logits-at-source-ids [B, Lb], vocab gate [B, 1],
+        copy mass [B, Lb], state) for candidate_argmax_from_logits —
+        ``dist == gate*softmax(logits) + scatter_add(copy, background)``."""
+        emb = self.dec.embed(prev_ids, deterministic)
+        feature, state, _, bg_attn = self.dec.step(
+            emb, state, enc["c_out"], enc["b_out"], enc["c_keep"],
+            enc["b_keep"], enc.get("src_uh"), enc.get("bg_uh"))
+        logits = self.gen_linear(feature)
+        logits = logits.at[:, 0].set(neg_inf(logits.dtype))
+        p_copy = jax.nn.sigmoid(self.copy_linear(feature))       # [B, 1]
+        l_at = jnp.einsum("bld,bd->bl", fast["w_at"],
+                          feature.astype(fast["w_at"].dtype)) + fast["b_at"]
+        # mirror the PAD mask on the gathered logits
+        l_at = jnp.where(enc["background"] == 0, neg_inf(l_at.dtype), l_at)
+        return logits, l_at, 1.0 - p_copy, bg_attn * p_copy, state
+
     def train_losses(self, batch, *, deterministic: bool = False):
         """NLL over the mixture at the gold tokens
         (ref: GTTP/Model.py:198-202)."""

@@ -8,7 +8,7 @@ inputs are omitted (see data/featurize.py).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +89,7 @@ class MasqueModel(nn.Module):
         return self._select(batch, deterministic=deterministic)[0]
 
     def predict(self, batch, *, max_len: int, early_exit: bool = False,
-                fast_argmax: bool = False,
+                fast_argmax: Optional[bool] = None,
                 beam_width: int = 1,
                 sample_rng=None, temperature: float = 1.0, top_k: int = 0,
                 top_p: float = 1.0) -> Dict[str, jnp.ndarray]:

@@ -68,14 +68,20 @@ class MultiMemoryDecoder(nn.Module):
 
     # ---- shared per-position math ----
 
-    def _generator(self, dec_input, dec_normed, feature, deterministic):
+    def _generator_parts(self, dec_input, dec_normed, feature, deterministic):
+        """(pre-softmax hidden h [.., d], vocabulary logits [.., V])."""
         parts = [dec_input, dec_normed]
         if self.use_feature:
             parts.append(feature)
         h = self.gen1(jnp.concatenate(parts, axis=-1))
         if self.use_feature:  # CaSE has a dropout inside gen (CaSE/Model.py:34)
             h = self.gen_drop(h, deterministic=deterministic)
-        return jax.nn.softmax(self.gen2(h), axis=-1)
+        return h, self.gen2(h)
+
+    def _generator(self, dec_input, dec_normed, feature, deterministic):
+        return jax.nn.softmax(
+            self._generator_parts(dec_input, dec_normed, feature,
+                                  deterministic)[1], axis=-1)
 
     def _memory_attend(self, i, stream, feature, memory, mem_keep, weight,
                        tgt_keep, uh=None):
@@ -156,7 +162,9 @@ class MultiMemoryDecoder(nn.Module):
                    memories, mem_keeps, weights):
         """One decode step through the stacks, copy attentions, generator
         and mix gate. Returns (new_caches, hist, gen [B,1,V], mix_p
-        [B,1,M+1], ps: per-memory copy probs [B,1,Lm])."""
+        [B,1,M+1], ps: per-memory copy probs [B,1,Lm], gen_h [B,1,d],
+        gen_logits [B,1,V]) — gen == softmax(gen_logits); callers that
+        don't consume the extra parts leave them to XLA's DCE."""
         hist = jax.lax.dynamic_update_slice(hist, (prev != 0)[:, None],
                                             (0, t))
         emb = self.pos(self.embedding(prev[:, None]), offset=t,
@@ -174,9 +182,10 @@ class MultiMemoryDecoder(nn.Module):
             ctxs.append(ctx)
             ps.append(p)
         x = self.norm1(x)
-        gen = self._generator(emb, x, feat, True)
+        gen_h, gen_logits = self._generator_parts(emb, x, feat, True)
+        gen = jax.nn.softmax(gen_logits, axis=-1)
         mix_p = jax.nn.softmax(self.mix(jnp.concatenate([x] + ctxs, -1)), -1)
-        return new_caches, hist, gen, mix_p, ps
+        return new_caches, hist, gen, mix_p, ps, gen_h, gen_logits
 
     def _extend_dist(self, gen, mix_p, ps, src_ids):
         """Copy-extended distribution (extend — Masque/Model.py:37-44)."""
@@ -192,31 +201,61 @@ class MultiMemoryDecoder(nn.Module):
     def decode(self, memories, mem_keeps, weights, src_ids, max_len: int,
                feature: Optional[jnp.ndarray] = None,
                early_exit: bool = False,
-               fast_argmax: bool = False) -> jnp.ndarray:
+               fast_argmax: Optional[bool] = None) -> jnp.ndarray:
         """``early_exit=True`` stops once every row has emitted EOS at least
         once (remaining positions stay PAD). The reference keeps arg-maxing
         past EOS (CaSE/Model.py:119-123) but its ``to_sentence`` truncates at
         EOS, so emitted answers are identical either way.
 
-        ``fast_argmax=True`` replaces the per-step [B, V] copy scatter with a
+        ``fast_argmax`` replaces the per-step [B, V] copy scatter with a
         candidate-set argmax: the extended distribution differs from the
         generation distribution only at source-token ids, so the argmax is
         either argmax(gen) or the best source id after combining duplicate-id
-        copy mass. The combine is ONE [B, Ls, Ls] einsum against a hoisted
-        first-occurrence matrix — xprof on the real predict program shows
-        the V-wide scatter is ~42% of the decode step (0.57 ms at B=64) and
-        its cost is the 64·1060 serialized updates, so an update-count-
-        preserving scatter (the previous combine) cannot win; the MXU
-        matvec measures 3.7x faster (tools/exp_scatter_variants.py,
-        docs/PERF.md round 4). Exact up to rounding of the duplicate
-        combine and tie-breaks."""
+        copy mass. xprof on the real predict program shows the V-wide
+        scatter is the largest single decode op (0.43-0.57 ms at B=64; its
+        cost is the 64·1060 serialized updates). Two combines exist:
+
+        * the Pallas kernel ``kernels/copy_argmax.combine_copy_mass``
+          computes the duplicate-id comparison tiles on the fly in VMEM —
+          47 us/step vs the 509 us f32 scatter, no hoisted HBM operand
+          (tools/exp_scatter_variants.py, docs/PERF.md round 6);
+        * the XLA fallback is ONE [B, Ls, Ls] einsum against a hoisted
+          first-occurrence matrix (182 us/step isolated, but its 145 MB
+          operand read each step loses e2e — round 4).
+
+        ``fast_argmax=None`` (auto, the serving default) uses the Pallas
+        combine on TPU when the memories are not f32; f32 — the parity
+        dtype — keeps the dense scatter + argmax. True forces candidate
+        argmax (Pallas on TPU, einsum elsewhere), False forces the dense
+        scatter. Exact up to rounding of the duplicate combine and
+        tie-breaks (equivalence tests decode identically to the dense
+        path; probe argmax cross-check on TPU 100% — docs/PERF.md
+        round 6)."""
         b = memories[0].shape[0]
+        try:
+            from ..kernels import copy_argmax as _ca
+            pallas_ok = _ca.HAVE_PALLAS and (
+                jax.default_backend() == "tpu" or _ca._FORCE_INTERPRET)
+        except Exception:  # pragma: no cover
+            pallas_ok = False
+        if fast_argmax is None:
+            ls_tot = sum(s.shape[-1] for s in src_ids)
+            fast_argmax = (pallas_ok and memories[0].dtype != jnp.float32
+                           and ls_tot <= _ca.MAX_FAST_LS)
+        use_pallas_comb = fast_argmax and pallas_ok
         cross, key_projs, feat = self._decode_precompute(memories, feature)
         caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
                   for i in range(self.num_memories)]
 
         ids_cat = jnp.concatenate(src_ids, axis=-1)   # [B, Ls]
-        if fast_argmax:
+        if use_pallas_comb:
+            # hoisted gathered generator columns: per step, the logits at
+            # the (step-invariant) source ids are one [B,Ls,d]x[B,d]
+            # matvec instead of a serialized [B, V] gather
+            from ..kernels.copy_argmax import gather_weight_columns
+            w_at, _ = gather_weight_columns(
+                self.gen2.variables["params"]["kernel"].T, ids_cat)
+        if fast_argmax and not use_pallas_comb:
             # step-invariant duplicate-id structure: for each source position,
             # the index of the first position carrying the same vocab id.
             # Per step, copy mass is combined onto first occurrences with one
@@ -240,23 +279,38 @@ class MultiMemoryDecoder(nn.Module):
 
         def step(carry, t):
             caches, prev, hist = carry
-            new_caches, hist, gen, mix_p, ps = self._step_core(
-                caches, prev, hist, t, cross, key_projs, feat, memories,
-                mem_keeps, weights)
+            new_caches, hist, gen, mix_p, ps, gen_h, gen_logits = \
+                self._step_core(caches, prev, hist, t, cross, key_projs,
+                                feat, memories, mem_keeps, weights)
             if fast_argmax:
-                g = mix_p[:, 0, 0:1] * gen[:, 0]                    # [B, V]
-                g_idx = jnp.argmax(g, axis=-1)
-                g_val = jnp.take_along_axis(g, g_idx[:, None], -1)[:, 0]
                 cw = jnp.concatenate(
                     [mix_p[:, 0, i + 1:i + 2] * ps[i][:, 0]
                      for i in range(self.num_memories)], axis=-1)   # [B, Ls]
-                comb = jnp.einsum("bkl,bl->bk", comb_m, cw.astype(dtype))
-                g_at = jnp.take_along_axis(g, ids_cat, axis=-1)     # [B, Ls]
-                cand = jnp.where(is_first, g_at + comb, -1.0)
-                c_pos = jnp.argmax(cand, axis=-1)
-                c_val = jnp.take_along_axis(cand, c_pos[:, None], -1)[:, 0]
-                c_idx = jnp.take_along_axis(ids_cat, c_pos[:, None], -1)[:, 0]
-                nxt = jnp.where(c_val > g_val, c_idx, g_idx).astype(jnp.int32)
+                if use_pallas_comb:
+                    from ..kernels.copy_argmax import \
+                        candidate_argmax_from_logits
+                    # logits at the source ids via the hoisted gathered
+                    # gen2 columns (a per-step [B, V] gather is 0.68
+                    # ms/step); every duplicate carries its group's mass,
+                    # so argmax lands on the first occurrence
+                    l_at = jnp.einsum("bld,bd->bl", w_at,
+                                      gen_h[:, 0].astype(w_at.dtype))
+                    nxt = candidate_argmax_from_logits(
+                        gen_logits[:, 0], l_at, mix_p[:, 0, 0], cw, ids_cat)
+                else:
+                    g = mix_p[:, 0, 0:1] * gen[:, 0]                # [B, V]
+                    g_idx = jnp.argmax(g, axis=-1)
+                    g_val = jnp.take_along_axis(g, g_idx[:, None], -1)[:, 0]
+                    g_at = jnp.take_along_axis(g, ids_cat, axis=-1)
+                    comb = jnp.einsum("bkl,bl->bk", comb_m, cw.astype(dtype))
+                    cand = jnp.where(is_first, g_at + comb, -1.0)
+                    c_pos = jnp.argmax(cand, axis=-1)
+                    c_val = jnp.take_along_axis(cand, c_pos[:, None],
+                                                -1)[:, 0]
+                    c_idx = jnp.take_along_axis(ids_cat, c_pos[:, None],
+                                                -1)[:, 0]
+                    nxt = jnp.where(c_val > g_val, c_idx,
+                                    g_idx).astype(jnp.int32)
             else:
                 dist = self._extend_dist(gen, mix_p, ps, src_ids)
                 nxt = jnp.argmax(dist[:, 0], axis=-1).astype(jnp.int32)
@@ -312,7 +366,7 @@ class MultiMemoryDecoder(nn.Module):
         def body(carry, inp):
             t, key = inp
             caches, prev, hist, ended = carry
-            new_caches, hist, gen, mix_p, ps = self._step_core(
+            new_caches, hist, gen, mix_p, ps, _, _ = self._step_core(
                 caches, prev, hist, t, cross, key_projs, feat, memories,
                 mem_keeps, weights)
             dist = self._extend_dist(gen, mix_p, ps, src_ids)
@@ -360,7 +414,7 @@ class MultiMemoryDecoder(nn.Module):
 
         def step_fn(state, prev):
             t = state["t"][0, 0]
-            caches, hist, gen, mix_p, ps = self._step_core(
+            caches, hist, gen, mix_p, ps, _, _ = self._step_core(
                 state["caches"], prev, state["hist"], t, cross, key_projs,
                 feat, memories, mem_keeps, weights)
             dist = self._extend_dist(gen, mix_p, ps, src_ids)

@@ -28,10 +28,42 @@ def _enc_and_state(model, params, batch, enc=None):
 
 def greedy_predict(model, params, batch: Dict[str, jnp.ndarray],
                    max_len: int, early_exit: bool = False,
-                   enc=None) -> jnp.ndarray:
+                   enc=None, fast_copy: bool | None = None) -> jnp.ndarray:
+    """``fast_copy``: scatter-free candidate argmax for copy models (GLKS /
+    GTTP expose ``decode_step_fast``). Default (None = auto) stays OFF:
+    unlike the transformer-stack multi-memory decoders (where the same
+    candidate path wins ~12-17% e2e — models/multimem.py decode), the GRU
+    copy models LOSE with it (glks 1861 -> 1529 qps at B=64 bf16: their
+    decode step is small, so the per-step [B, Lb, d] hoisted-column einsum
+    read outweighs the scatter it removes — docs/PERF.md round 6).
+    ``fast_copy=True`` forces it (equivalence-tested, exact up to rounding
+    and tie-breaks)."""
     cfg = model.cfg
     enc, state = _enc_and_state(model, params, batch, enc)
     b = batch["response"].shape[0] if "response" in batch else batch["context"].shape[0]
+
+    has_fast = hasattr(type(model), "decode_step_fast")
+    try:
+        from ..kernels import copy_argmax as _ca
+        pallas_ok = _ca.HAVE_PALLAS and (jax.default_backend() == "tpu"
+                                         or _ca._FORCE_INTERPRET)
+    except Exception:  # pragma: no cover
+        pallas_ok = False
+    if fast_copy is None:
+        fast_copy = False
+    if fast_copy and has_fast and pallas_ok:
+        from ..decode.loops import run_greedy_copy
+
+        fast_ctx = model.apply(params, enc,
+                               method=type(model).prepare_fast_decode)
+
+        def fast_step(state, prev):
+            return model.apply(params, enc, fast_ctx, state, prev,
+                               method=type(model).decode_step_fast)
+
+        return run_greedy_copy(fast_step, enc["background"], state, b,
+                               max_len, cfg.bos_id, cfg.eos_id, cfg.unk_id,
+                               cfg.pad_id, early_exit=early_exit)
 
     def step(state, prev):
         scores, state = model.apply(params, enc, state, prev,

@@ -13,7 +13,7 @@ Maps each model to its test-time output dict, mirroring the reference's
 from __future__ import annotations
 
 import itertools
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 
@@ -28,7 +28,8 @@ RANK_MODELS = ("case", "masque", "tmemnet")
 
 def make_predict_fn(model, cfg: ModelConfig, max_len: int,
                     beam_width: int = 1, early_exit: bool = False,
-                    fast_argmax: bool = False, decoding: str = "greedy",
+                    fast_argmax: Optional[bool] = None,
+                    decoding: str = "greedy",
                     sample_seed: int = 0, temperature: float = 1.0,
                     top_k: int = 0, top_p: float = 1.0,
                     rank_only: bool = False
@@ -105,7 +106,8 @@ def make_predict_fn(model, cfg: ModelConfig, max_len: int,
             ids = beam_predict(model, variables, batch, max_len, beam_width)
         else:
             ids = greedy_predict(model, variables, batch, max_len,
-                                 early_exit=early_exit, enc=enc)
+                                 early_exit=early_exit, enc=enc,
+                                 fast_copy=fast_argmax)
         out = {"answer": ids}
         if name == "tmemnet":
             out["rank"] = enc["ck_attn"] if enc is not None else model.apply(

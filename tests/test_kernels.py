@@ -95,3 +95,44 @@ def test_fused_mha_no_mask_and_bf16():
     ref = np.asarray(fused_mha_xla(q, k, v, None, 4), np.float32)
     out = np.asarray(fused_mha(q, k, v, None, 4, True), np.float32)
     np.testing.assert_allclose(out, ref, atol=2e-2)  # bf16 1-ULP
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+@pytest.mark.parametrize("b,ls,hi", [
+    (3, 60, 20),       # query-memory size, heavy duplication
+    (4, 1060, 300),    # CaSE concat source (60 + 10x100)
+    (2, 2000, 80),     # GLKS/GTTP background, extreme duplication
+])
+def test_combine_copy_mass_interpret_matches_xla(b, ls, hi):
+    from case_rg_tpu.kernels.copy_argmax import (combine_copy_mass,
+                                                 combine_copy_mass_xla)
+    rng = np.random.RandomState(11)
+    ids = rng.randint(0, hi, size=(b, ls)).astype(np.int32)
+    ids[:, -ls // 8:] = 0                              # trailing PAD run
+    cw = rng.rand(b, ls).astype(np.float32) * 0.01
+    ref = np.asarray(combine_copy_mass_xla(jnp.asarray(cw), jnp.asarray(ids)))
+    out = np.asarray(combine_copy_mass(jnp.asarray(cw), jnp.asarray(ids),
+                                       True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # group property: every member of a duplicate group carries the group sum
+    gsum = np.zeros_like(cw[:, 0:1]).repeat(ls, 1)
+    for bb in range(b):
+        sums = {}
+        for l in range(ls):
+            sums[ids[bb, l]] = sums.get(ids[bb, l], 0.0) + cw[bb, l]
+        for l in range(ls):
+            gsum[bb, l] = sums[ids[bb, l]]
+    np.testing.assert_allclose(out, gsum, atol=1e-4)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_combine_copy_mass_bf16_weights():
+    from case_rg_tpu.kernels.copy_argmax import (combine_copy_mass,
+                                                 combine_copy_mass_xla)
+    rng = np.random.RandomState(12)
+    ids = jnp.asarray(rng.randint(0, 40, size=(2, 130)), jnp.int32)
+    cw = jnp.asarray(rng.rand(2, 130), jnp.bfloat16)
+    ref = np.asarray(combine_copy_mass_xla(cw, ids))
+    out = np.asarray(combine_copy_mass(cw, ids, True))
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, ref, atol=1e-2)

@@ -226,3 +226,80 @@ def test_multimem_beam_decode(name):
                                 method=type(model).predict)["answer"])
     assert w3.shape == greedy.shape
     assert (w3 >= 0).all() and (w3 < V).all()
+
+
+def _gttp_batch(rng):
+    resp, w = _common(rng)
+    return {"context": jnp.array(_rand_ids(rng, (B, LQ), pad_tail=2)),
+            "background": jnp.array(_rand_ids(rng, (B, P * LP), pad_tail=5)),
+            "response": jnp.array(resp), "sample_weight": jnp.array(w)}
+
+
+BATCHES["gttp"] = _gttp_batch
+
+
+@pytest.mark.parametrize("name", ["glks", "gttp"])
+def test_decode_step_parts_matches_dense(name):
+    """decode_step_parts recombined with the dense scatter must equal the
+    decode_step distribution (the gate multiplies before the scatter-sum,
+    so only f32 rounding order differs)."""
+    from case_rg_tpu.ops.copynet import copy_scatter
+    rng = np.random.RandomState(21)
+    batch = BATCHES[name](rng)
+    model = create_model(name, _cfg(name))
+    params = _init(model, batch)
+    enc = model.apply(params, batch, method=type(model).encode)
+    state = enc["init_state"]
+    prev = jnp.asarray(rng.randint(4, V, size=(B,)), jnp.int32)
+    dense, _ = model.apply(params, enc, state, prev,
+                           method=type(model).decode_step)
+    base, cw, _ = model.apply(params, enc, state, prev,
+                              method=type(model).decode_step_parts)
+    recomb = base + copy_scatter(cw, enc["background"], V)
+    np.testing.assert_allclose(np.asarray(recomb), np.asarray(dense),
+                               atol=2e-6)
+
+
+@pytest.mark.parametrize("name", ["glks", "gttp"])
+def test_fast_copy_greedy_matches_dense(name):
+    """The scatter-free candidate-argmax greedy loop (Pallas combine in
+    interpret mode) must reproduce the dense-scatter greedy decode."""
+    import case_rg_tpu.kernels.copy_argmax as ca
+    rng = np.random.RandomState(22)
+    batch = BATCHES[name](rng)
+    model = create_model(name, _cfg(name))
+    params = _init(model, batch)
+    slow = np.asarray(greedy_predict(model, params, batch, T,
+                                     fast_copy=False))
+    ca._FORCE_INTERPRET = True
+    try:
+        fast = np.asarray(greedy_predict(model, params, batch, T,
+                                         fast_copy=True))
+    finally:
+        ca._FORCE_INTERPRET = False
+    agreement = (slow == fast).mean()
+    assert agreement >= 0.99, (agreement, slow, fast)
+
+
+@pytest.mark.parametrize("name", ["case", "masque"])
+def test_multimem_pallas_fast_argmax_matches_dense(name):
+    """The Pallas candidate-argmax decode (logits-at-ids via hoisted gen2
+    columns + in-VMEM duplicate combine, interpret mode) must reproduce
+    the dense-scatter greedy decode."""
+    import case_rg_tpu.kernels.copy_argmax as ca
+    rng = np.random.RandomState(23)
+    batch = BATCHES[name](rng)
+    model = create_model(name, _cfg(name))
+    params = _init(model, batch)
+    slow = np.asarray(model.apply(params, batch, max_len=T,
+                                  fast_argmax=False,
+                                  method=type(model).predict)["answer"])
+    ca._FORCE_INTERPRET = True
+    try:
+        fast = np.asarray(model.apply(params, batch, max_len=T,
+                                      fast_argmax=True,
+                                      method=type(model).predict)["answer"])
+    finally:
+        ca._FORCE_INTERPRET = False
+    agreement = (slow == fast).mean()
+    assert agreement >= 0.99, (agreement, slow, fast)

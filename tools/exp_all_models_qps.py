@@ -51,9 +51,12 @@ def main():
     rank_only = "--rank_only" in argv
     if rank_only:
         argv.remove("--rank_only")
-    fast_argmax = "--fast_argmax" in argv
+    fast_argmax = True if "--fast_argmax" in argv else None  # None = auto
     if fast_argmax:
         argv.remove("--fast_argmax")
+    if "--no_fast_argmax" in argv:
+        fast_argmax = False
+        argv.remove("--no_fast_argmax")
     if "--bf16_scores" in argv:
         argv.remove("--bf16_scores")
         from case_rg_tpu.ops.attention import set_bf16_scores

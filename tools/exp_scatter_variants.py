@@ -55,7 +55,12 @@ def calibrate():
     return rt
 
 
+ONLY = None  # --only=a,b: measure only these variants (nop always runs)
+
+
 def run(name, make_loop, w0, iters, roundtrip, per_iter_overhead_us=0.0):
+    if ONLY is not None and name != "nop" and name not in ONLY:
+        return 0.0
     loop = make_loop()
     out = np.asarray(loop(w0), np.float32)
     times = []
@@ -70,6 +75,11 @@ def run(name, make_loop, w0, iters, roundtrip, per_iter_overhead_us=0.0):
 
 
 def main():
+    global ONLY
+    for a in list(sys.argv):
+        if a.startswith("--only="):
+            ONLY = set(a.split("=", 1)[1].split(","))
+            sys.argv.remove(a)
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     Ls = int(sys.argv[2]) if len(sys.argv) > 2 else 1060
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 100
@@ -196,16 +206,36 @@ def main():
     run("cumargmax", lambda: scan_loop(cum_argmax), w0, iters, roundtrip,
         nop_us)
 
+    def pallas_comb_argmax(w):
+        from case_rg_tpu.kernels.copy_argmax import combine_copy_mass
+        comb = combine_copy_mass(w, ids)               # [B, Ls] f32, on-fly eq
+        g_idx = jnp.argmax(g, axis=-1)
+        g_val = jnp.take_along_axis(g, g_idx[:, None], -1)[:, 0]
+        g_at = jnp.take_along_axis(g, ids, axis=-1)
+        cand = g_at.astype(jnp.float32) + comb         # dups share group mass
+        c_pos = jnp.argmax(cand, axis=-1)
+        c_val = jnp.take_along_axis(cand, c_pos[:, None], -1)[:, 0]
+        c_idx = jnp.take_along_axis(ids, c_pos[:, None], -1)[:, 0]
+        nxt = jnp.where(c_val > g_val.astype(jnp.float32), c_idx, g_idx)
+        return nxt[:, None].astype(DT) * jnp.asarray(1e-5, DT)
+    run("pallascomb", lambda: scan_loop(pallas_comb_argmax), w0, iters,
+        roundtrip, nop_us)
+
     # correctness cross-check of every variant against the base scatter
     d0 = np.asarray(base(w0), np.float32)
     for name, fn in (("sorted", sorted_scatter), ("runsum", runsum_scatter)):
+        if ONLY is not None and name not in ONLY:
+            continue
         d = np.asarray(fn(w0), np.float32)
         print(f"{name} max|diff| vs base: {np.abs(d - d0).max():.2e}")
     full = np.asarray(
         jnp.zeros((B, V), jnp.float32).at[bi, ids].add(
             w0.astype(jnp.float32)) + g.astype(jnp.float32))
     ref_idx = full.argmax(-1)
-    for name, fn in (("matcomb", matcomb_argmax), ("cumargmax", cum_argmax)):
+    for name, fn in (("matcomb", matcomb_argmax), ("cumargmax", cum_argmax),
+                     ("pallascomb", pallas_comb_argmax)):
+        if ONLY is not None and name not in ONLY:
+            continue
         idx = (np.asarray(fn(w0), np.float32)[:, 0] / 1e-5).round()
         ok = (idx == ref_idx).mean()
         print(f"{name} argmax agreement vs dense f32: {ok*100:.1f}%")

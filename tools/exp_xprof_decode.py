@@ -27,7 +27,7 @@ import numpy as np
 
 
 def run_traced(B=64, model_name="case", rank_only=False,
-               logdir="/tmp/xprof_decode", fast_argmax=False):
+               logdir="/tmp/xprof_decode", fast_argmax=None):
     import jax
     import jax.numpy as jnp
 
@@ -190,9 +190,12 @@ if __name__ == "__main__":
     rank_only = "--rank_only" in argv
     if rank_only:
         argv.remove("--rank_only")
-    fast_argmax = "--fast_argmax" in argv
+    fast_argmax = True if "--fast_argmax" in argv else None  # None = auto
     if fast_argmax:
         argv.remove("--fast_argmax")
+    if "--no_fast_argmax" in argv:
+        fast_argmax = False
+        argv.remove("--no_fast_argmax")
     bf16_scores = "--bf16_scores" in argv
     if bf16_scores:
         argv.remove("--bf16_scores")
