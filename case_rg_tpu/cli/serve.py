@@ -107,9 +107,11 @@ def build_parser():
                         "by default for serving; --no-early_exit disables)")
     p.add_argument("--fast_argmax", action=argparse.BooleanOptionalAction,
                    default=None,
-                   help="scatter-free decode argmax (auto: on for bf16 on "
-                        "TPU, off for f32; --no-fast_argmax forces the "
-                        "dense scatter)")
+                   help="scatter-free decode argmax (auto: case/masque on "
+                        "for bf16 on a single TPU chip, off for f32; "
+                        "glks/gttp auto keeps the dense scatter — measured "
+                        "faster for them; --no-fast_argmax forces the "
+                        "dense scatter everywhere)")
     p.add_argument("--rank_only", action="store_true",
                    help="return passage rankings only, skipping answer "
                         "generation (case/masque/tmemnet). The sequential "

@@ -100,14 +100,17 @@ def combine_copy_mass(cw: jnp.ndarray, src_ids: jnp.ndarray,
     subsequent argmax picks the group's first position (same selection as
     an explicit first-occurrence mask).
     """
-    b, ls = cw.shape
+    b0, ls = cw.shape
     lp = int(np.ceil(ls / _JT)) * _JT
-    idp = jnp.pad(src_ids.astype(jnp.int32), ((0, 0), (0, lp - ls)),
+    # pad rows up to a multiple of 8 so the kernel always runs rb=8 row
+    # blocks: an rb=b fallback would scale the unrolled body's stacked
+    # [rb, LT, JT] temps with B and OOM scoped VMEM for ordinary odd batch
+    # sizes (e.g. B=50). Padding rows are id=-1/weight=0 — inert.
+    b = int(np.ceil(b0 / 8)) * 8
+    idp = jnp.pad(src_ids.astype(jnp.int32), ((0, b - b0), (0, lp - ls)),
                   constant_values=-1)
-    cwp = jnp.pad(cw.astype(jnp.float32), ((0, 0), (0, lp - ls)))
-    # sublane tiling: row blocks of 8, or the full batch when it isn't a
-    # multiple of 8 (a block equal to the array dim is always legal)
-    rb = 8 if b % 8 == 0 else b
+    cwp = jnp.pad(cw.astype(jnp.float32), ((0, b - b0), (0, lp - ls)))
+    rb = 8
     nc = lp // _LT
     if nc <= _MAX_UNROLL_CHUNKS:
         out = pl.pallas_call(
@@ -120,7 +123,7 @@ def combine_copy_mass(cw: jnp.ndarray, src_ids: jnp.ndarray,
             out_specs=pl.BlockSpec((rb, _JT), lambda i, j: (i, j)),
             interpret=interpret,
         )(idp, idp, cwp)
-        return out[:, :ls]
+        return out[:b0, :ls]
     ids3 = idp.reshape(b, nc, _LT).transpose(1, 0, 2)    # [nc, B, LT]
     cw3 = cwp.reshape(b, nc, _LT).transpose(1, 0, 2)
     out = pl.pallas_call(
@@ -133,7 +136,7 @@ def combine_copy_mass(cw: jnp.ndarray, src_ids: jnp.ndarray,
         out_specs=pl.BlockSpec((rb, _JT), lambda i, j: (i, j)),
         interpret=interpret,
     )(idp, ids3, cw3)
-    return out[:, :ls]
+    return out[:b0, :ls]
 
 
 def combine_copy_mass_xla(cw: jnp.ndarray, src_ids: jnp.ndarray) -> jnp.ndarray:
@@ -146,6 +149,19 @@ def combine_copy_mass_xla(cw: jnp.ndarray, src_ids: jnp.ndarray) -> jnp.ndarray:
 # test hook: route the kernel through the Pallas interpreter so the full
 # candidate-argmax decode path can run on CPU (tests/test_models_advanced.py)
 _FORCE_INTERPRET = False
+
+
+def pallas_available() -> bool:
+    """Single availability predicate for the auto fast_argmax paths
+    (models/multimem.py decode, models/predict.py greedy_predict): Pallas
+    importable AND (real TPU backend on an unsharded process — see
+    kernels.pallas_spmd_ok — OR the interpreter test hook)."""
+    if not HAVE_PALLAS:
+        return False
+    if _FORCE_INTERPRET:
+        return True
+    from . import pallas_spmd_ok
+    return jax.default_backend() == "tpu" and pallas_spmd_ok()
 
 
 def candidate_argmax_from_logits(logits: jnp.ndarray, l_at: jnp.ndarray,

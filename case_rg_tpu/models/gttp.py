@@ -44,12 +44,18 @@ class GTTPModel(nn.Module):
         enc["src_uh"], enc["bg_uh"] = self.dec.key_projs(enc["c_out"], enc["b_out"])
         return enc
 
-    def _vocab_and_copy(self, feature, bg_attn):
-        """(vocab softmax with PAD zeroed, p_copy) (ref: GTTP/Model.py:25-32)."""
+    def _gen_logits_and_gate(self, feature):
+        """(PAD-masked vocab logits [B, V], p_copy [B, 1])
+        (ref: GTTP/Model.py:25-32)."""
         logits = self.gen_linear(feature)
         logits = logits.at[:, 0].set(neg_inf(logits.dtype))
-        vocab_probs = jax.nn.softmax(logits, axis=-1)
         p_copy = jax.nn.sigmoid(self.copy_linear(feature))  # [B, 1]
+        return logits, p_copy
+
+    def _vocab_and_copy(self, feature, bg_attn):
+        """(vocab softmax with PAD zeroed, p_copy) (ref: GTTP/Model.py:25-32)."""
+        logits, p_copy = self._gen_logits_and_gate(feature)
+        vocab_probs = jax.nn.softmax(logits, axis=-1)
         return vocab_probs * (1.0 - p_copy), p_copy
 
     def decode_step(self, enc, state, prev_ids, *, deterministic: bool = True):
@@ -93,9 +99,7 @@ class GTTPModel(nn.Module):
         feature, state, _, bg_attn = self.dec.step(
             emb, state, enc["c_out"], enc["b_out"], enc["c_keep"],
             enc["b_keep"], enc.get("src_uh"), enc.get("bg_uh"))
-        logits = self.gen_linear(feature)
-        logits = logits.at[:, 0].set(neg_inf(logits.dtype))
-        p_copy = jax.nn.sigmoid(self.copy_linear(feature))       # [B, 1]
+        logits, p_copy = self._gen_logits_and_gate(feature)
         l_at = jnp.einsum("bld,bd->bl", fast["w_at"],
                           feature.astype(fast["w_at"].dtype)) + fast["b_at"]
         # mirror the PAD mask on the gathered logits

@@ -224,9 +224,11 @@ class MultiMemoryDecoder(nn.Module):
           operand read each step loses e2e — round 4).
 
         ``fast_argmax=None`` (auto, the serving default) uses the Pallas
-        combine on TPU when the memories are not f32; f32 — the parity
-        dtype — keeps the dense scatter + argmax. True forces candidate
-        argmax (Pallas on TPU, einsum elsewhere), False forces the dense
+        combine when the memories are not f32 and the kernel is placeable
+        (single-chip TPU — see kernels.pallas_spmd_ok — and the concat
+        source within MAX_FAST_LS); f32 — the parity dtype — keeps the
+        dense scatter + argmax. True forces candidate argmax (Pallas
+        where available, einsum elsewhere), False forces the dense
         scatter. Exact up to rounding of the duplicate combine and
         tie-breaks (equivalence tests decode identically to the dense
         path; probe argmax cross-check on TPU 100% — docs/PERF.md
@@ -234,8 +236,7 @@ class MultiMemoryDecoder(nn.Module):
         b = memories[0].shape[0]
         try:
             from ..kernels import copy_argmax as _ca
-            pallas_ok = _ca.HAVE_PALLAS and (
-                jax.default_backend() == "tpu" or _ca._FORCE_INTERPRET)
+            pallas_ok = _ca.pallas_available()
         except Exception:  # pragma: no cover
             pallas_ok = False
         if fast_argmax is None:

@@ -45,8 +45,7 @@ def greedy_predict(model, params, batch: Dict[str, jnp.ndarray],
     has_fast = hasattr(type(model), "decode_step_fast")
     try:
         from ..kernels import copy_argmax as _ca
-        pallas_ok = _ca.HAVE_PALLAS and (jax.default_backend() == "tpu"
-                                         or _ca._FORCE_INTERPRET)
+        pallas_ok = _ca.pallas_available()
     except Exception:  # pragma: no cover
         pallas_ok = False
     if fast_copy is None:
