@@ -89,17 +89,9 @@ def _kernel_looped(idj_ref, ids_ref, cw_ref, out_ref):
         0, nc, body, jnp.zeros((rb, _JT), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def combine_copy_mass(cw: jnp.ndarray, src_ids: jnp.ndarray,
-                      interpret: bool = False) -> jnp.ndarray:
-    """comb[b, j] = sum_l cw[b, l] * [src_ids[b, l] == src_ids[b, j]].
-
-    cw: [B, Ls] copy mass per source position (any float dtype; accumulated
-    in f32). src_ids: [B, Ls] int32 vocab ids (>= 0). Returns [B, Ls] f32.
-    Every member of a duplicate-id group receives the full group mass, so a
-    subsequent argmax picks the group's first position (same selection as
-    an explicit first-occurrence mask).
-    """
+def _combine_impl(cw: jnp.ndarray, src_ids: jnp.ndarray,
+                  interpret: bool) -> jnp.ndarray:
+    """Kernel dispatch (single-device view; see combine_copy_mass)."""
     b0, ls = cw.shape
     lp = int(np.ceil(ls / _JT)) * _JT
     # pad rows up to a multiple of 8 so the kernel always runs rb=8 row
@@ -139,6 +131,67 @@ def combine_copy_mass(cw: jnp.ndarray, src_ids: jnp.ndarray,
     return out[:b0, :ls]
 
 
+# --- SPMD partitioning -------------------------------------------------
+# A Mosaic kernel is an opaque custom call XLA's partitioner cannot split,
+# but the combine is embarrassingly parallel over rows. custom_partitioning
+# declares exactly that: under a sharded program each shard runs the plain
+# single-device kernel on its batch rows, with the source axis replicated
+# (Shardy reshards an Ls-sharded operand before the kernel). This keeps
+# the candidate-argmax path enabled in the data-parallel serving/offline
+# predict programs (runtime/mesh.py) instead of falling back to the XLA
+# scatter on multi-chip hosts.
+
+def _cp_result_sharding(mesh, arg_infos):
+    from jax.sharding import NamedSharding, PartitionSpec
+    s = arg_infos[0].sharding
+    spec = s.spec if s is not None else PartitionSpec()
+    return NamedSharding(mesh,
+                         PartitionSpec(spec[0] if len(spec) else None, None))
+
+
+def _cp_infer(interpret, mesh, arg_infos, result_infos):
+    return _cp_result_sharding(mesh, arg_infos)
+
+
+def _cp_partition(interpret, mesh, arg_infos, result_infos):
+    from jax.sharding import NamedSharding, PartitionSpec
+    rs = _cp_result_sharding(mesh, arg_infos)
+    arg_sh = (NamedSharding(mesh, PartitionSpec(rs.spec[0], None)),) * 2
+
+    def lower(cw, ids):
+        return _combine_impl(cw, ids, interpret)
+
+    return mesh, lower, rs, arg_sh
+
+
+if HAVE_PALLAS:
+    from jax.experimental.custom_partitioning import custom_partitioning
+    _combine_cp = custom_partitioning(_combine_impl, static_argnums=(2,))
+    # rule factors: only the batch dim is shared between operands/result —
+    # the source axis must stay whole per shard (independent factors i/j/k
+    # propagate nothing), matching the arg shardings _cp_partition forces
+    _combine_cp.def_partition(infer_sharding_from_operands=_cp_infer,
+                              partition=_cp_partition,
+                              sharding_rule="b i, b j -> b k")
+else:  # pragma: no cover
+    _combine_cp = _combine_impl
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def combine_copy_mass(cw: jnp.ndarray, src_ids: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """comb[b, j] = sum_l cw[b, l] * [src_ids[b, l] == src_ids[b, j]].
+
+    cw: [B, Ls] copy mass per source position (any float dtype; accumulated
+    in f32). src_ids: [B, Ls] int32 vocab ids (>= 0). Returns [B, Ls] f32.
+    Every member of a duplicate-id group receives the full group mass, so a
+    subsequent argmax picks the group's first position (same selection as
+    an explicit first-occurrence mask). Batch-dim SPMD-partitionable (see
+    _cp_partition above).
+    """
+    return _combine_cp(cw, src_ids, interpret)
+
+
 def combine_copy_mass_xla(cw: jnp.ndarray, src_ids: jnp.ndarray) -> jnp.ndarray:
     """Reference formulation (dense compare, f32 accumulation)."""
     eq = src_ids[:, :, None] == src_ids[:, None, :]
@@ -154,14 +207,15 @@ _FORCE_INTERPRET = False
 def pallas_available() -> bool:
     """Single availability predicate for the auto fast_argmax paths
     (models/multimem.py decode, models/predict.py greedy_predict): Pallas
-    importable AND (real TPU backend on an unsharded process — see
-    kernels.pallas_spmd_ok — OR the interpreter test hook)."""
+    importable AND (real TPU backend OR the interpreter test hook). No
+    single-device requirement: combine_copy_mass carries a
+    custom_partitioning rule, so sharded programs run the kernel
+    per-shard."""
     if not HAVE_PALLAS:
         return False
     if _FORCE_INTERPRET:
         return True
-    from . import pallas_spmd_ok
-    return jax.default_backend() == "tpu" and pallas_spmd_ok()
+    return jax.default_backend() == "tpu"
 
 
 def candidate_argmax_from_logits(logits: jnp.ndarray, l_at: jnp.ndarray,

@@ -136,3 +136,30 @@ def test_combine_copy_mass_bf16_weights():
     out = np.asarray(combine_copy_mass(cw, ids, True))
     assert out.dtype == np.float32
     np.testing.assert_allclose(out, ref, atol=1e-2)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_combine_copy_mass_batch_sharded():
+    """The combine's custom_partitioning rule must keep it runnable (and
+    correct) inside a jitted program whose batch is sharded over the
+    8-device mesh — the layout the serving/offline predict programs use
+    (runtime/mesh.py). Per shard the plain single-device kernel runs on
+    local rows (interpret mode on CPU)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from case_rg_tpu.kernels.copy_argmax import (combine_copy_mass,
+                                                 combine_copy_mass_xla)
+    devs = np.array(jax.devices())
+    if devs.size < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(devs.reshape(devs.size), ("data",))
+    rng = np.random.RandomState(13)
+    b, ls = 2 * devs.size, 300
+    ids = jnp.asarray(rng.randint(0, 60, size=(b, ls)), jnp.int32)
+    cw = jnp.asarray(rng.rand(b, ls), jnp.float32) * 0.01
+    ref = np.asarray(combine_copy_mass_xla(cw, ids))
+    sh = NamedSharding(mesh, P("data", None))
+    out = jax.jit(lambda c, i: combine_copy_mass(c, i, True))(
+        jax.device_put(cw, sh), jax.device_put(ids, sh))
+    assert out.sharding.is_equivalent_to(sh, 2)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)

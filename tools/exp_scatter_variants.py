@@ -221,6 +221,26 @@ def main():
     run("pallascomb", lambda: scan_loop(pallas_comb_argmax), w0, iters,
         roundtrip, nop_us)
 
+    # the SHIPPED path (candidate_argmax_from_logits): no V-wide gather —
+    # softmax values at source ids reconstructed from the row max +
+    # partition sum, l_at from a simulated per-step [B,Ls,d]x[B,d]
+    # hoisted-column einsum (d=256, the real per-step cost the decode pays)
+    d = 256
+    logits = jnp.asarray(rng.standard_normal((B, V)), DT)
+    w_at_sim = jnp.asarray(rng.standard_normal((B, Ls, d)) * 0.01, DT)
+    gate = jnp.asarray(np.abs(rng.rand(B)), jnp.float32)
+
+    def pallas_fromlogits_argmax(w):
+        from case_rg_tpu.kernels.copy_argmax import \
+            candidate_argmax_from_logits
+        h = (w[:, :d] if Ls >= d else
+             jnp.pad(w, ((0, 0), (0, d - Ls)))[:, :d]).astype(DT)  # [B, d]
+        l_at = jnp.einsum("bld,bd->bl", w_at_sim, h)               # [B, Ls]
+        nxt = candidate_argmax_from_logits(logits, l_at, gate, w, ids)
+        return nxt[:, None].astype(DT) * jnp.asarray(1e-5, DT)
+    run("fromlogits", lambda: scan_loop(pallas_fromlogits_argmax), w0,
+        iters, roundtrip, nop_us)
+
     # correctness cross-check of every variant against the base scatter
     d0 = np.asarray(base(w0), np.float32)
     for name, fn in (("sorted", sorted_scatter), ("runsum", runsum_scatter)):
