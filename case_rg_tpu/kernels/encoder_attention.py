@@ -96,28 +96,14 @@ def _kernel(q_ref, k_ref, v_ref, keep_ref, out_ref, *, num_heads: int,
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              keep: jnp.ndarray | None, num_heads: int,
-              interpret: bool = False) -> jnp.ndarray:
-    """Fused attention on merged-head [R, L, E] projections.
-
-    q: [R, Lq, E]; k/v: [R, Lk, E] (all already in-projected); keep:
-    [R, Lk] bool (True = attend) or None. Returns the pre-out-projection
-    context [R, Lq, E] in q's dtype. Deterministic (no dropout), no
-    additive bias, no attention-weight output — the encoder/tower
-    self-attention contract.
-    """
+def _fused_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                keepf: jnp.ndarray, num_heads: int,
+                interpret: bool) -> jnp.ndarray:
+    """Kernel dispatch (single-device view; keepf [R, 1, Lk] f32)."""
     r, lq, e = q.shape
     lk = k.shape[1]
     d = e // num_heads
     scale = np.float32(1.0) / np.sqrt(np.float32(d))
-    # [R, 1, Lk]: the singleton axis keeps the block's last-two dims equal
-    # to the array dims (Mosaic tiling rule) for any rows-per-block
-    if keep is None:
-        keepf = jnp.ones((r, 1, lk), jnp.float32)
-    else:
-        keepf = keep.astype(jnp.float32)[:, None, :]
     rb = _rows_per_block(r, lq, lk, e, np.dtype(q.dtype).itemsize)
     grid = (r // rb,)
     kern = functools.partial(_kernel, num_heads=num_heads, scale=scale)
@@ -134,6 +120,68 @@ def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(q, k, v, keepf)
+
+
+# --- SPMD partitioning: rows-parallel (see kernels/copy_argmax.py) -----
+
+def _cp_result_sharding(mesh, arg_infos):
+    from jax.sharding import NamedSharding, PartitionSpec
+    s = arg_infos[0].sharding
+    spec = s.spec if s is not None else PartitionSpec()
+    return NamedSharding(
+        mesh, PartitionSpec(spec[0] if len(spec) else None, None, None))
+
+
+def _cp_infer(num_heads, interpret, mesh, arg_infos, result_infos):
+    return _cp_result_sharding(mesh, arg_infos)
+
+
+def _cp_partition(num_heads, interpret, mesh, arg_infos, result_infos):
+    from jax.sharding import NamedSharding, PartitionSpec
+    rs = _cp_result_sharding(mesh, arg_infos)
+    arg_sh = (NamedSharding(mesh,
+                            PartitionSpec(rs.spec[0], None, None)),) * 4
+
+    def lower(q, k, v, keepf):
+        return _fused_core(q, k, v, keepf, num_heads, interpret)
+
+    return mesh, lower, rs, arg_sh
+
+
+if HAVE_PALLAS:
+    from jax.experimental.custom_partitioning import custom_partitioning
+    _fused_cp = custom_partitioning(_fused_core, static_argnums=(4, 5))
+    # only the rows factor is shared — every L/E axis stays whole per
+    # shard (the partition callback forces them replicated)
+    _fused_cp.def_partition(infer_sharding_from_operands=_cp_infer,
+                            partition=_cp_partition,
+                            sharding_rule="r a b, r c d, r f g, r s m -> r x y")
+else:  # pragma: no cover
+    _fused_cp = _fused_core
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              keep: jnp.ndarray | None, num_heads: int,
+              interpret: bool = False) -> jnp.ndarray:
+    """Fused attention on merged-head [R, L, E] projections.
+
+    q: [R, Lq, E]; k/v: [R, Lk, E] (all already in-projected); keep:
+    [R, Lk] bool (True = attend) or None. Returns the pre-out-projection
+    context [R, Lq, E] in q's dtype. Deterministic (no dropout), no
+    additive bias, no attention-weight output — the encoder/tower
+    self-attention contract. Rows-dim SPMD-partitionable (each shard
+    runs the plain single-device kernel on its local rows).
+    """
+    r, lq, e = q.shape
+    lk = k.shape[1]
+    # [R, 1, Lk]: the singleton axis keeps the block's last-two dims equal
+    # to the array dims (Mosaic tiling rule) for any rows-per-block
+    if keep is None:
+        keepf = jnp.ones((r, 1, lk), jnp.float32)
+    else:
+        keepf = keep.astype(jnp.float32)[:, None, :]
+    return _fused_cp(q, k, v, keepf, num_heads, interpret)
 
 
 def fused_mha_xla(q, k, v, keep, num_heads):

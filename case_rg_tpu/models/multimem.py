@@ -224,9 +224,10 @@ class MultiMemoryDecoder(nn.Module):
           operand read each step loses e2e — round 4).
 
         ``fast_argmax=None`` (auto, the serving default) uses the Pallas
-        combine when the memories are not f32 and the kernel is placeable
-        (single-chip TPU — see kernels.pallas_spmd_ok — and the concat
-        source within MAX_FAST_LS); f32 — the parity dtype — keeps the
+        combine on TPU when the memories are not f32 and the concat
+        source is within MAX_FAST_LS (the combine carries a
+        custom_partitioning batch rule, so data-parallel sharded predict
+        programs run it per shard); f32 — the parity dtype — keeps the
         dense scatter + argmax. True forces candidate argmax (Pallas
         where available, einsum elsewhere), False forces the dense
         scatter. Exact up to rounding of the duplicate combine and

@@ -70,10 +70,8 @@ def _fused_attention_ok(dtype, attn_bias, need_weights, deterministic,
     if dtype != jnp.bfloat16:
         return False  # f32 stays on the XLA path (the parity dtype)
     try:
-        from ..kernels import pallas_spmd_ok
         from ..kernels.encoder_attention import HAVE_PALLAS
-        return (HAVE_PALLAS and jax.default_backend() == "tpu"
-                and pallas_spmd_ok())
+        return HAVE_PALLAS and jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
 
