@@ -131,48 +131,20 @@ def _combine_impl(cw: jnp.ndarray, src_ids: jnp.ndarray,
     return out[:b0, :ls]
 
 
-# --- SPMD partitioning -------------------------------------------------
-# A Mosaic kernel is an opaque custom call XLA's partitioner cannot split,
-# but the combine is embarrassingly parallel over rows. custom_partitioning
-# declares exactly that: under a sharded program each shard runs the plain
-# single-device kernel on its batch rows, with the source axis replicated
-# (Shardy reshards an Ls-sharded operand before the kernel). This keeps
-# the candidate-argmax path enabled in the data-parallel serving/offline
-# predict programs (runtime/mesh.py) instead of falling back to the XLA
-# scatter on multi-chip hosts.
-
-def _cp_result_sharding(mesh, arg_infos):
-    from jax.sharding import NamedSharding, PartitionSpec
-    s = arg_infos[0].sharding
-    spec = s.spec if s is not None else PartitionSpec()
-    return NamedSharding(mesh,
-                         PartitionSpec(spec[0] if len(spec) else None, None))
-
-
-def _cp_infer(interpret, mesh, arg_infos, result_infos):
-    return _cp_result_sharding(mesh, arg_infos)
-
-
-def _cp_partition(interpret, mesh, arg_infos, result_infos):
-    from jax.sharding import NamedSharding, PartitionSpec
-    rs = _cp_result_sharding(mesh, arg_infos)
-    arg_sh = (NamedSharding(mesh, PartitionSpec(rs.spec[0], None)),) * 2
-
-    def lower(cw, ids):
-        return _combine_impl(cw, ids, interpret)
-
-    return mesh, lower, rs, arg_sh
-
+# --- SPMD partitioning (shared scaffolding, kernels/spmd.py) ----------
+# The combine is embarrassingly parallel over batch rows: each shard runs
+# the plain single-device kernel on its rows, source axis replicated.
+# This keeps the candidate-argmax path enabled in the data-parallel
+# serving/offline predict programs (runtime/mesh.py) instead of falling
+# back to the XLA scatter on multi-chip hosts.
 
 if HAVE_PALLAS:
-    from jax.experimental.custom_partitioning import custom_partitioning
-    _combine_cp = custom_partitioning(_combine_impl, static_argnums=(2,))
+    from .spmd import batch_partitioned
     # rule factors: only the batch dim is shared between operands/result —
     # the source axis must stay whole per shard (independent factors i/j/k
-    # propagate nothing), matching the arg shardings _cp_partition forces
-    _combine_cp.def_partition(infer_sharding_from_operands=_cp_infer,
-                              partition=_cp_partition,
-                              sharding_rule="b i, b j -> b k")
+    # propagate nothing), matching the arg shardings the partition forces
+    _combine_cp = batch_partitioned(_combine_impl, static_argnums=(2,),
+                                    sharding_rule="b i, b j -> b k")
 else:  # pragma: no cover
     _combine_cp = _combine_impl
 

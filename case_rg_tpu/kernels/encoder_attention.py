@@ -122,40 +122,15 @@ def _fused_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v, keepf)
 
 
-# --- SPMD partitioning: rows-parallel (see kernels/copy_argmax.py) -----
-
-def _cp_result_sharding(mesh, arg_infos):
-    from jax.sharding import NamedSharding, PartitionSpec
-    s = arg_infos[0].sharding
-    spec = s.spec if s is not None else PartitionSpec()
-    return NamedSharding(
-        mesh, PartitionSpec(spec[0] if len(spec) else None, None, None))
-
-
-def _cp_infer(num_heads, interpret, mesh, arg_infos, result_infos):
-    return _cp_result_sharding(mesh, arg_infos)
-
-
-def _cp_partition(num_heads, interpret, mesh, arg_infos, result_infos):
-    from jax.sharding import NamedSharding, PartitionSpec
-    rs = _cp_result_sharding(mesh, arg_infos)
-    arg_sh = (NamedSharding(mesh,
-                            PartitionSpec(rs.spec[0], None, None)),) * 4
-
-    def lower(q, k, v, keepf):
-        return _fused_core(q, k, v, keepf, num_heads, interpret)
-
-    return mesh, lower, rs, arg_sh
-
+# --- SPMD partitioning: rows-parallel (shared scaffolding, kernels/spmd.py)
 
 if HAVE_PALLAS:
-    from jax.experimental.custom_partitioning import custom_partitioning
-    _fused_cp = custom_partitioning(_fused_core, static_argnums=(4, 5))
+    from .spmd import batch_partitioned
     # only the rows factor is shared — every L/E axis stays whole per
     # shard (the partition callback forces them replicated)
-    _fused_cp.def_partition(infer_sharding_from_operands=_cp_infer,
-                            partition=_cp_partition,
-                            sharding_rule="r a b, r c d, r f g, r s m -> r x y")
+    _fused_cp = batch_partitioned(
+        _fused_core, static_argnums=(4, 5),
+        sharding_rule="r a b, r c d, r f g, r s m -> r x y")
 else:  # pragma: no cover
     _fused_cp = _fused_core
 

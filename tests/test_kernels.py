@@ -166,9 +166,12 @@ def test_combine_copy_mass_batch_sharded():
 
 
 @pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
-def test_fused_mha_rows_sharded():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_mha_rows_sharded(dtype):
     """fused_mha's custom_partitioning rule: rows-sharded jitted call on
-    the 8-device mesh must equal the unsharded XLA reference."""
+    the 8-device mesh must equal the unsharded XLA reference. bf16 is the
+    dtype the production gate (ops/attention._fused_attention_ok) routes
+    to this kernel; f32 covers the rule itself at tight tolerance."""
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from case_rg_tpu.kernels.encoder_attention import fused_mha, fused_mha_xla
@@ -178,16 +181,18 @@ def test_fused_mha_rows_sharded():
     mesh = Mesh(devs.reshape(devs.size), ("data",))
     rng = np.random.RandomState(14)
     r, l, e, h = 2 * devs.size, 24, 32, 4
-    q = jnp.asarray(rng.standard_normal((r, l, e)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((r, l, e)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((r, l, e)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((r, l, e)), dtype)
+    k = jnp.asarray(rng.standard_normal((r, l, e)), dtype)
+    v = jnp.asarray(rng.standard_normal((r, l, e)), dtype)
     keep = jnp.asarray(rng.rand(r, l) > 0.2)
     keep = keep.at[:, 0].set(True)
-    ref = np.asarray(fused_mha_xla(q, k, v, keep, h))
+    ref = np.asarray(fused_mha_xla(q, k, v, keep, h)).astype(np.float32)
     sh = NamedSharding(mesh, P("data", None, None))
     ksh = NamedSharding(mesh, P("data", None))
     out = jax.jit(lambda a, b, c, m: fused_mha(a, b, c, m, h, True))(
         jax.device_put(q, sh), jax.device_put(k, sh),
         jax.device_put(v, sh), jax.device_put(keep, ksh))
+    assert out.dtype == dtype
     assert out.sharding.is_equivalent_to(sh, 3)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out).astype(np.float32), ref,
+                               atol=2e-5 if dtype == jnp.float32 else 2e-2)
