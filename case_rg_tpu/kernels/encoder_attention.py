@@ -135,10 +135,17 @@ else:  # pragma: no cover
     _fused_cp = _fused_core
 
 
+# test hook: route the kernel through the Pallas interpreter so full
+# model/predict programs can exercise the fused path on CPU (see
+# kernels/copy_argmax.py for the same pattern; ops/attention's gate
+# accepts non-TPU backends while this is set)
+_FORCE_INTERPRET = False
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               keep: jnp.ndarray | None, num_heads: int,
-              interpret: bool = False) -> jnp.ndarray:
+              interpret: bool | None = None) -> jnp.ndarray:
     """Fused attention on merged-head [R, L, E] projections.
 
     q: [R, Lq, E]; k/v: [R, Lk, E] (all already in-projected); keep:
@@ -148,6 +155,8 @@ def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     self-attention contract. Rows-dim SPMD-partitionable (each shard
     runs the plain single-device kernel on its local rows).
     """
+    if interpret is None:
+        interpret = _FORCE_INTERPRET
     r, lq, e = q.shape
     lk = k.shape[1]
     # [R, 1, Lk]: the singleton axis keeps the block's last-two dims equal

@@ -67,13 +67,21 @@ def _fused_attention_ok(dtype, attn_bias, need_weights, deterministic,
         return False
     if not deterministic:
         return False  # inference-only: pallas_call defines no VJP
-    if dtype != jnp.bfloat16:
-        return False  # f32 stays on the XLA path (the parity dtype)
     try:
-        from ..kernels.encoder_attention import HAVE_PALLAS
-        return HAVE_PALLAS and jax.default_backend() == "tpu"
+        from ..kernels import encoder_attention as ea
     except Exception:  # pragma: no cover
         return False
+    if not ea.HAVE_PALLAS:
+        return False
+    if ea._FORCE_INTERPRET:
+        # test hook: run the kernel through the Pallas interpreter on any
+        # backend/dtype so full-model CPU tests can exercise this path
+        # (this CPU backend cannot even execute bf16 model programs —
+        # XLA:CPU has no bf16 x bf16 -> f32 DotThunk)
+        return True
+    if dtype != jnp.bfloat16:
+        return False  # f32 stays on the XLA path (the parity dtype)
+    return jax.default_backend() == "tpu"
 
 
 def _score_dtype(in_dtype):

@@ -142,3 +142,56 @@ def test_dp_tp_predict_matches_replicated():
                                   np.asarray(base["answer"]))
     np.testing.assert_allclose(np.asarray(sh["rank"]),
                                np.asarray(base["rank"]), rtol=2e-5, atol=1e-6)
+
+
+def test_dp_predict_with_pallas_kernels_matches_dense():
+    """The serving kernel configuration end to end on a sharded mesh:
+    fused encoder attention + Pallas candidate argmax (both kernels in
+    interpret mode via the test hooks), batch dp-sharded over 8 devices —
+    must reproduce the unsharded einsum/dense-scatter predict. Exercises
+    both kernels' custom_partitioning rules inside the full predict
+    program, not just in isolation (kernel-level sharded tests live in
+    tests/test_kernels.py). f32 params: this CPU backend cannot execute
+    bf16 model programs (no bf16 DotThunk), so the interpret hook widens
+    the fused gate past its TPU/bf16 production condition."""
+    import case_rg_tpu.kernels.copy_argmax as ca
+    import case_rg_tpu.kernels.encoder_attention as ea
+
+    if not ca.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    cfg = ModelConfig(name="case", vocab_size=V, embedding_size=32,
+                      hidden_size=32, num_heads=2, enc_layers=1, dec_layers=1,
+                      max_dec_len=6)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(3)
+    batch = _batch(rng)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        batch, method=type(model).train_losses)["params"]
+    pred_batch = {"query": batch["query"], "passage": batch["passage"]}
+
+    def predict(p, bt, fast_argmax=None):
+        return model.apply({"params": p}, bt, max_len=6,
+                           fast_argmax=fast_argmax,
+                           method=type(model).predict)
+
+    # dense baseline: kernels off, unsharded
+    base = jax.device_get(jax.jit(predict)(params, pred_batch))
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    p_sh = jax.device_put(params, NamedSharding(mesh, P()))
+    b_sh = {k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+            for k, v in pred_batch.items()}
+    ca._FORCE_INTERPRET = True
+    ea._FORCE_INTERPRET = True
+    try:
+        fast = jax.device_get(jax.jit(
+            lambda p, bt: predict(p, bt, fast_argmax=True))(p_sh, b_sh))
+    finally:
+        ca._FORCE_INTERPRET = False
+        ea._FORCE_INTERPRET = False
+    agreement = (np.asarray(fast["answer"])
+                 == np.asarray(base["answer"])).mean()
+    assert agreement >= 0.99, agreement
+    np.testing.assert_allclose(np.asarray(fast["rank"]),
+                               np.asarray(base["rank"]), rtol=2e-4, atol=2e-5)
