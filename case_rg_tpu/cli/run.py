@@ -194,6 +194,15 @@ def test(args):
     prepared, output, _unused, vocab, mcfg, model = setup(args, need_train=False)
     tc = TrainConfig(batch_size=args.batch_size, output_path=output)
     trainer = Trainer(model, tc, total_steps=100)
+    # --pool_shard at test time: shard the passage-pool axis over the
+    # 'model' axis of the process-local predict mesh (size from
+    # --mesh_shape's second entry, same contract as training)
+    mesh_shape = tuple(int(x) for x in args.mesh_shape.split(",") if x)
+    pool_devices = mesh_shape[1] if args.pool_shard and len(mesh_shape) > 1 \
+        else 1
+    if args.pool_shard and pool_devices <= 1:
+        raise SystemExit("--pool_shard needs --mesh_shape with model>1 "
+                         "(e.g. --mesh_shape 4,2)")
     try:
         predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
                                      args.beam_width,
@@ -240,7 +249,8 @@ def test(args):
         print(f"[run] test epoch {epoch}", flush=True)
         for split, arrays, meta in splits:
             preds = trainer.predict(state, arrays, predict_fn,
-                                    args.batch_size, ema_eval=args.ema_eval)
+                                    args.batch_size, ema_eval=args.ema_eval,
+                                    pool_devices=pool_devices)
             save_results(preds, meta, vocab, output, jax.process_index(),
                          epoch, f"{args.dataset}_{split}")
 

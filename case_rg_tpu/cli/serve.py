@@ -139,6 +139,12 @@ def build_parser():
     p.add_argument("--ema", action="store_true", help="serve EMA weights")
     p.add_argument("--pipeline_depth", type=int, default=4,
                    help="max batches in flight before fetching results")
+    p.add_argument("--pool_shard", type=int, default=1,
+                   help="shard the passage-pool axis over this many local "
+                        "devices (the 'model' mesh axis): per-passage tower "
+                        "compute stays device-local with collectives only "
+                        "at cross-passage joins. Must divide every served "
+                        "pool size; remaining devices fill the data axis")
     p.add_argument("--pool_buckets", type=str, default="",
                    help="comma-separated static pool sizes (e.g. 2,5,10); "
                         "requests are routed to the smallest bucket that "
@@ -522,16 +528,30 @@ def main(argv=None, _server_ready=None):
     # uses for offline --mode test, so a multi-chip host serves multi-chip
     # with no flag needed. The data-axis size divides every batch-bucket
     # size (gcd), and on a single chip this degrades to a plain device_put.
+    # --pool_shard N additionally reserves N devices for the 'model' axis
+    # and shards the passage-pool axis over them (per-passage tower compute
+    # stays device-local; collectives only at the cross-passage joins).
     import math
     from functools import reduce
     from ..runtime.mesh import local_mesh, replicated, shard_batch
-    mesh = local_mesh(reduce(math.gcd, bbuckets))
+    pool_devices = max(1, args.pool_shard)
+    if pool_devices > 1:
+        pools = (_parse_buckets(args.pool_buckets, dcfg.num_passage)
+                 if args.pool_buckets else [dcfg.num_passage])
+        bad = [k for k in pools if k % pool_devices]
+        if bad:
+            raise SystemExit(
+                f"--pool_shard {pool_devices} must divide every served pool "
+                f"size; offending: {bad} (pool buckets {pools})")
+    mesh = local_mesh(reduce(math.gcd, bbuckets), model=pool_devices)
 
     params = None
     served = 0
 
     def run_predict(batch):
-        return predict_fn({"params": params}, shard_batch(mesh, batch))
+        return predict_fn({"params": params},
+                          shard_batch(mesh, batch,
+                                      pool_axis=pool_devices > 1))
 
     def ensure_params(batch):
         nonlocal params

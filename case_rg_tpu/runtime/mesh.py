@@ -93,14 +93,26 @@ def shard_batch(mesh: Mesh, batch: dict, pool_axis: bool = False) -> dict:
 
 
 def local_mesh(batch_size: int,
-               axis_names: Tuple[str, str] = ("data", "model")) -> Mesh:
+               axis_names: Tuple[str, str] = ("data", "model"),
+               model: int = 1) -> Mesh:
     """A mesh over THIS process's devices only (per-process independent
-    execution, e.g. eval sharding that writes per-rank result files)."""
+    execution, e.g. eval sharding that writes per-rank result files).
+
+    ``model > 1`` reserves that many devices for the 'model' axis (pool
+    parallelism at inference: per-passage tower compute stays local,
+    collectives only at cross-passage joins); the remaining devices fill
+    the data axis up to the largest divisor of ``batch_size``."""
     import math
 
     devices = jax.local_devices()
-    d = math.gcd(batch_size, len(devices)) if batch_size else len(devices)
-    return Mesh(np.array(devices[:d]).reshape(d, 1), axis_names)
+    n = len(devices)
+    model = max(1, model)
+    if n % model:
+        raise ValueError(f"model axis {model} does not divide the "
+                         f"{n} local devices")
+    avail = n // model
+    d = math.gcd(batch_size, avail) if batch_size else avail
+    return Mesh(np.array(devices[:d * model]).reshape(d, model), axis_names)
 
 
 def param_sharding_tree(params, mesh: Mesh, shard_vocab_dim: bool = False,

@@ -281,13 +281,21 @@ class Trainer:
     def predict(self, state: TrainState, arrays: Dict[str, np.ndarray],
                 predict_fn: Callable[[Any, Dict], Dict], batch_size: int,
                 ema_eval: bool = False,
-                pipeline_depth: int = 4) -> Iterable[tuple]:
+                pipeline_depth: int = 4,
+                pool_devices: int = 1) -> Iterable[tuple]:
         """Yields (host_batch, outputs) pairs
         (ref: CumulativeTrainer.predict:134-156, without its shuffle quirk).
 
         Runs on a process-local mesh: each process evaluates its own shard
         independently and writes its own result files (the reference's
         per-rank shard pattern), so outputs are always addressable.
+
+        ``pool_devices > 1`` reserves that many local devices for the
+        'model' mesh axis and shards the passage-pool axis over it (pool
+        parallelism at inference — per-passage tower compute stays
+        device-local, collectives only at the cross-passage joins; the
+        same layout --pool_shard uses for training). Single-process only:
+        multi-process predict keeps its per-process dp layout.
 
         Dispatch is pipelined: up to ``pipeline_depth`` batches are in
         flight before the oldest result is fetched, overlapping the host
@@ -300,7 +308,7 @@ class Trainer:
 
         params = state.ema if ema_eval else state.params
         params = jax.device_get(params)
-        mesh = local_mesh(batch_size)
+        mesh = local_mesh(batch_size, model=pool_devices)
         # re-home the tree onto the local mesh ONCE (replicated): passing
         # host-numpy params into predict_fn would re-upload the whole tree
         # on every batch (tools/exp_http_load.py measured the equivalent
@@ -312,7 +320,8 @@ class Trainer:
                           process_count=jax.process_count())
         inflight: deque = deque()
         for batch in batcher.epoch(0):
-            dev_batch = shard_batch(mesh, batch) if jax.process_count() == 1 \
+            dev_batch = shard_batch(mesh, batch, pool_axis=pool_devices > 1) \
+                if jax.process_count() == 1 \
                 else {k: jax.device_put(v, None) for k, v in batch.items()
                       if not k.startswith("_")}
             inflight.append((batch, predict_fn({"params": params}, dev_batch)))

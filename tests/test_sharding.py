@@ -144,6 +144,66 @@ def test_dp_tp_predict_matches_replicated():
                                np.asarray(base["rank"]), rtol=2e-5, atol=1e-6)
 
 
+def test_local_mesh_model_axis_geometry():
+    from case_rg_tpu.runtime.mesh import local_mesh
+
+    m = local_mesh(8, model=2)
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    # data axis caps at the largest divisor of the batch within avail devices
+    m = local_mesh(6, model=4)
+    assert dict(m.shape) == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        local_mesh(8, model=3)   # 3 does not divide 8 local devices
+
+
+def test_pool_sharded_trainer_predict_matches_unsharded():
+    """Pool parallelism on the inference path: Trainer.predict(pool_devices=2)
+    builds a (data x model) local mesh and shards the passage-pool axis over
+    'model' (cli: run --mode test --pool_shard / serve --pool_shard).
+    Outputs must match the plain dp predict exactly."""
+    import jax.numpy as _jnp
+
+    from case_rg_tpu.config import TrainConfig
+    from case_rg_tpu.train.trainer import Trainer, TrainState
+
+    cfg = ModelConfig(name="case", vocab_size=V, embedding_size=32,
+                      hidden_size=32, num_heads=2, enc_layers=1, dec_layers=1,
+                      max_dec_len=6)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(4)
+    b = 8
+    init_batch = _batch(rng, b)
+    # pool of 4 divides the model axis (2)
+    init_batch["passage"] = jnp.asarray(rng.randint(4, V, size=(b, 4, 16)),
+                                        jnp.int32)
+    init_batch["token_label"] = jnp.zeros((b, 4, 16), jnp.float32)
+    init_batch["token_weight"] = jnp.ones((b, 4, 16), jnp.float32)
+    init_batch["passage_label"] = jnp.asarray(rng.randint(0, 4, size=(b,)),
+                                              jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        init_batch, method=type(model).train_losses)["params"]
+    state = TrainState(params=params, opt_state=(), ema=params,
+                       step=_jnp.zeros((), _jnp.int32))
+    arrays = {"id": np.arange(b), "query": np.asarray(init_batch["query"]),
+              "passage": np.asarray(init_batch["passage"])}
+
+    predict_fn = jax.jit(lambda vs, bt: model.apply(
+        vs, bt, max_len=6, method=type(model).predict))
+    trainer = Trainer(model, TrainConfig(batch_size=b), total_steps=10)
+
+    base = [jax.device_get(o) for _, o in
+            trainer.predict(state, arrays, predict_fn, b)]
+    pooled = [jax.device_get(o) for _, o in
+              trainer.predict(state, arrays, predict_fn, b, pool_devices=2)]
+    assert len(base) == len(pooled) == 1
+    np.testing.assert_array_equal(np.asarray(pooled[0]["answer"]),
+                                  np.asarray(base[0]["answer"]))
+    np.testing.assert_allclose(np.asarray(pooled[0]["rank"]),
+                               np.asarray(base[0]["rank"]),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_dp_predict_with_pallas_kernels_matches_dense():
     """The serving kernel configuration end to end on a sharded mesh:
     fused encoder attention + Pallas candidate argmax (both kernels in
