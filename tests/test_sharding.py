@@ -255,3 +255,58 @@ def test_dp_predict_with_pallas_kernels_matches_dense():
     assert agreement >= 0.99, agreement
     np.testing.assert_allclose(np.asarray(fast["rank"]),
                                np.asarray(base["rank"]), rtol=2e-4, atol=2e-5)
+
+
+def test_pool_sharded_predict_with_pallas_kernels_matches_dense():
+    """Pool parallelism x Pallas kernels: with the passage-pool axis
+    sharded over 'model' (serve/run --pool_shard) the fused encoder
+    attention's rows axis and the copy-argmax combine's batch axis carry
+    a product sharding — their custom_partitioning rules must still
+    partition (or fall back) correctly inside the full predict program."""
+    import case_rg_tpu.kernels.copy_argmax as ca
+    import case_rg_tpu.kernels.encoder_attention as ea
+    from case_rg_tpu.runtime.mesh import shard_batch
+
+    if not ca.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    cfg = ModelConfig(name="case", vocab_size=V, embedding_size=32,
+                      hidden_size=32, num_heads=2, enc_layers=1, dec_layers=1,
+                      max_dec_len=6)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(5)
+    batch = _batch(rng)
+    batch["passage"] = jnp.asarray(rng.randint(4, V, size=(8, 4, 16)),
+                                   jnp.int32)
+    batch["token_label"] = jnp.zeros((8, 4, 16), jnp.float32)
+    batch["token_weight"] = jnp.ones((8, 4, 16), jnp.float32)
+    batch["passage_label"] = jnp.asarray(rng.randint(0, 4, size=(8,)),
+                                         jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        batch, method=type(model).train_losses)["params"]
+    pred_batch = {"query": batch["query"], "passage": batch["passage"]}
+
+    def predict(p, bt, fast_argmax=None):
+        return model.apply({"params": p}, bt, max_len=6,
+                           fast_argmax=fast_argmax,
+                           method=type(model).predict)
+
+    base = jax.device_get(jax.jit(predict)(params, pred_batch))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    p_sh = jax.device_put(params, NamedSharding(mesh, P()))
+    b_sh = shard_batch(mesh, pred_batch, pool_axis=True)
+    assert "model" in str(b_sh["passage"].sharding.spec)
+    ca._FORCE_INTERPRET = True
+    ea._FORCE_INTERPRET = True
+    try:
+        fast = jax.device_get(jax.jit(
+            lambda p, bt: predict(p, bt, fast_argmax=True))(p_sh, b_sh))
+    finally:
+        ca._FORCE_INTERPRET = False
+        ea._FORCE_INTERPRET = False
+    agreement = (np.asarray(fast["answer"])
+                 == np.asarray(base["answer"])).mean()
+    assert agreement >= 0.99, agreement
+    np.testing.assert_allclose(np.asarray(fast["rank"]),
+                               np.asarray(base["rank"]), rtol=2e-4, atol=2e-5)
