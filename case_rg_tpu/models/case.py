@@ -159,3 +159,24 @@ class CaSEModel(nn.Module):
                                       early_exit=early_exit,
                                       fast_argmax=fast_argmax)
         return {"answer": ids, "rank": st["passage_score"]}
+
+    # ---- continuous-batching serving (runtime/continuous.py): encode +
+    #      per-row decode state, advanced in chunks with mid-flight row
+    #      refill; per-request answers are identical to ``predict`` ----
+
+    def decode_init(self, batch, *, max_len: int,
+                    fast_argmax: Optional[bool] = None):
+        """(state, rank): the chunk-decode state for this batch plus the
+        pool scores (host-side output)."""
+        st = self.stages(batch, deterministic=True)
+        memories, keeps, weights, src_ids, answer_rep = \
+            self._decoder_inputs(batch, st)
+        state = self.decoder.chunk_init(memories, keeps, weights, src_ids,
+                                        max_len, feature=answer_rep,
+                                        fast_argmax=fast_argmax)
+        return state, st["passage_score"]
+
+    def decode_chunk(self, state, *, n_steps: int,
+                     fast_argmax: Optional[bool] = None):
+        return self.decoder.chunk_step(state, n_steps,
+                                       fast_argmax=fast_argmax)

@@ -113,3 +113,19 @@ class MasqueModel(nn.Module):
                                       max_len, early_exit=early_exit,
                                       fast_argmax=fast_argmax)
         return {"answer": ids, "rank": score}
+
+    # ---- continuous-batching serving (runtime/continuous.py) ----
+
+    def decode_init(self, batch, *, max_len: int,
+                    fast_argmax: Optional[bool] = None):
+        score, q_reps, p_reps = self._select(batch, deterministic=True)
+        memories, keeps, weights, src_ids = self._decoder_inputs(
+            batch, score, q_reps, p_reps)
+        state = self.decoder.chunk_init(memories, keeps, weights, src_ids,
+                                        max_len, fast_argmax=fast_argmax)
+        return state, score
+
+    def decode_chunk(self, state, *, n_steps: int,
+                     fast_argmax: Optional[bool] = None):
+        return self.decoder.chunk_step(state, n_steps,
+                                       fast_argmax=fast_argmax)

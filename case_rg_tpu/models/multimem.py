@@ -161,12 +161,16 @@ class MultiMemoryDecoder(nn.Module):
     def _step_core(self, caches, prev, hist, t, cross, key_projs, feat,
                    memories, mem_keeps, weights):
         """One decode step through the stacks, copy attentions, generator
-        and mix gate. Returns (new_caches, hist, gen [B,1,V], mix_p
+        and mix gate. ``t`` is a scalar (scan decode) or [B] per-row step
+        indices (continuous batching — the math is row-independent, so
+        per-row positions change nothing but the write locations).
+        Returns (new_caches, hist, gen [B,1,V], mix_p
         [B,1,M+1], ps: per-memory copy probs [B,1,Lm], gen_h [B,1,d],
         gen_logits [B,1,V]) — gen == softmax(gen_logits); callers that
         don't consume the extra parts leave them to XLA's DCE."""
-        hist = jax.lax.dynamic_update_slice(hist, (prev != 0)[:, None],
-                                            (0, t))
+        from ..ops.cache import write_step
+
+        hist = write_step(hist, (prev != 0)[:, None], t)
         emb = self.pos(self.embedding(prev[:, None]), offset=t,
                        deterministic=True)
         x = emb
@@ -194,6 +198,170 @@ class MultiMemoryDecoder(nn.Module):
             dist = dist + mix_p[..., i + 1:i + 2] * copy_scatter(
                 ps[i], src_ids[i], self.vocab_size)
         return dist
+
+    def _resolve_fast_argmax(self, fast_argmax, src_ids, dtype):
+        """(fast_argmax, use_pallas_comb) — the auto gate documented on
+        ``decode``. Must resolve identically wherever the same decode
+        configuration is rebuilt (scan decode, chunk_init, chunk_step)."""
+        try:
+            from ..kernels import copy_argmax as _ca
+            pallas_ok = _ca.pallas_available()
+        except Exception:  # pragma: no cover
+            pallas_ok = False
+        if fast_argmax is None:
+            ls_tot = sum(s.shape[-1] for s in src_ids)
+            fast_argmax = (pallas_ok and dtype != jnp.float32
+                           and ls_tot <= _ca.MAX_FAST_LS)
+        return fast_argmax, fast_argmax and pallas_ok
+
+    def _argmax_precompute(self, src_ids, dtype, fast_argmax,
+                           use_pallas_comb):
+        """Step-invariant operands of the greedy argmax: the concatenated
+        source ids, plus per-mode hoisted tensors (all [B, ...], so they
+        ride in the chunk-decode state and refill row-wise)."""
+        ids_cat = jnp.concatenate(src_ids, axis=-1)   # [B, Ls]
+        extras = {}
+        if use_pallas_comb:
+            # hoisted gathered generator columns: per step, the logits at
+            # the (step-invariant) source ids are one [B,Ls,d]x[B,d]
+            # matvec instead of a serialized [B, V] gather
+            from ..kernels.copy_argmax import gather_weight_columns
+            w_at, _ = gather_weight_columns(
+                self.gen2.variables["params"]["kernel"].T, ids_cat)
+            extras["w_at"] = w_at
+        elif fast_argmax:
+            # step-invariant duplicate-id structure: for each source position,
+            # the index of the first position carrying the same vocab id.
+            # Per step, copy mass is combined onto first occurrences with one
+            # MXU matvec against this one-hot matrix (scatters serialize
+            # their 64k updates on TPU; the matvec streams at HBM rate —
+            # tools/exp_scatter_variants.py: 219 vs 801 us/step at B=64).
+            eq = ids_cat[:, :, None] == ids_cat[:, None, :]      # [B, Ls, Ls]
+            first_occ = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # [B, Ls]
+            ls = ids_cat.shape[1]
+            is_first = first_occ == jnp.arange(ls)[None, :]
+            # comb_m[b, k, l] = 1 iff first occurrence of ids[b, l] is k.
+            # The optimization barrier forces the matrix to MATERIALIZE here:
+            # without it XLA re-derives it from the comparison INSIDE the
+            # scan body each step, fusing compare+multiply+reduce into a VPU
+            # loop (xprof: 0.68 ms/step) instead of one MXU matvec over the
+            # hoisted operand (0.22 ms — tools/exp_scatter_variants.py).
+            comb_m = (first_occ[:, None, :]
+                      == jnp.arange(ls)[None, :, None]).astype(dtype)
+            extras["comb_m"] = jax.lax.optimization_barrier(comb_m)
+            extras["is_first"] = is_first
+        return ids_cat, extras
+
+    def _greedy_next(self, gen, mix_p, ps, gen_h, gen_logits, src_ids,
+                     ids_cat, extras, fast_argmax, use_pallas_comb):
+        """Argmax over the copy-extended distribution for one step
+        (modes documented on ``decode``). Returns nxt [B] int32."""
+        if not fast_argmax:
+            dist = self._extend_dist(gen, mix_p, ps, src_ids)
+            return jnp.argmax(dist[:, 0], axis=-1).astype(jnp.int32)
+        cw = jnp.concatenate(
+            [mix_p[:, 0, i + 1:i + 2] * ps[i][:, 0]
+             for i in range(self.num_memories)], axis=-1)   # [B, Ls]
+        if use_pallas_comb:
+            from ..kernels.copy_argmax import candidate_argmax_from_logits
+            # logits at the source ids via the hoisted gathered gen2
+            # columns (a per-step [B, V] gather is 0.68 ms/step); every
+            # duplicate carries its group's mass, so argmax lands on the
+            # first occurrence
+            w_at = extras["w_at"]
+            l_at = jnp.einsum("bld,bd->bl", w_at,
+                              gen_h[:, 0].astype(w_at.dtype))
+            return candidate_argmax_from_logits(
+                gen_logits[:, 0], l_at, mix_p[:, 0, 0], cw, ids_cat)
+        comb_m, is_first = extras["comb_m"], extras["is_first"]
+        g = mix_p[:, 0, 0:1] * gen[:, 0]                # [B, V]
+        g_idx = jnp.argmax(g, axis=-1)
+        g_val = jnp.take_along_axis(g, g_idx[:, None], -1)[:, 0]
+        g_at = jnp.take_along_axis(g, ids_cat, axis=-1)
+        comb = jnp.einsum("bkl,bl->bk", comb_m, cw.astype(comb_m.dtype))
+        cand = jnp.where(is_first, g_at + comb, -1.0)
+        c_pos = jnp.argmax(cand, axis=-1)
+        c_val = jnp.take_along_axis(cand, c_pos[:, None], -1)[:, 0]
+        c_idx = jnp.take_along_axis(ids_cat, c_pos[:, None], -1)[:, 0]
+        return jnp.where(c_val > g_val, c_idx, g_idx).astype(jnp.int32)
+
+    # ---- chunked greedy decoding with per-row progress (continuous
+    #      batching: rows refilled mid-flight sit at different absolute
+    #      positions; decode math is row-independent, so per-request
+    #      results are identical to the one-shot scan decode —
+    #      tests/test_continuous.py) ----
+
+    def chunk_init(self, memories, mem_keeps, weights, src_ids, max_len: int,
+                   feature: Optional[jnp.ndarray] = None,
+                   fast_argmax: Optional[bool] = None) -> dict:
+        """Build the per-row decode state consumed by ``chunk_step``.
+
+        Every leaf is a [B, ...] array, so a serving driver can scatter
+        fresh rows (from a ``chunk_init`` on newly arrived requests) into
+        a live state with ``decode.continuous.refill_rows``."""
+        b = memories[0].shape[0]
+        fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
+            fast_argmax, src_ids, memories[0].dtype)
+        cross, key_projs, feat = self._decode_precompute(memories, feature)
+        caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
+                  for i in range(self.num_memories)]
+        ids_cat, extras = self._argmax_precompute(
+            src_ids, memories[0].dtype, fast_argmax, use_pallas_comb)
+        return {
+            "caches": caches, "cross": cross, "key_projs": key_projs,
+            "feat": feat, "memories": list(memories),
+            "mem_keeps": list(mem_keeps), "weights": list(weights),
+            "src_ids": list(src_ids), "ids_cat": ids_cat, "extras": extras,
+            "prev": jnp.full((b,), self.bos_id, jnp.int32),
+            "trow": jnp.zeros((b,), jnp.int32),
+            "done": jnp.zeros((b,), bool),
+            "hist": jnp.zeros((b, max_len), bool),
+            "out": jnp.zeros((b, max_len), jnp.int32),
+        }
+
+    def chunk_step(self, state: dict, n_steps: int,
+                   fast_argmax: Optional[bool] = None) -> dict:
+        """Advance every non-done row by ``n_steps`` greedy steps.
+
+        Done rows freeze (their writes are dropped via out-of-range
+        indices); a row becomes done when it emits EOS or fills max_len.
+        ``fast_argmax`` must match the ``chunk_init`` that built the
+        state (both resolve the auto gate identically)."""
+        fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
+            fast_argmax, state["src_ids"], state["memories"][0].dtype)
+        max_len = state["out"].shape[1]
+        b = state["out"].shape[0]
+        cross, key_projs, feat = (state["cross"], state["key_projs"],
+                                  state["feat"])
+        memories, mem_keeps, weights, src_ids = (
+            state["memories"], state["mem_keeps"], state["weights"],
+            state["src_ids"])
+        ids_cat, extras = state["ids_cat"], state["extras"]
+        rows = jnp.arange(b)
+
+        def body(carry, _):
+            caches, prev, hist, trow, done, out = carry
+            # done rows: writes target index max_len -> dropped
+            t_w = jnp.where(done, max_len, trow)
+            new_caches, hist, gen, mix_p, ps, gen_h, gen_logits = \
+                self._step_core(caches, prev, hist, t_w, cross, key_projs,
+                                feat, memories, mem_keeps, weights)
+            nxt = self._greedy_next(gen, mix_p, ps, gen_h, gen_logits,
+                                    src_ids, ids_cat, extras, fast_argmax,
+                                    use_pallas_comb)
+            active = ~done
+            out = out.at[rows, t_w].set(nxt, mode="drop")
+            newly = active & ((nxt == self.eos_id) | (trow >= max_len - 1))
+            prev = jnp.where(active, nxt, prev)
+            trow = jnp.where(active & ~newly, trow + 1, trow)
+            return (new_caches, prev, hist, trow, done | newly, out), ()
+
+        carry = (state["caches"], state["prev"], state["hist"],
+                 state["trow"], state["done"], state["out"])
+        carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
+        caches, prev, hist, trow, done, out = carry
+        return dict(state, caches=caches, prev=prev, hist=hist, trow=trow,
+                    done=done, out=out)
 
     # ---- greedy decoding (argmax over the extended distribution,
     #      no EOS bookkeeping — ref CaSE/Model.py:119-123) ----
@@ -235,87 +403,22 @@ class MultiMemoryDecoder(nn.Module):
         path; probe argmax cross-check on TPU 100% — docs/PERF.md
         round 6)."""
         b = memories[0].shape[0]
-        try:
-            from ..kernels import copy_argmax as _ca
-            pallas_ok = _ca.pallas_available()
-        except Exception:  # pragma: no cover
-            pallas_ok = False
-        if fast_argmax is None:
-            ls_tot = sum(s.shape[-1] for s in src_ids)
-            fast_argmax = (pallas_ok and memories[0].dtype != jnp.float32
-                           and ls_tot <= _ca.MAX_FAST_LS)
-        use_pallas_comb = fast_argmax and pallas_ok
+        fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
+            fast_argmax, src_ids, memories[0].dtype)
         cross, key_projs, feat = self._decode_precompute(memories, feature)
         caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
                   for i in range(self.num_memories)]
-
-        ids_cat = jnp.concatenate(src_ids, axis=-1)   # [B, Ls]
-        if use_pallas_comb:
-            # hoisted gathered generator columns: per step, the logits at
-            # the (step-invariant) source ids are one [B,Ls,d]x[B,d]
-            # matvec instead of a serialized [B, V] gather
-            from ..kernels.copy_argmax import gather_weight_columns
-            w_at, _ = gather_weight_columns(
-                self.gen2.variables["params"]["kernel"].T, ids_cat)
-        if fast_argmax and not use_pallas_comb:
-            # step-invariant duplicate-id structure: for each source position,
-            # the index of the first position carrying the same vocab id.
-            # Per step, copy mass is combined onto first occurrences with one
-            # MXU matvec against this one-hot matrix (scatters serialize
-            # their 64k updates on TPU; the matvec streams at HBM rate —
-            # tools/exp_scatter_variants.py: 219 vs 801 us/step at B=64).
-            eq = ids_cat[:, :, None] == ids_cat[:, None, :]      # [B, Ls, Ls]
-            first_occ = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # [B, Ls]
-            ls = ids_cat.shape[1]
-            is_first = first_occ == jnp.arange(ls)[None, :]
-            dtype = memories[0].dtype
-            # comb_m[b, k, l] = 1 iff first occurrence of ids[b, l] is k.
-            # The optimization barrier forces the matrix to MATERIALIZE here:
-            # without it XLA re-derives it from the comparison INSIDE the
-            # scan body each step, fusing compare+multiply+reduce into a VPU
-            # loop (xprof: 0.68 ms/step) instead of one MXU matvec over the
-            # hoisted operand (0.22 ms — tools/exp_scatter_variants.py).
-            comb_m = (first_occ[:, None, :]
-                      == jnp.arange(ls)[None, :, None]).astype(dtype)
-            comb_m = jax.lax.optimization_barrier(comb_m)
+        ids_cat, extras = self._argmax_precompute(
+            src_ids, memories[0].dtype, fast_argmax, use_pallas_comb)
 
         def step(carry, t):
             caches, prev, hist = carry
             new_caches, hist, gen, mix_p, ps, gen_h, gen_logits = \
                 self._step_core(caches, prev, hist, t, cross, key_projs,
                                 feat, memories, mem_keeps, weights)
-            if fast_argmax:
-                cw = jnp.concatenate(
-                    [mix_p[:, 0, i + 1:i + 2] * ps[i][:, 0]
-                     for i in range(self.num_memories)], axis=-1)   # [B, Ls]
-                if use_pallas_comb:
-                    from ..kernels.copy_argmax import \
-                        candidate_argmax_from_logits
-                    # logits at the source ids via the hoisted gathered
-                    # gen2 columns (a per-step [B, V] gather is 0.68
-                    # ms/step); every duplicate carries its group's mass,
-                    # so argmax lands on the first occurrence
-                    l_at = jnp.einsum("bld,bd->bl", w_at,
-                                      gen_h[:, 0].astype(w_at.dtype))
-                    nxt = candidate_argmax_from_logits(
-                        gen_logits[:, 0], l_at, mix_p[:, 0, 0], cw, ids_cat)
-                else:
-                    g = mix_p[:, 0, 0:1] * gen[:, 0]                # [B, V]
-                    g_idx = jnp.argmax(g, axis=-1)
-                    g_val = jnp.take_along_axis(g, g_idx[:, None], -1)[:, 0]
-                    g_at = jnp.take_along_axis(g, ids_cat, axis=-1)
-                    comb = jnp.einsum("bkl,bl->bk", comb_m, cw.astype(dtype))
-                    cand = jnp.where(is_first, g_at + comb, -1.0)
-                    c_pos = jnp.argmax(cand, axis=-1)
-                    c_val = jnp.take_along_axis(cand, c_pos[:, None],
-                                                -1)[:, 0]
-                    c_idx = jnp.take_along_axis(ids_cat, c_pos[:, None],
-                                                -1)[:, 0]
-                    nxt = jnp.where(c_val > g_val, c_idx,
-                                    g_idx).astype(jnp.int32)
-            else:
-                dist = self._extend_dist(gen, mix_p, ps, src_ids)
-                nxt = jnp.argmax(dist[:, 0], axis=-1).astype(jnp.int32)
+            nxt = self._greedy_next(gen, mix_p, ps, gen_h, gen_logits,
+                                    src_ids, ids_cat, extras, fast_argmax,
+                                    use_pallas_comb)
             return (new_caches, nxt, hist), nxt
 
         prev0 = jnp.full((b,), self.bos_id, jnp.int32)

@@ -42,6 +42,11 @@ class PositionalEmbedding(nn.Module):
         length = x.shape[-2]
         if isinstance(offset, int) and offset == 0:
             pe = table[:length]
+        elif not isinstance(offset, int) and getattr(offset, "ndim", 0) == 1:
+            # per-row offsets [B] (continuous-batching decode: rows sit at
+            # different absolute positions) -> pe [B, L, D]
+            pe = jnp.take(table, offset[:, None] + jnp.arange(length)[None],
+                          axis=0)
         else:
             pe = jnp.take(table, offset + jnp.arange(length), axis=0)
         x = x * jnp.asarray(np.sqrt(self.dim), x.dtype) + pe

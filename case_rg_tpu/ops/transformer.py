@@ -149,12 +149,15 @@ class DecoderLayer(nn.Module):
         [B, T_max, 2E] (one fused QKV matmul + one cache write per step —
         14% faster chain than separate k/v projections and writes,
         tools/exp_decode_chain.py); hist_keep: [B, T_max] True for valid,
-        already-written positions *including* t.
+        already-written positions *including* t. ``t`` may be a scalar
+        (scan decode) or [B] per-row indices (continuous batching).
         Returns (y_t, cache)."""
+        from .cache import write_step
+
         e = self.d_model
         x = self.norm1(x_t)
         q, kv_t = self.self_attn.project_qkv(x)
-        cache = jax.lax.dynamic_update_slice(cache, kv_t, (0, t, 0))
+        cache = write_step(cache, kv_t, t)
         a, _ = self.self_attn.attend_with_kv_merged(
             q, cache[..., :e], cache[..., e:], key_keep=hist_keep,
             q_projected=True)

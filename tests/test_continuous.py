@@ -1,0 +1,172 @@
+"""Continuous batching: chunked per-row decode must reproduce the one-shot
+scan decode bit-for-bit per request, regardless of batch composition or
+refill staggering (rows are independent in greedy decode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from case_rg_tpu.config import ModelConfig
+from case_rg_tpu.models import create_model
+
+V = 512
+
+
+def _arrays(rng, n):
+    return {
+        "query": rng.randint(4, V, size=(n, 1, 10)).astype(np.int32),
+        "passage": rng.randint(4, V, size=(n, 3, 12)).astype(np.int32),
+    }
+
+
+def _init_params(model, arrays):
+    b = arrays["query"].shape[0]
+    init_batch = {
+        "query": jnp.asarray(arrays["query"]),
+        "passage": jnp.asarray(arrays["passage"]),
+        "response": jnp.asarray(np.full((b, 8), 5, np.int32)),
+        "passage_label": jnp.zeros((b,), jnp.int32),
+        "token_label": jnp.zeros(arrays["passage"].shape, jnp.float32),
+        "token_weight": jnp.ones(arrays["passage"].shape, jnp.float32),
+        "sample_weight": jnp.ones((b,), jnp.float32),
+    }
+    return model.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)},
+                      init_batch, method=type(model).train_losses)["params"]
+
+
+def _models_with_live_eos(name="case", max_len=12, b=8, seed=7):
+    """(model, params, arrays, base_ids): a tiny model whose eos_id is a
+    token the greedy decode actually emits (the most frequent decoded id),
+    so rows finish at staggered steps. The scan decode ignores EOS
+    entirely (ref CaSE/Model.py:119-123), so re-tagging a token as EOS
+    does not change the emitted ids."""
+    cfg = ModelConfig(name=name, vocab_size=V, embedding_size=16,
+                      hidden_size=16, num_heads=2, enc_layers=1, dec_layers=1,
+                      max_dec_len=max_len)
+    model = create_model(name, cfg)
+    rng = np.random.RandomState(seed)
+    arrays = _arrays(rng, b)
+    params = _init_params(model, arrays)
+    batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+    base = jax.device_get(jax.jit(lambda p, bt: model.apply(
+        {"params": p}, bt, max_len=max_len,
+        method=type(model).predict))(params, batch))
+    ids = np.asarray(base["answer"])
+    # most frequent emitted token (excluding PAD) becomes "EOS"
+    vals, counts = np.unique(ids[ids != 0], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, eos_id=eos)
+    model2 = create_model(name, cfg2)
+    base2 = jax.device_get(jax.jit(lambda p, bt: model2.apply(
+        {"params": p}, bt, max_len=max_len,
+        method=type(model2).predict))(params, batch))
+    np.testing.assert_array_equal(np.asarray(base2["answer"]), ids)
+    return model2, params, arrays, ids, np.asarray(base["rank"]), eos
+
+
+def _trim(row, eos):
+    """Tokens up to and including the first EOS (what to_sentence keeps)."""
+    idx = np.where(row == eos)[0]
+    return row[: idx[0] + 1] if len(idx) else row
+
+
+@pytest.mark.parametrize("name", ["case", "masque"])
+def test_chunked_lockstep_matches_scan_decode(name):
+    max_len = 12
+    model, params, arrays, base_ids, base_rank, eos = \
+        _models_with_live_eos(name, max_len)
+    batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    state, rank = jax.jit(lambda p, bt: model.apply(
+        {"params": p}, bt, max_len=max_len,
+        method=type(model).decode_init))(params, batch)
+    np.testing.assert_allclose(np.asarray(rank), base_rank,
+                               rtol=1e-6, atol=1e-7)
+    chunk = jax.jit(lambda p, st: model.apply(
+        {"params": p}, st, n_steps=3, method=type(model).decode_chunk))
+    for _ in range(max_len // 3 + 1):
+        state = chunk(params, state)
+    out = np.asarray(jax.device_get(state["out"]))
+    done = np.asarray(jax.device_get(state["done"]))
+    assert done.all()
+    trows = np.asarray(jax.device_get(state["trow"]))
+    assert len(set(trows.tolist())) > 1, \
+        "rows finished in lockstep; EOS staggering did not occur"
+    for r in range(out.shape[0]):
+        np.testing.assert_array_equal(_trim(out[r], eos),
+                                      _trim(base_ids[r], eos), err_msg=f"row {r}")
+
+
+def test_refill_rows_scatters_fresh_state():
+    max_len = 12
+    model, params, arrays, base_ids, base_rank, eos = \
+        _models_with_live_eos("case", max_len)
+    from case_rg_tpu.runtime.continuous import refill_rows
+
+    b = arrays["query"].shape[0]
+    batch_a = {k: jnp.asarray(v[: b // 2]) for k, v in arrays.items()}
+    batch_b = {k: jnp.asarray(v[b // 2:]) for k, v in arrays.items()}
+    init = jax.jit(lambda p, bt: model.apply(
+        {"params": p}, bt, max_len=max_len, method=type(model).decode_init))
+    chunk = jax.jit(lambda p, st, n: model.apply(
+        {"params": p}, st, n_steps=n, method=type(model).decode_chunk),
+        static_argnums=2)
+
+    # decode batch A for 5 steps, then replace rows [1, 3] with rows
+    # [0, 1] of freshly encoded batch B — the replaced rows must decode
+    # exactly like batch B's rows did in their own one-shot run.
+    state, _ = init(params, batch_a)
+    state = chunk(params, state, 5)
+    new_state, _ = init(params, batch_b)
+    rows = jnp.asarray([1, 3, b, b], jnp.int32)  # pad entries dropped
+    state = jax.jit(refill_rows)(state, new_state, rows)
+    for _ in range(max_len // 3 + 3):
+        state = chunk(params, state, 3)
+    out = np.asarray(jax.device_get(state["out"]))
+    done = np.asarray(jax.device_get(state["done"]))
+    assert done[:4].all()
+    np.testing.assert_array_equal(_trim(out[1], eos),
+                                  _trim(base_ids[b // 2 + 0], eos))
+    np.testing.assert_array_equal(_trim(out[3], eos),
+                                  _trim(base_ids[b // 2 + 1], eos))
+    # untouched rows keep batch A's results
+    np.testing.assert_array_equal(_trim(out[0], eos), _trim(base_ids[0], eos))
+    np.testing.assert_array_equal(_trim(out[2], eos), _trim(base_ids[2], eos))
+
+
+def test_run_continuous_end_to_end():
+    """The serving driver: staggered refills over a 4-slot state, answers
+    equal to the one-shot batch predict, emitted in arrival order."""
+    max_len = 12
+    model, params, arrays, base_ids, base_rank, eos = \
+        _models_with_live_eos("case", max_len)
+    from case_rg_tpu.runtime.continuous import (make_continuous_fns,
+                                                run_continuous)
+
+    n = arrays["query"].shape[0]
+    requests = [{"i": i} for i in range(n)]
+
+    def make_batch(chunkreqs, bs):
+        idx = [r["i"] for r in chunkreqs]
+        idx = idx + [idx[-1]] * (bs - len(idx))
+        return {k: jnp.asarray(v[idx]) for k, v in arrays.items()}
+
+    init_fn, chunk_fn, refill_fn = make_continuous_fns(model, max_len,
+                                                       chunk_steps=3)
+    got = []
+    stats = run_continuous(iter(requests), make_batch, init_fn, chunk_fn,
+                           refill_fn, {"params": params}, batch_size=4,
+                           refill=2, emit=lambda r, ids, rk:
+                           got.append((r["i"], ids.copy(), rk.copy())),
+                           max_len=max_len)
+    assert stats["served"] == n
+    assert stats["refills"] >= 1
+    assert [g[0] for g in got] == list(range(n)), "arrival order violated"
+    for i, ids, rk in got:
+        np.testing.assert_array_equal(_trim(ids, eos), _trim(base_ids[i], eos),
+                                      err_msg=f"request {i}")
+        np.testing.assert_allclose(rk, base_rank[i], rtol=1e-6, atol=1e-7)
