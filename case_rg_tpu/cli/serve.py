@@ -139,6 +139,18 @@ def build_parser():
     p.add_argument("--ema", action="store_true", help="serve EMA weights")
     p.add_argument("--pipeline_depth", type=int, default=4,
                    help="max batches in flight before fetching results")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching (case/masque, greedy): rows "
+                        "progress independently; finished rows are "
+                        "refilled mid-flight with newly arrived requests, "
+                        "so batch cost tracks the mean answer length "
+                        "instead of the max (runtime/continuous.py)")
+    p.add_argument("--chunk_steps", type=int, default=8,
+                   help="--continuous: decode steps per chunk between "
+                        "harvest/refill points")
+    p.add_argument("--refill", type=int, default=0,
+                   help="--continuous: refill bucket size (encode program "
+                        "for newly arrived requests); 0 = batch_size/4")
     p.add_argument("--pool_shard", type=int, default=1,
                    help="shard the passage-pool axis over this many local "
                         "devices (the 'model' mesh axis): per-passage tower "
@@ -522,6 +534,10 @@ def main(argv=None, _server_ready=None):
 
     bbuckets = _parse_buckets(args.batch_buckets, bs, "--batch_buckets") \
         if args.batch_buckets else [bs]
+    if args.continuous:
+        # the refill bucket is a second batch shape the mesh must divide
+        args.refill = args.refill or max(bs // 4, 1)
+        bbuckets = sorted(set(bbuckets + [args.refill]))
 
     # serving mesh: batches shard over the data axis of THIS process's
     # devices, params are replicated — the same dp layout trainer.predict
@@ -608,6 +624,55 @@ def main(argv=None, _server_ready=None):
                                                   encoding="utf-8")
     sink = sys.stdout if args.output == "-" else open(args.output, "w",
                                                       encoding="utf-8")
+
+    if args.continuous:
+        # continuous batching: per-row decode progress, finished rows
+        # refilled mid-flight (runtime/continuous.py). Answers are
+        # bit-identical per request to the batch predict path; throughput
+        # tracks the MEAN answer length instead of the batch max.
+        if args.model not in ("case", "masque"):
+            raise SystemExit("--continuous supports the chunk-decode "
+                             "models (case, masque)")
+        if args.pool_buckets or args.batch_buckets or args.rank_only or \
+                args.beam_width > 1:
+            raise SystemExit("--continuous is greedy-decode serving; it "
+                             "composes with none of --pool_buckets/"
+                             "--batch_buckets/--rank_only/--beam_width>1")
+        from ..runtime.continuous import make_continuous_fns, run_continuous
+        init_fn, chunk_fn, refill_fn = make_continuous_fns(
+            model, args.max_target_length, args.chunk_steps,
+            fast_argmax=args.fast_argmax)
+
+        def make_batch(chunk, k):
+            batch = _chunk_to_batch(chunk, args.model, vocab, dcfg, k)
+            ensure_params(batch)
+            return shard_batch(mesh, batch,
+                               pool_axis=pool_devices > 1)
+
+        def emit(req, ids_row, rank_row):
+            out = {"answer": ids_row[None], "rank": rank_row[None]}
+            resp = responses_for([req], out, dcfg)[0]
+            sink.write(json.dumps(resp) + "\n")
+            sink.flush()
+
+        stats = run_continuous(
+            _read_requests(src), make_batch,
+            lambda _, bt: init_fn({"params": params}, bt),
+            lambda _, st: chunk_fn({"params": params}, st),
+            refill_fn, None, bs, args.refill, emit,
+            args.max_target_length)
+        if src is not sys.stdin:
+            src.close()
+        if sink is not sys.stdout:
+            sink.close()
+        if served == 0:
+            print("[serve] no requests", file=sys.stderr)
+            return
+        print(f"[serve] {served} requests answered continuously "
+              f"({stats['chunks']} chunks, {stats['refills']} refills, "
+              f"epoch {epoch}, {'bf16' if args.bf16 else 'f32'})",
+              file=sys.stderr)
+        return
 
     # streaming loop: consume batch_size chunks as they arrive, keep up to
     # pipeline_depth batches in flight, flush each chunk's responses as

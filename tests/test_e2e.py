@@ -192,6 +192,28 @@ def test_serve_cli(workspace, tmp_path):
                          "--bucket_flush_after", "1"])
     assert [json.loads(l) for l in open(flush_path)] == olines
 
+    # --continuous: per-request answers/rankings are independent of batch
+    # composition, so continuous batching (5 requests through a 2-slot
+    # state, refill bucket 1, 2-step chunks — forces mid-flight refills)
+    # must reproduce the plain batch run byte-identically, in input order
+    reqs3 = reqs2 + [
+        {"id": "rD", "query": "what is motion ?", "passages": p[2:4]},
+        {"id": "rE", "query": "is energy conserved ?", "passages": p[3:4]}]
+    req3_path = str(tmp_path / "reqs3.jsonl")
+    with open(req3_path, "w") as f:
+        for r in reqs3:
+            f.write(json.dumps(r) + "\n")
+    plain3_path = str(tmp_path / "resp_plain3.jsonl")
+    serve_main(common + ["--input", req3_path, "--output", plain3_path,
+                         "--num_passage", "4"])
+    cont_path = str(tmp_path / "resp_cont.jsonl")
+    serve_main(common + ["--input", req3_path, "--output", cont_path,
+                         "--num_passage", "4", "--continuous",
+                         "--batch_size", "2", "--chunk_steps", "2",
+                         "--refill", "1"])
+    assert [json.loads(l) for l in open(cont_path)] == \
+        [json.loads(l) for l in open(plain3_path)]
+
 
 def test_serve_http(workspace, tmp_path):
     """--listen: HTTP micro-batching server — health check, concurrent
