@@ -1,0 +1,175 @@
+"""Continuous batching vs fixed-batch decode at full CaSE scale.
+
+Fixed-length batch decode pays max_len steps for every batch; early-exit
+pays the MAX emitted length over the batch; continuous batching pays
+~the MEAN length (finished rows are refilled mid-flight). The win is
+therefore a function of the answer-length distribution, which random
+weights do not produce (they rarely emit EOS) — so, like the continuous
+equivalence tests, this re-tags the most frequently decoded token as EOS
+(greedy token choice ignores eos_id, so the emitted ids are unchanged;
+only the stop bookkeeping reads it). Mean/percentile lengths are printed
+so the speedup can be read against the distribution.
+
+Usage: python tools/exp_continuous.py [B] [--n N] [--chunk C] [--refill R]
+"""
+
+import dataclasses
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv):
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.expanduser("~/.cache/case_rg_tpu_xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from case_rg_tpu.config import DataConfig, ModelConfig
+    from case_rg_tpu.data.featurize import featurize
+    from case_rg_tpu.data.vocab import Vocabulary
+    from case_rg_tpu.models import build_model_cfg, create_model
+    from case_rg_tpu.runtime.continuous import (make_continuous_fns,
+                                                run_continuous)
+    from case_rg_tpu.train.precision import cast_params
+    from exp_all_models_qps import synth_samples
+
+    B = int(argv[0]) if argv and not argv[0].startswith("-") else 64
+    n_req = 512
+    chunk_steps, refill = 8, max(B // 4, 1)
+    if "--n" in argv:
+        n_req = int(argv[argv.index("--n") + 1])
+    if "--chunk" in argv:
+        chunk_steps = int(argv[argv.index("--chunk") + 1])
+    if "--refill" in argv:
+        refill = int(argv[argv.index("--refill") + 1])
+
+    small = "--small" in argv   # CPU smoke: tiny shapes, same code path
+    vocab = Vocabulary.load("/tmp/http_bench/prepared/vocab.txt")
+    dcfg = DataConfig(query_len=60, passage_len=100, num_passage=10,
+                      answer_len=40) if not small else \
+        DataConfig(query_len=12, passage_len=16, num_passage=3, answer_len=8)
+    base = ModelConfig(embedding_size=256, hidden_size=256, num_heads=8,
+                       max_target_length=40, max_dec_len=40) if not small \
+        else ModelConfig(embedding_size=16, hidden_size=16, num_heads=2,
+                         enc_layers=1, dec_layers=1, max_target_length=8,
+                         max_dec_len=8)
+    mcfg = build_model_cfg(base, "case", vocab)
+    max_len = mcfg.max_dec_len
+    print(f"devices={jax.devices()} B={B} n={n_req} chunk={chunk_steps} "
+          f"refill={refill}", flush=True)
+
+    # full-size random params (same recipe as exp_xprof_decode)
+    model = create_model("case", mcfg)
+    rng = random.Random(0)
+    samples, query, passage = synth_samples(B, rng)
+    arrays0 = featurize("case", samples, query, passage, vocab, {}, dcfg)
+    init_batch = {k: jnp.asarray(v) for k, v in arrays0.items() if k != "id"}
+    if "passage_labels" in init_batch:
+        init_batch["passage_label"] = init_batch.pop("passage_labels")[:, 0]
+    init_batch["sample_weight"] = jnp.ones((B,), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           init_batch, method=type(model).train_losses))
+    nrng = np.random.RandomState(0)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            nrng.standard_normal(s.shape).astype(np.float32) * 0.02), shapes)
+    if not small:   # serving dtype; the CPU smoke backend has no bf16 dot
+        variables = cast_params(variables)
+
+    # request pool: n_req distinct featurized rows
+    def fresh_arrays(i, count):
+        s, q, p = synth_samples(count, random.Random(7000 + i))
+        arr = featurize("case", s, q, p, vocab, {}, dcfg)
+        return {k: arr[k] for k in ("query", "passage")}
+
+    pool = []
+    for i in range(0, n_req, B):
+        a = fresh_arrays(i, B)
+        for j in range(min(B, n_req - i)):
+            pool.append({k: v[j] for k, v in a.items()})
+    master = {k: np.stack([r[k] for r in pool]) for k in ("query", "passage")}
+
+    # pick a live EOS from a probe decode, then rebuild the model with it
+    predict = jax.jit(lambda vs, bt: model.apply(
+        vs, bt, max_len=max_len, method=type(model).predict))
+    probe_batch = {k: jnp.asarray(master[k][:B]) for k in master}
+    t0 = time.time()
+    probe = np.asarray(predict(variables, probe_batch)["answer"])
+    print(f"probe decode (compile) {time.time()-t0:.0f}s", flush=True)
+    vals, counts = np.unique(probe[probe != 0], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    model = create_model("case", dataclasses.replace(mcfg, eos_id=eos))
+    predict = jax.jit(lambda vs, bt: model.apply(
+        vs, bt, max_len=max_len, method=type(model).predict))
+    predict_ee = jax.jit(lambda vs, bt: model.apply(
+        vs, bt, max_len=max_len, early_exit=True,
+        method=type(model).predict))
+
+    # emitted-length distribution under the chosen EOS
+    def lens(ids):
+        hit = ids == eos
+        first = np.where(hit.any(1), hit.argmax(1) + 1, ids.shape[1])
+        return first
+    ld = lens(probe)
+    print(f"eos={eos} len mean={ld.mean():.1f} p50={np.percentile(ld,50):.0f} "
+          f"p90={np.percentile(ld,90):.0f} max={ld.max()}", flush=True)
+
+    def batches():
+        for i in range(0, n_req, B):
+            idx = np.arange(i, min(i + B, n_req))
+            idx = np.concatenate([idx, np.repeat(idx[-1:], B - len(idx))])
+            yield {k: jnp.asarray(master[k][idx]) for k in master}
+
+    # fixed batch (no early exit)
+    for name, fn in (("fixed", predict), ("early_exit", predict_ee)):
+        list_b = list(batches())
+        np.asarray(fn(variables, list_b[0])["answer"])  # compile
+        t0 = time.time()
+        outs = [fn(variables, bt)["answer"] for bt in list_b]
+        for o in outs:
+            np.asarray(o)
+        dt = time.time() - t0
+        print(f"{name}: {n_req/dt:.0f} qps ({dt*1000/len(list_b):.1f} "
+              f"ms/batch)", flush=True)
+
+    # continuous
+    reqs = [{"i": i} for i in range(n_req)]
+
+    def make_batch(chunkreqs, bs):
+        idx = [r["i"] for r in chunkreqs]
+        idx = idx + [idx[-1]] * (bs - len(idx))
+        return {k: jnp.asarray(master[k][idx]) for k in master}
+
+    init_fn, chunk_fn, refill_fn = make_continuous_fns(model, max_len,
+                                                       chunk_steps)
+    # compile both programs before timing
+    st, _ = init_fn(variables, make_batch(reqs[:B], B))
+    jax.block_until_ready(chunk_fn(variables, st))
+    if refill != B:
+        jax.block_until_ready(init_fn(variables, make_batch(reqs[:1], refill)))
+    got = []
+    t0 = time.time()
+    stats = run_continuous(iter(reqs), make_batch, init_fn, chunk_fn,
+                           refill_fn, variables, B, refill,
+                           emit=lambda r, ids, rk: got.append(r["i"]),
+                           max_len=max_len)
+    dt = time.time() - t0
+    print(f"continuous: {n_req/dt:.0f} qps ({stats['chunks']} chunks, "
+          f"{stats['refills']} refills)", flush=True)
+    assert len(got) == n_req
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
