@@ -288,7 +288,7 @@ def _parse_buckets(spec: str, cap: int,
 
 
 def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
-                vocab, bbuckets, server_ready=None):
+                vocab, bbuckets, server_ready=None, cont=None):
     """HTTP micro-batching server (``--listen``).
 
     Handler threads only enqueue requests and wait on per-request events;
@@ -298,7 +298,13 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
     offline path (docs/PERF.md). Requests arriving within ``--max_wait_ms``
     of each other coalesce into one device batch (up to ``--batch_size``).
     With ``--pool_buckets``, each coalesced batch runs at the smallest
-    static pool size that fits its largest request."""
+    static pool size that fits its largest request.
+
+    ``cont`` (from ``--continuous``) replaces dispatcher+completer with
+    one worker driving the continuous decode loop: requests join the
+    in-flight batch as rows free up (no coalescing window needed — the
+    decode state IS the batch), and each waiter is released the moment
+    its row finishes (``ordered=False``)."""
     import dataclasses
     import queue
     import threading
@@ -365,6 +371,34 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
             except Exception as e:   # malformed request, featurize error, ...
                 fail_items(items, e)
 
+    def continuous_worker():
+        from ..runtime.continuous import QueueSource
+
+        def make_batch(items, k):
+            try:
+                return cont["make_batch"]([p["req"] for p in items], k)
+            except Exception as e:   # malformed request, featurize error
+                fail_items(items, e)
+                return None
+
+        def emit(item, ids_row, rank_row):
+            try:
+                out = {"answer": ids_row[None], "rank": rank_row[None]}
+                item["resp"] = responses_for([item["req"]], out, dcfg,
+                                             default_ids=[item["seq"]])[0]
+                item["event"].set()
+                with stats_lock:
+                    stats["requests"] += 1
+            except Exception as e:
+                fail_items([item], e)
+
+        st = cont["run"](QueueSource(reqq, stop), make_batch, cont["init"],
+                         cont["chunk"], cont["refill"], None, bs,
+                         cont["refill_size"], emit, args.max_target_length,
+                         ordered=False)
+        with stats_lock:
+            stats["batches"] += st["chunks"]
+
     def completer():
         while True:
             got = doneq.get()
@@ -417,7 +451,8 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                                 if b_ else 0,
                             "batch_size": bs, "pool_buckets": buckets,
                             "batch_buckets": bbuckets,
-                            "max_wait_ms": args.max_wait_ms}
+                            "max_wait_ms": args.max_wait_ms,
+                            "continuous": cont is not None}
                 self._send(200, (json.dumps(varz) + "\n").encode(),
                            "application/json")
             else:
@@ -453,13 +488,19 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
 
     host, _, port = args.listen.rpartition(":")
     server = ThreadingHTTPServer((host or "127.0.0.1", int(port)), Handler)
-    threads = [threading.Thread(target=dispatcher, daemon=True),
-               threading.Thread(target=completer, daemon=True)]
+    if cont is not None:
+        threads = [threading.Thread(target=continuous_worker, daemon=True)]
+    else:
+        threads = [threading.Thread(target=dispatcher, daemon=True),
+                   threading.Thread(target=completer, daemon=True)]
     for t in threads:
         t.start()
     print(f"[serve] listening on http://{server.server_address[0]}:"
-          f"{server.server_address[1]} (batch {bs}, "
-          f"window {args.max_wait_ms} ms)", file=sys.stderr)
+          f"{server.server_address[1]} "
+          + (f"(continuous batch {bs}, chunk {args.chunk_steps}, "
+             f"refill {cont['refill_size']})" if cont is not None else
+             f"(batch {bs}, window {args.max_wait_ms} ms)"),
+          file=sys.stderr)
     if server_ready is not None:
         server_ready(server)
     try:
@@ -615,16 +656,7 @@ def main(argv=None, _server_ready=None):
         served += len(chunk)
         return resps
 
-    if args.listen:
-        _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
-                    vocab, bbuckets, _server_ready)
-        return
-
-    src = sys.stdin if args.input == "-" else open(args.input,
-                                                  encoding="utf-8")
-    sink = sys.stdout if args.output == "-" else open(args.output, "w",
-                                                      encoding="utf-8")
-
+    cont = None
     if args.continuous:
         # continuous batching: per-row decode progress, finished rows
         # refilled mid-flight (runtime/continuous.py). Answers are
@@ -643,23 +675,38 @@ def main(argv=None, _server_ready=None):
             model, args.max_target_length, args.chunk_steps,
             fast_argmax=args.fast_argmax)
 
-        def make_batch(chunk, k):
+        def cont_make_batch(chunk, k):
             batch = _chunk_to_batch(chunk, args.model, vocab, dcfg, k)
             ensure_params(batch)
             return shard_batch(mesh, batch,
                                pool_axis=pool_devices > 1)
 
+        cont = {"make_batch": cont_make_batch,
+                "init": lambda _, bt: init_fn({"params": params}, bt),
+                "chunk": lambda _, st: chunk_fn({"params": params}, st),
+                "refill": refill_fn, "refill_size": args.refill,
+                "run": run_continuous}
+
+    if args.listen:
+        _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
+                    vocab, bbuckets, _server_ready, cont=cont)
+        return
+
+    src = sys.stdin if args.input == "-" else open(args.input,
+                                                  encoding="utf-8")
+    sink = sys.stdout if args.output == "-" else open(args.output, "w",
+                                                      encoding="utf-8")
+
+    if cont is not None:
         def emit(req, ids_row, rank_row):
             out = {"answer": ids_row[None], "rank": rank_row[None]}
             resp = responses_for([req], out, dcfg)[0]
             sink.write(json.dumps(resp) + "\n")
             sink.flush()
 
-        stats = run_continuous(
-            _read_requests(src), make_batch,
-            lambda _, bt: init_fn({"params": params}, bt),
-            lambda _, st: chunk_fn({"params": params}, st),
-            refill_fn, None, bs, args.refill, emit,
+        stats = cont["run"](
+            _read_requests(src), cont["make_batch"], cont["init"],
+            cont["chunk"], cont["refill"], None, bs, args.refill, emit,
             args.max_target_length)
         if src is not sys.stdin:
             src.close()

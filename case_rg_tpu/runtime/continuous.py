@@ -62,63 +62,140 @@ def make_continuous_fns(model, max_len: int, chunk_steps: int,
     return jax.jit(init_fn), jax.jit(chunk_fn), jax.jit(refill_fn)
 
 
-def run_continuous(requests: Iterator[dict],
+class IterSource:
+    """Request source over a plain iterator (offline serving): ``take``
+    blocks on the underlying iterator until it yields or ends."""
+
+    def __init__(self, it: Iterator[dict]):
+        self._it = iter(it)
+        self._done = False
+
+    def take(self, n: int, wait: bool) -> List[dict]:
+        out: List[dict] = []
+        while len(out) < n and not self._done:
+            try:
+                out.append(next(self._it))
+            except StopIteration:
+                self._done = True
+        return out
+
+    def finished(self) -> bool:
+        return self._done
+
+
+class QueueSource:
+    """Request source over a ``queue.Queue`` (HTTP serving): ``wait=True``
+    blocks for the first item; further items are drained without blocking,
+    so the decode loop never stalls on an idle queue. A ``stop`` sentinel
+    marks the stream end."""
+
+    def __init__(self, q, stop):
+        self._q = q
+        self._stop = stop
+        self._done = False
+
+    def take(self, n: int, wait: bool) -> List[dict]:
+        import queue as _queue
+
+        out: List[dict] = []
+        if self._done:
+            return out
+        if wait:
+            item = self._q.get()
+            if item is self._stop:
+                self._done = True
+                return out
+            out.append(item)
+        while len(out) < n:
+            try:
+                item = self._q.get_nowait()
+            except _queue.Empty:
+                break
+            if item is self._stop:
+                self._done = True
+                break
+            out.append(item)
+        return out
+
+    def finished(self) -> bool:
+        return self._done
+
+
+def run_continuous(source,
                    make_batch: Callable[[List[dict], int], Dict[str, np.ndarray]],
                    init_fn, chunk_fn, refill_fn, variables,
                    batch_size: int, refill: int,
                    emit: Callable[[dict, np.ndarray, np.ndarray], None],
-                   max_len: int) -> Dict[str, int]:
-    """Drive the continuous decode loop over a request stream.
+                   max_len: int, ordered: bool = True) -> Dict[str, int]:
+    """Drive the continuous decode loop over a request source.
 
-    ``make_batch(chunk, bs)`` featurizes up to ``bs`` requests into a
-    fixed-``bs`` batch (padding rows repeat). ``emit(req, ids_row,
-    rank_row)`` receives each finished request IN ARRIVAL ORDER (reorder
-    buffer). Returns counters (requests served, chunks run, decode steps,
-    refills) for observability."""
+    ``source`` is an ``IterSource``/``QueueSource`` (a plain iterator is
+    wrapped). ``make_batch(chunk, bs)`` featurizes up to ``bs`` requests
+    into a fixed-``bs`` batch (padding rows repeat); returning ``None``
+    drops that chunk (the caller already reported the failure).
+    ``emit(req, ids_row, rank_row)`` receives finished requests — in
+    arrival order when ``ordered`` (offline files), immediately on
+    completion otherwise (HTTP waiters). Returns counters (requests
+    served, chunks run, refills) for observability."""
     b = batch_size
     refill = max(1, min(refill, b))
-    pending: List[dict] = []
-    req_iter = iter(requests)
-    exhausted = False
+    if not hasattr(source, "take"):
+        source = IterSource(source)
 
-    def take(n: int) -> List[dict]:
-        nonlocal exhausted
-        while len(pending) < n and not exhausted:
-            try:
-                pending.append(next(req_iter))
-            except StopIteration:
-                exhausted = True
-        out = pending[:n]
-        del pending[:n]
-        return out
-
-    # arrival-order reorder buffer
+    # arrival-order reorder buffer (ordered mode)
     next_emit = 0
     held: Dict[int, tuple] = {}
 
     def finish(idx: int, req: dict, ids: np.ndarray, rank: np.ndarray):
         nonlocal next_emit
+        if not ordered:
+            emit(req, ids, rank)
+            return
         held[idx] = (req, ids, rank)
         while next_emit in held:
             r, i, k = held.pop(next_emit)
             emit(r, i, k)
             next_emit += 1
 
-    # slots[r] = (arrival_idx, request, rank_row) or None (free/dummy)
+    # slots[r] = (arrival_idx, request, rank_row_device) or None (free)
     slots: List[Optional[tuple]] = [None] * b
     arrival = 0
     stats = {"served": 0, "chunks": 0, "refills": 0}
+    state = None
 
-    first = take(b)
-    if not first:
-        return stats
-    state, rank = init_fn(variables, make_batch(first, b))
-    rank_h = np.asarray(jax.device_get(rank))
-    for i, req in enumerate(first):
-        slots[i] = (arrival, req, rank_h[i])
-        arrival += 1
+    def fill(rows: List[int], wait: bool) -> bool:
+        """Take up to ``refill`` (or b, at cold start) requests and
+        scatter them into ``rows``; returns True if any were added."""
+        nonlocal state, arrival
+        width = b if state is None else refill
+        newreqs = source.take(min(len(rows), width), wait)
+        if not newreqs:
+            return False
+        k = len(newreqs)
+        batch = make_batch(newreqs, width)
+        if batch is None:   # featurize failure — caller reported it
+            return False
+        if state is None:
+            state, rank = init_fn(variables, batch)
+        else:
+            new_state, rank = init_fn(variables, batch)
+            idx = jnp.asarray(
+                np.asarray(rows[:k] + [b] * (width - k), np.int32))
+            state = refill_fn(state, new_state, idx)
+            stats["refills"] += 1
+        rank_h = np.asarray(jax.device_get(rank))
+        for i, req in enumerate(newreqs):
+            slots[rows[i]] = (arrival, req, rank_h[i])
+            arrival += 1
+        return True
 
-    while any(s is not None for s in slots):
+    while True:
+        occupied = [r for r in range(b) if slots[r] is not None]
+        if not occupied:
+            if source.finished():
+                break
+            if not fill(list(range(b)), wait=True):
+                continue   # stream may have ended; loop re-checks
         state = chunk_fn(variables, state)
         stats["chunks"] += 1
         done = np.asarray(jax.device_get(state["done"]))
@@ -131,17 +208,6 @@ def run_continuous(requests: Iterator[dict],
                 slots[r] = None
                 stats["served"] += 1
         free = [r for r in range(b) if slots[r] is None]
-        if free and (pending or not exhausted):
-            newreqs = take(min(len(free), refill))
-            if newreqs:
-                k = len(newreqs)
-                new_state, new_rank = init_fn(variables,
-                                              make_batch(newreqs, refill))
-                rows = np.asarray(free[:k] + [b] * (refill - k), np.int32)
-                state = refill_fn(state, new_state, jnp.asarray(rows))
-                nr = np.asarray(jax.device_get(new_rank))
-                for i, req in enumerate(newreqs):
-                    slots[free[i]] = (arrival, req, nr[i])
-                    arrival += 1
-                stats["refills"] += 1
+        if free and not source.finished():
+            fill(free, wait=False)
     return stats

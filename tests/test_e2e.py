@@ -316,6 +316,87 @@ def test_serve_http(workspace, tmp_path):
     assert not t.is_alive()
 
 
+def test_serve_http_continuous(workspace, tmp_path):
+    """--listen --continuous: the continuous worker owns the device; each
+    HTTP waiter is released the moment its row finishes, and responses
+    match the plain offline serve byte-for-byte per request."""
+    import threading
+    import urllib.error
+    import urllib.request
+    from case_rg_tpu.cli.run import main as run_main
+    from case_rg_tpu.cli.serve import main as serve_main
+    root = workspace
+    out = str(tmp_path / "out_http_cont")
+    run_main(_run_args(root, out, "case", "train", ["--epoch", "1"]))
+
+    ra = {"id": "a1", "query": "what is kinetic energy ?",
+          "passages": ["kinetic energy is the energy of motion .",
+                       "whales are large ocean mammals ."]}
+    rb = {"id": "b1", "query": "how big are whales ?",
+          "passages": ["whales are large ocean mammals ."]}
+
+    # offline plain-batch reference responses
+    req_path = str(tmp_path / "chttp_reqs.jsonl")
+    ref_path = str(tmp_path / "chttp_ref.jsonl")
+    with open(req_path, "w") as f:
+        for r in (ra, rb):
+            f.write(json.dumps(r) + "\n")
+    common = ["--model", "case",
+              "--prepared_dir", os.path.join(root, "toy", "prepared"),
+              "--output_path", out, "--batch_size", "4",
+              "--embedding_size", "16", "--hidden_size", "16",
+              "--num_heads", "2", "--max_target_length", "8",
+              "--query_len", "24", "--passage_len", "24",
+              "--num_passage", "4"]
+    serve_main(common + ["--input", req_path, "--output", ref_path])
+    ref = {r["id"]: r for r in map(json.loads, open(ref_path))}
+
+    holder = {}
+    ready = threading.Event()
+
+    def on_ready(server):
+        holder["server"] = server
+        ready.set()
+
+    argv = common + ["--continuous", "--chunk_steps", "2", "--refill", "2",
+                     "--listen", "127.0.0.1:0"]
+    t = threading.Thread(target=serve_main, args=(argv,),
+                         kwargs={"_server_ready": on_ready}, daemon=True)
+    t.start()
+    assert ready.wait(timeout=60), "server did not come up"
+    host, port = holder["server"].server_address[:2]
+    base = f"http://{host}:{port}"
+
+    def post(lines):
+        data = "".join(json.dumps(x) + "\n" for x in lines).encode()
+        req = urllib.request.Request(base + "/", data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            return [json.loads(l) for l in r.read().decode().splitlines()]
+
+    results = {}
+    threads = [threading.Thread(target=lambda: results.update(a=post([ra]))),
+               threading.Thread(target=lambda: results.update(b=post([rb])))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert results["a"][0] == ref["a1"]
+    assert results["b"][0] == ref["b1"]
+
+    # bad request inside a refill chunk fails cleanly; server keeps serving
+    errs = post([{"id": "x1", "passages": 42}])
+    assert errs[0]["id"] == "x1" and "error" in errs[0]
+    again = post([rb])
+    assert again[0] == ref["b1"]
+    with urllib.request.urlopen(base + "/varz", timeout=30) as r:
+        varz = json.loads(r.read().decode())
+    assert varz["continuous"] is True
+    assert varz["requests_served"] >= 3
+    assert varz["errors"] >= 1
+    holder["server"].shutdown()
+
+
 def test_orbax_sampling_fastrng_pipeline(workspace, tmp_path):
     """New CLI surfaces: --ckpt_backend orbax (train + auto-detect at test),
     --decoding sample, --fast_rng (hardware RNG for dropout)."""
