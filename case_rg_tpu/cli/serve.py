@@ -140,7 +140,7 @@ def build_parser():
     p.add_argument("--pipeline_depth", type=int, default=4,
                    help="max batches in flight before fetching results")
     p.add_argument("--continuous", action="store_true",
-                   help="continuous batching (case/masque, greedy): rows "
+                   help="continuous batching (greedy, all six models): rows "
                         "progress independently; finished rows are "
                         "refilled mid-flight with newly arrived requests, "
                         "so batch cost tracks the mean answer length "
@@ -383,7 +383,9 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
 
         def emit(item, ids_row, rank_row):
             try:
-                out = {"answer": ids_row[None], "rank": rank_row[None]}
+                out = {"answer": ids_row[None]}
+                if rank_row is not None:
+                    out["rank"] = rank_row[None]
                 item["resp"] = responses_for([item["req"]], out, dcfg,
                                              default_ids=[item["seq"]])[0]
                 item["event"].set()
@@ -662,9 +664,6 @@ def main(argv=None, _server_ready=None):
         # refilled mid-flight (runtime/continuous.py). Answers are
         # bit-identical per request to the batch predict path; throughput
         # tracks the MEAN answer length instead of the batch max.
-        if args.model not in ("case", "masque"):
-            raise SystemExit("--continuous supports the chunk-decode "
-                             "models (case, masque)")
         if args.pool_buckets or args.batch_buckets or args.rank_only or \
                 args.beam_width > 1:
             raise SystemExit("--continuous is greedy-decode serving; it "
@@ -699,7 +698,9 @@ def main(argv=None, _server_ready=None):
 
     if cont is not None:
         def emit(req, ids_row, rank_row):
-            out = {"answer": ids_row[None], "rank": rank_row[None]}
+            out = {"answer": ids_row[None]}
+            if rank_row is not None:
+                out["rank"] = rank_row[None]
             resp = responses_for([req], out, dcfg)[0]
             sink.write(json.dumps(resp) + "\n")
             sink.flush()

@@ -73,6 +73,66 @@ def greedy_predict(model, params, batch: Dict[str, jnp.ndarray],
                       cfg.unk_id, cfg.pad_id, early_exit=early_exit)
 
 
+def continuous_decode_init(model, batch, *, max_len: int, fast_argmax=None):
+    """Chunk-decode state for the EncDec-protocol models (continuous
+    serving — runtime/continuous.py; the multimem models have their own
+    decode_init). Returns (state, rank-or-None). Flax ``method=`` target:
+    first arg is the module. ``fast_argmax`` accepted for driver symmetry
+    (the protocol models' auto gate keeps the dense step —
+    greedy_predict docstring)."""
+    del fast_argmax
+    cfg = model.cfg
+    enc = model.encode(batch)
+    b = jax.tree_util.tree_leaves(enc["init_state"])[0].shape[0]
+    state = {
+        "enc": enc, "dec": enc["init_state"],
+        "prev": jnp.full((b,), cfg.bos_id, jnp.int32),
+        "trow": jnp.zeros((b,), jnp.int32),
+        "done": jnp.zeros((b,), bool),
+        "out": jnp.full((b, max_len), cfg.pad_id, jnp.int32),
+    }
+    rank = enc["ck_attn"] if "ck_attn" in enc else None
+    return state, rank
+
+
+def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None):
+    """Advance non-done rows by ``n_steps`` greedy steps with the
+    reference's EOS bookkeeping (an EOS at a row's step 0 is rewritten to
+    UNK but still ends the row; positions past EOS stay PAD —
+    decode/loops._greedy_loop). Row-independent, so per-request tokens
+    equal the one-shot run_greedy output exactly."""
+    del fast_argmax
+    cfg = model.cfg
+    eos, unk = cfg.eos_id, cfg.unk_id
+    enc = state["enc"]
+    b, max_len = state["out"].shape
+    per_row = getattr(type(model), "STEP_PER_ROW", False)
+    rows = jnp.arange(b)
+
+    def body(carry, _):
+        dec, prev, trow, done, out = carry
+        if per_row:
+            scores, dec = model.decode_step(enc, dec, prev, per_row=True)
+        else:
+            scores, dec = model.decode_step(enc, dec, prev)
+        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        raw_end = idx == eos
+        idx = jnp.where((trow == 0) & raw_end, unk, idx)
+        active = ~done
+        out = out.at[rows, jnp.where(active, trow, max_len)].set(
+            idx, mode="drop")
+        newly = active & (raw_end | (trow >= max_len - 1))
+        prev = jnp.where(active, idx, prev)
+        trow = jnp.where(active & ~newly, trow + 1, trow)
+        return (dec, prev, trow, done | newly, out), ()
+
+    carry = (state["dec"], state["prev"], state["trow"], state["done"],
+             state["out"])
+    carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
+    dec, prev, trow, done, out = carry
+    return dict(state, dec=dec, prev=prev, trow=trow, done=done, out=out)
+
+
 def beam_predict(model, params, batch: Dict[str, jnp.ndarray], max_len: int,
                  width: int) -> jnp.ndarray:
     cfg = model.cfg

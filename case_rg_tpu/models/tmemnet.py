@@ -30,6 +30,9 @@ from .base import bce_with_logits, cross_entropy, one_hot_labels, register_model
 @register_model("tmemnet")
 class TMemNetModel(nn.Module):
     cfg: ModelConfig
+    # decode_step takes per_row=True for continuous batching (its state
+    # carries the absolute position; the GRU models' states do not)
+    STEP_PER_ROW = True
 
     def setup(self):
         c = self.cfg
@@ -86,14 +89,21 @@ class TMemNetModel(nn.Module):
         return {"memory": memory, "mem_keep": mem_keep, "ck_attn": ck_attn,
                 "cross_kv": cross_kv, "init_state": init_state}
 
-    def decode_step(self, enc, state, prev_ids, *, deterministic: bool = True):
+    def decode_step(self, enc, state, prev_ids, *, deterministic: bool = True,
+                    per_row: bool = False):
         """Incremental decode (≡ re-encoding the grown prefix,
-        TMemNet/Model.py:141-147, minus the recompute)."""
-        t = state["t"][0, 0]
+        TMemNet/Model.py:141-147, minus the recompute).
+
+        ``per_row=True``: rows sit at independent absolute positions
+        (continuous batching) — ``state['t']`` is read per row and the
+        cache/hist writes become indexed scatters that drop out-of-range
+        rows (ops/cache.write_step)."""
+        from ..ops.cache import write_step
+
+        t = state["t"][:, 0] if per_row else state["t"][0, 0]
         emb = self.dec_pos(self.dec_embedding(prev_ids[:, None]), offset=t,
                            deterministic=True)
-        hist = jax.lax.dynamic_update_slice(
-            state["hist"], (prev_ids != 0)[:, None], (0, t))
+        hist = write_step(state["hist"], (prev_ids != 0)[:, None], t)
         y, cache = self.decoder.step(emb, t, state["cache"], enc["cross_kv"],
                                      hist, enc["mem_keep"])
         logits = self.gen(y[:, 0])

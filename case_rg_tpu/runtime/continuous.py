@@ -43,18 +43,27 @@ def make_continuous_fns(model, max_len: int, chunk_steps: int,
                         fast_argmax: Optional[bool] = None):
     """(init_fn, chunk_fn, refill_fn), all jitted.
 
-    init_fn(variables, batch) -> (state, rank); chunk_fn(variables, state)
-    advances every live row by ``chunk_steps``; refill_fn(state,
-    new_state, rows) scatters fresh rows in."""
+    init_fn(variables, batch) -> (state, rank-or-None); chunk_fn(variables,
+    state) advances every live row by ``chunk_steps``; refill_fn(state,
+    new_state, rows) scatters fresh rows in. Multimem models (CaSE/Masque)
+    use their decode_init/decode_chunk methods; the EncDec-protocol models
+    (TMemNet/GLKS/GTTP/S2SA) use the generic chunk driver in
+    models/predict.py."""
     mt = type(model)
+    if hasattr(mt, "decode_init"):
+        init_m, chunk_m = mt.decode_init, mt.decode_chunk
+    else:
+        from ..models.predict import (continuous_decode_chunk,
+                                      continuous_decode_init)
+        init_m, chunk_m = continuous_decode_init, continuous_decode_chunk
 
     def init_fn(variables, batch):
         return model.apply(variables, batch, max_len=max_len,
-                           fast_argmax=fast_argmax, method=mt.decode_init)
+                           fast_argmax=fast_argmax, method=init_m)
 
     def chunk_fn(variables, state):
         return model.apply(variables, state, n_steps=chunk_steps,
-                           fast_argmax=fast_argmax, method=mt.decode_chunk)
+                           fast_argmax=fast_argmax, method=chunk_m)
 
     def refill_fn(state, new_state, rows):
         return refill_rows(state, new_state, rows)
@@ -183,9 +192,10 @@ def run_continuous(source,
                 np.asarray(rows[:k] + [b] * (width - k), np.int32))
             state = refill_fn(state, new_state, idx)
             stats["refills"] += 1
-        rank_h = np.asarray(jax.device_get(rank))
+        rank_h = None if rank is None else np.asarray(jax.device_get(rank))
         for i, req in enumerate(newreqs):
-            slots[rows[i]] = (arrival, req, rank_h[i])
+            slots[rows[i]] = (arrival, req,
+                              None if rank_h is None else rank_h[i])
             arrival += 1
         return True
 

@@ -138,6 +138,125 @@ def test_refill_rows_scatters_fresh_state():
     np.testing.assert_array_equal(_trim(out[2], eos), _trim(base_ids[2], eos))
 
 
+def _protocol_batch(name, rng, b=8):
+    lc, lb, p, lp = 10, 20, 3, 12
+    batch = {"context": jnp.asarray(
+        np.concatenate([rng.randint(4, V, size=(b, lc - 2)),
+                        np.zeros((b, 2))], 1).astype(np.int32))}
+    if name == "tmemnet":
+        pa = rng.randint(4, V, size=(b, p, lp)).astype(np.int32)
+        pa[:, :, -3:] = 0
+        batch["passage"] = jnp.asarray(pa)
+    else:
+        bg = rng.randint(4, V, size=(b, lb)).astype(np.int32)
+        bg[:, -4:] = 0
+        batch["background"] = jnp.asarray(bg)
+    return batch
+
+
+def _protocol_init(model, name, batch, rng_np):
+    b = batch["context"].shape[0]
+    init_batch = dict(batch,
+                      response=jnp.asarray(
+                          rng_np.randint(4, V, size=(b, 6)).astype(np.int32)),
+                      sample_weight=jnp.ones((b,), jnp.float32))
+    if name == "tmemnet":
+        init_batch["passage_label"] = jnp.zeros((b,), jnp.int32)
+    if name == "glks":
+        lb = batch["background"].shape[1]
+        n_w = (lb - 4) // 4 + 1
+        sel = rng_np.rand(b, n_w).astype(np.float32)
+        init_batch["selection"] = jnp.asarray(sel / sel.sum(-1, keepdims=True))
+    return model.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)},
+                      init_batch, method=type(model).train_losses)["params"]
+
+
+@pytest.mark.parametrize("name", ["s2sa", "gttp", "glks", "tmemnet"])
+def test_protocol_chunked_matches_run_greedy(name):
+    """EncDec-protocol models through the generic chunk driver
+    (models/predict.continuous_decode_init/chunk): rows must reproduce the
+    one-shot run_greedy output EXACTLY, including the reference EOS
+    bookkeeping (UNK rewrite at step 0, PAD after EOS)."""
+    import dataclasses
+
+    from case_rg_tpu.models.predict import greedy_predict
+    from case_rg_tpu.runtime.continuous import make_continuous_fns
+
+    max_len = 8
+    cfg = ModelConfig(name=name, vocab_size=V, embedding_size=16,
+                      hidden_size=16, num_heads=2, max_dec_len=max_len)
+    model = create_model(name, cfg)
+    rng = np.random.RandomState(11)
+    batch = _protocol_batch(name, rng)
+    params = _protocol_init(model, name, batch, rng)
+
+    probe = np.asarray(greedy_predict(model, {"params": params}, batch,
+                                      max_len))
+    vals, counts = np.unique(probe[probe != 0], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    model = create_model(name, dataclasses.replace(cfg, eos_id=eos))
+    base = np.asarray(jax.jit(lambda p, bt: greedy_predict(
+        model, {"params": p}, bt, max_len))(params, batch))
+
+    init_fn, chunk_fn, refill_fn = make_continuous_fns(model, max_len,
+                                                       chunk_steps=3)
+    state, rank = init_fn({"params": params}, batch)
+    if name == "tmemnet":
+        assert rank is not None and rank.shape == (8, 3)
+    else:
+        assert rank is None
+    for _ in range(max_len // 3 + 1):
+        state = chunk_fn({"params": params}, state)
+    assert np.asarray(state["done"]).all()
+    trows = np.asarray(jax.device_get(state["trow"]))
+    assert len(set(trows.tolist())) > 1, "no EOS staggering"
+    np.testing.assert_array_equal(np.asarray(state["out"]), base)
+
+
+def test_protocol_refill_matches_own_run():
+    """TMemNet (per-row t state): rows refilled mid-flight decode exactly
+    as in their own one-shot run."""
+    import dataclasses
+
+    from case_rg_tpu.models.predict import greedy_predict
+    from case_rg_tpu.runtime.continuous import make_continuous_fns
+
+    max_len = 8
+    name = "tmemnet"
+    cfg = ModelConfig(name=name, vocab_size=V, embedding_size=16,
+                      hidden_size=16, num_heads=2, max_dec_len=max_len)
+    model = create_model(name, cfg)
+    rng = np.random.RandomState(13)
+    batch = _protocol_batch(name, rng)
+    params = _protocol_init(model, name, batch, rng)
+    probe = np.asarray(greedy_predict(model, {"params": params}, batch,
+                                      max_len))
+    vals, counts = np.unique(probe[probe != 0], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    model = create_model(name, dataclasses.replace(cfg, eos_id=eos))
+    base = np.asarray(jax.jit(lambda p, bt: greedy_predict(
+        model, {"params": p}, bt, max_len))(params, batch))
+
+    init_fn, chunk_fn, refill_fn = make_continuous_fns(model, max_len,
+                                                       chunk_steps=3)
+    b = 8
+    batch_a = {k: v[: b // 2] for k, v in batch.items()}
+    batch_b = {k: v[b // 2:] for k, v in batch.items()}
+    state, _ = init_fn({"params": params}, batch_a)
+    state = chunk_fn({"params": params}, state)   # 3 steps in
+    new_state, _ = init_fn({"params": params}, batch_b)
+    rows = jnp.asarray([0, 2, b, b], jnp.int32)
+    state = refill_fn(state, new_state, rows)
+    for _ in range(max_len // 3 + 2):
+        state = chunk_fn({"params": params}, state)
+    out = np.asarray(state["out"])
+    np.testing.assert_array_equal(out[0], base[b // 2 + 0])
+    np.testing.assert_array_equal(out[2], base[b // 2 + 1])
+    np.testing.assert_array_equal(out[1], base[1])
+    np.testing.assert_array_equal(out[3], base[3])
+
+
 def test_run_continuous_end_to_end():
     """The serving driver: staggered refills over a 4-slot state, answers
     equal to the one-shot batch predict, emitted in arrival order."""

@@ -316,6 +316,41 @@ def test_serve_http(workspace, tmp_path):
     assert not t.is_alive()
 
 
+def test_serve_continuous_protocol_model(workspace, tmp_path):
+    """--continuous with an EncDec-protocol model (s2sa: GRU state, no
+    rank head) — output identical to plain batch serving."""
+    from case_rg_tpu.cli.run import main as run_main
+    from case_rg_tpu.cli.serve import main as serve_main
+    root = workspace
+    out = str(tmp_path / "out_cont_s2sa")
+    run_main(_run_args(root, out, "s2sa", "train", ["--epoch", "1"]))
+
+    reqs = [{"id": f"r{i}", "query": f"what is energy {i} ?",
+             "passages": ["kinetic energy is the energy of motion .",
+                          "whales are large ocean mammals ."]}
+            for i in range(5)]
+    rp = str(tmp_path / "s2sa_reqs.jsonl")
+    with open(rp, "w") as f:
+        for r in reqs:
+            f.write(json.dumps(r) + "\n")
+    common = ["--model", "s2sa",
+              "--prepared_dir", os.path.join(root, "toy", "prepared"),
+              "--output_path", out, "--embedding_size", "16",
+              "--hidden_size", "16", "--num_heads", "2",
+              "--max_target_length", "8", "--query_len", "24",
+              "--passage_len", "24", "--num_passage", "4", "--input", rp]
+    p1 = str(tmp_path / "s2sa_plain.jsonl")
+    p2 = str(tmp_path / "s2sa_cont.jsonl")
+    serve_main(common + ["--output", p1, "--batch_size", "4"])
+    serve_main(common + ["--output", p2, "--batch_size", "2",
+                         "--continuous", "--chunk_steps", "3",
+                         "--refill", "1"])
+    a = [json.loads(l) for l in open(p1)]
+    b = [json.loads(l) for l in open(p2)]
+    assert a == b
+    assert all("ranking" not in r and r["answer"] is not None for r in b)
+
+
 def test_serve_http_continuous(workspace, tmp_path):
     """--listen --continuous: the continuous worker owns the device; each
     HTTP waiter is released the moment its row finishes, and responses
