@@ -109,6 +109,11 @@ def build_parser():
                    help="initialize jax.distributed for multi-host meshes "
                         "(replaces torch.distributed.launch; ref run.sh:21)")
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--dev_eval", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="deterministic dev loss after every training epoch "
+                        "(logged as dev_* in metrics.jsonl; picks epochs "
+                        "without decoding every checkpoint)")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="mid-epoch salvage checkpoints every N steps")
     p.add_argument("--bf16_train", action="store_true",
@@ -186,8 +191,18 @@ def train(args):
         jax.random.PRNGKey(args.seed), sample, output)
     print(f"[run] {args.model} train: {n} samples, {total_steps} steps, "
           f"start epoch {start_epoch}", flush=True)
+    # per-epoch dev loss (epoch selection without decoding every
+    # checkpoint — trainer.eval_losses); logged as dev_* in metrics.jsonl
+    eval_arrays = None
+    if args.dev_eval:
+        dev_path = os.path.join(prepared, f"dev.{args.model}.npz")
+        if os.path.exists(dev_path):
+            eval_arrays, _, _, _ = load_prepared(prepared, "dev", args.model)
+            if len(eval_arrays["id"]) == 0:
+                eval_arrays = None
     trainer.fit(state, arrays, args.epoch, output, seed=args.seed,
-                start_epoch=start_epoch, profile_dir=args.profile_dir)
+                start_epoch=start_epoch, profile_dir=args.profile_dir,
+                eval_arrays=eval_arrays)
 
 
 def test(args):

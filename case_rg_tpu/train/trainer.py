@@ -104,6 +104,7 @@ class Trainer:
         self.tx = make_optimizer(train_cfg, total_steps)
         self.loss_kwargs = loss_method_kwargs or {}
         self._train_step = None
+        self._eval_step = None
 
     # ---- state ----
 
@@ -225,7 +226,8 @@ class Trainer:
 
     def fit(self, state: TrainState, arrays: Dict[str, np.ndarray],
             epochs: int, output_path: str, seed: int = 0,
-            start_epoch: int = 0, profile_dir: Optional[str] = None
+            start_epoch: int = 0, profile_dir: Optional[str] = None,
+            eval_arrays: Optional[Dict[str, np.ndarray]] = None
             ) -> TrainState:
         from ..runtime.profiling import MetricsLogger, trace
 
@@ -247,6 +249,13 @@ class Trainer:
                     save_checkpoint(output_path, epoch, jax.device_get(state),
                                     jax.process_index(),
                                     backend=self.tc.ckpt_backend)
+                    if eval_arrays is not None:
+                        dev = self.eval_losses(state, eval_arrays)
+                        vals = {k: round(v, 6) for k, v in dev.items()}
+                        print(f"[train] epoch {epoch} dev loss {vals}",
+                              flush=True)
+                        logger.log(int(jax.device_get(state.step)),
+                                   {f"dev_{k}": v for k, v in dev.items()})
         except KeyboardInterrupt:
             # preemption (or ctrl-c routed through the guard): state salvaged
             # by train_epoch; exit the loop cleanly
@@ -275,6 +284,49 @@ class Trainer:
                 state = jax.device_put(state, replicated(self.mesh))
                 return state, last + 1
         return state, 0
+
+    # ---- per-epoch dev evaluation ----
+
+    def eval_losses(self, state: TrainState, arrays: Dict[str, np.ndarray],
+                    batch_size: int = 0, ema_eval: bool = False
+                    ) -> Dict[str, float]:
+        """Deterministic losses over an eval split (no dropout, no grads):
+        mean of batch losses weighted by each batch's real-sample count
+        (sample_weight masks the padded final batch; exact for
+        per-sample-mean losses, and the same averaging the reference's
+        printed losses use). Cheap epoch-selection signal during
+        training — the reference can only rank epochs by decoding every
+        checkpoint offline (CaSE/Run.py:35-62); dev loss needs no
+        decode."""
+        if self._eval_step is None:
+            model, loss_kwargs = self.model, self.loss_kwargs
+
+            def eval_fn(params, batch):
+                losses = model.apply({"params": params}, batch,
+                                     deterministic=True,
+                                     method=type(model).train_losses,
+                                     **loss_kwargs)
+                return {k: v.astype(jnp.float32) for k, v in losses.items()}
+
+            self._eval_step = jax.jit(eval_fn)
+        bs = batch_size or self.tc.batch_size
+        params = state.ema if ema_eval else state.params
+        batcher = Batcher(arrays, bs, shuffle=False,
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count())
+        totals: Dict[str, float] = {}
+        weight = 0.0
+        for batch in batcher.epoch(0):
+            w = float(np.asarray(batch["sample_weight"]).sum()) \
+                if "sample_weight" in batch else float(len(batch["id"]))
+            dev = shard_batch(self.mesh, batch)
+            losses = jax.device_get(self._eval_step(params, dev))
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * w
+            weight += w
+        out = {k: v / max(weight, 1.0) for k, v in totals.items()}
+        out["total"] = sum(out.values())
+        return out
 
     # ---- inference ----
 

@@ -39,6 +39,12 @@ def test_s2sa_full_pipeline(workspace, tmp_path):
     run_main(_run_args(root, out, "s2sa", "train"))
     assert os.path.exists(os.path.join(out, "model", "0.ckpt"))
     assert os.path.exists(os.path.join(out, "model", "1.ckpt"))
+    # per-epoch dev loss logged (default --dev_eval)
+    metrics = [json.loads(l) for l in open(os.path.join(out,
+                                                        "metrics.jsonl"))]
+    dev_rows = [m for m in metrics if any(k.startswith("dev_") for k in m)]
+    assert len(dev_rows) == 2, "expected one dev-loss row per epoch"
+    assert all(np.isfinite(m["dev_total"]) for m in dev_rows)
 
     run_main(_run_args(root, out, "s2sa", "test"))
     result_dir = os.path.join(out, "result")

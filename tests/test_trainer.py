@@ -224,3 +224,48 @@ def test_preemption_salvage_checkpoint(tmp_path):
                                jax.device_get(state))
     assert int(np.asarray(restored.step)) == int(np.asarray(state.step))
     assert latest_epoch(str(tmp_path)) is None   # not marked complete
+
+
+def test_eval_losses_weighted_batch_mean():
+    """trainer.eval_losses: count-weighted mean of deterministic batch
+    losses; the padded final batch contributes only its real rows."""
+    rng = np.random.RandomState(5)
+    n, bs = 6, 4
+    arrays = {
+        "id": np.arange(n),
+        "context": rng.randint(1, V, size=(n, 6)).astype(np.int32),
+        "background": rng.randint(1, V, size=(n, 10)).astype(np.int32),
+        "response": rng.randint(4, V, size=(n, 5)).astype(np.int32),
+    }
+    model = create_model("s2sa", _cfg())
+    tc = TrainConfig(batch_size=bs, learning_rate=1e-3, warmup_steps=1)
+    trainer = Trainer(model, tc, total_steps=10)
+    sample = {k: v[:bs] for k, v in arrays.items() if k != "id"}
+    sample["sample_weight"] = np.ones(bs, np.float32)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+
+    got = trainer.eval_losses(state, arrays)
+
+    # manual: per-batch deterministic losses, weighted 4 and 2
+    def batch_loss(sl, w):
+        bt = {k: jnp.asarray(v[sl]) for k, v in arrays.items() if k != "id"}
+        bt = {k: jnp.concatenate([v, v[-1:].repeat(bs - v.shape[0], 0)])
+              if v.shape[0] < bs else v for k, v in bt.items()}
+        bt["sample_weight"] = jnp.asarray(w)
+        losses = model.apply({"params": state.params}, bt,
+                             deterministic=True,
+                             method=type(model).train_losses)
+        return {k: float(v) for k, v in losses.items()}
+
+    l1 = batch_loss(slice(0, 4), np.ones(bs, np.float32))
+    w2 = np.zeros(bs, np.float32)
+    w2[:2] = 1.0
+    l2 = batch_loss(slice(4, 6), w2)
+    for k in l1:
+        expected = (4 * l1[k] + 2 * l2[k]) / 6
+        np.testing.assert_allclose(got[k], expected, rtol=1e-5,
+                                   err_msg=k)
+    assert np.isfinite(got["total"])
+    # determinism: identical on repeat
+    again = trainer.eval_losses(state, arrays)
+    assert got == again
