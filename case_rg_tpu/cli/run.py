@@ -114,6 +114,15 @@ def build_parser():
                    help="deterministic dev loss after every training epoch "
                         "(logged as dev_* in metrics.jsonl; picks epochs "
                         "without decoding every checkpoint)")
+    p.add_argument("--continuous", action="store_true",
+                   help="--mode test: continuous-batching offline predict "
+                        "(per-row decode progress + row refill; batch cost "
+                        "tracks the mean answer length). Answers identical "
+                        "to the batch path; rank scores within ~1 f32 ulp")
+    p.add_argument("--chunk_steps", type=int, default=8,
+                   help="--continuous: decode steps between harvest/refill")
+    p.add_argument("--refill", type=int, default=0,
+                   help="--continuous: refill bucket size (0 = batch/4)")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="mid-epoch salvage checkpoints every N steps")
     p.add_argument("--bf16_train", action="store_true",
@@ -263,11 +272,62 @@ def test(args):
                                   ema=cast_params(state.ema))
         print(f"[run] test epoch {epoch}", flush=True)
         for split, arrays, meta in splits:
-            preds = trainer.predict(state, arrays, predict_fn,
-                                    args.batch_size, ema_eval=args.ema_eval,
-                                    pool_devices=pool_devices)
+            if args.continuous:
+                preds = _predict_continuous(args, model, state, arrays)
+            else:
+                preds = trainer.predict(state, arrays, predict_fn,
+                                        args.batch_size,
+                                        ema_eval=args.ema_eval,
+                                        pool_devices=pool_devices)
             save_results(preds, meta, vocab, output, jax.process_index(),
                          epoch, f"{args.dataset}_{split}")
+
+
+def _predict_continuous(args, model, state, arrays):
+    """Offline continuous-batching predict (--mode test --continuous):
+    rows decode at their own pace, freed slots refill from the remaining
+    dataset rows — batch cost tracks the mean answer length instead of
+    max_target_length (runtime/continuous.py). Answers are byte-identical
+    to the batch path and rank ORDER matches; rank scores can move ~1 f32
+    ulp (decode_init is a different XLA program than predict, so encoder
+    reductions fuse differently). Yields (host_batch, outputs) rows for
+    save_results, in dataset order."""
+    import jax.numpy as jnp
+
+    from ..runtime.continuous import make_continuous_fns, run_continuous
+
+    if args.rank_only or args.beam_width > 1 or args.decoding != "greedy":
+        raise SystemExit("--continuous is greedy full predict; it composes "
+                         "with none of --rank_only/--beam_width>1/"
+                         "--decoding sample")
+    init_fn, chunk_fn, refill_fn = make_continuous_fns(
+        model, args.max_target_length, args.chunk_steps,
+        fast_argmax=args.fast_argmax)
+    refill = args.refill or max(args.batch_size // 4, 1)
+    params = state.ema if args.ema_eval else state.params
+    variables = {"params": jax.device_put(params)}
+    feed = {k: v for k, v in arrays.items()
+            if k not in ("passage_labels",) and not k.startswith("_")}
+    idx_all = np.arange(len(arrays["id"]))[
+        jax.process_index()::jax.process_count()]
+
+    def make_batch(reqs, k):
+        sel = [r["i"] for r in reqs]
+        sel = sel + [sel[-1]] * (k - len(sel))
+        return {kk: jnp.asarray(vv[sel]) for kk, vv in feed.items()}
+
+    collected = []
+    run_continuous(({"i": int(i)} for i in idx_all), make_batch,
+                   lambda _, bt: init_fn(variables, bt),
+                   lambda _, st: chunk_fn(variables, st),
+                   refill_fn, None, args.batch_size, refill,
+                   emit=lambda r, ids, rk: collected.append((r["i"], ids, rk)),
+                   max_len=args.max_target_length)
+    for i, ids, rk in collected:
+        out = {"answer": ids[None]}
+        if rk is not None:
+            out["rank"] = rk[None]
+        yield {"id": [i], "_indices": [i]}, out
 
 
 def main(argv=None):

@@ -81,6 +81,36 @@ def test_case_full_pipeline(workspace, tmp_path):
                        ["--epoch", "1", "--decoding", "sample",
                         "--temperature", "0.8", "--top_p", "0.9"]))
 
+    # offline continuous predict: result files identical to the batch path
+    # (compare per-rank shards only — eval_main wrote merged .all.* files)
+    import re
+    shard = re.compile(r"\.\d+\.(answer|run)$")
+    rd = os.path.join(out, "result")
+    run_main(_run_args(root, out, "case", "test", ["--epoch", "1"]))
+    plain = {f: open(os.path.join(rd, f)).read()
+             for f in sorted(os.listdir(rd)) if shard.search(f)}
+    import shutil
+    shutil.rmtree(rd)
+    run_main(_run_args(root, out, "case", "test",
+                       ["--epoch", "1", "--continuous", "--chunk_steps", "3",
+                        "--refill", "2"]))
+    cont = {f: open(os.path.join(rd, f)).read()
+            for f in sorted(os.listdir(rd)) if shard.search(f)}
+    assert set(cont) == set(plain)
+    for f in plain:
+        if f.endswith(".answer"):
+            assert cont[f] == plain[f], f"answers differ in {f}"
+        else:
+            # scores move ~1 f32 ulp (decode_init is a different XLA
+            # program than predict; encoder reductions fuse differently);
+            # rank ORDER and every id field must match exactly
+            pl = [l.split() for l in plain[f].splitlines()]
+            cl = [l.split() for l in cont[f].splitlines()]
+            assert [l[:4] for l in pl] == [l[:4] for l in cl], f
+            for a, b in zip(pl, cl):
+                np.testing.assert_allclose(float(b[4]), float(a[4]),
+                                           rtol=1e-5, atol=1e-6)
+
 
 def test_serve_cli(workspace, tmp_path):
     """Online serving: JSONL requests -> answers (+ ranking for case),

@@ -14,6 +14,14 @@ vocab at /tmp/http_bench/prepared/vocab.txt and a random full-size
 checkpoint at /tmp/http_bench/out (init_state on CPU + save_checkpoint).
 
 Usage: python tools/exp_http_load.py [clients] [batches_per_client]
+       [--continuous [chunk_steps refill]]
+
+``--continuous`` serves through the continuous-batching worker instead of
+the micro-batching dispatcher. Random weights never emit EOS, so every
+row runs all 40 steps — this measures the continuous loop's OVERHEAD
+(per-chunk host sync + refill encodes) at equal decode work, the
+worst case for it; the length-mix win is measured separately by
+tools/exp_continuous.py (EOS-retagged).
 """
 
 import json
@@ -25,8 +33,18 @@ import urllib.request
 
 
 def main():
-    clients = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    per_client = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    argv = list(sys.argv[1:])
+    cont_args = []
+    if "--continuous" in argv:
+        i = argv.index("--continuous")
+        rest = argv[i + 1:i + 3]
+        chunk = rest[0] if len(rest) > 0 and not rest[0].startswith("-") else "8"
+        refill = rest[1] if len(rest) > 1 and not rest[1].startswith("-") else "16"
+        cont_args = ["--continuous", "--chunk_steps", chunk,
+                     "--refill", refill]
+        del argv[i:i + 1 + len([x for x in rest if not x.startswith("-")])]
+    clients = int(argv[0]) if len(argv) > 0 else 4
+    per_client = int(argv[1]) if len(argv) > 1 else 4
     bs = 64
 
     from case_rg_tpu.cli.serve import main as serve_main
@@ -38,10 +56,13 @@ def main():
         holder["server"] = server
         ready.set()
 
-    argv = ["--model", "case", "--prepared_dir", "/tmp/http_bench/prepared",
-            "--output_path", "/tmp/http_bench/out", "--batch_size", str(bs),
-            "--bf16", "--listen", "127.0.0.1:0", "--max_wait_ms", "100"]
-    t = threading.Thread(target=serve_main, args=(argv,),
+    serve_argv = ["--model", "case",
+                  "--prepared_dir", "/tmp/http_bench/prepared",
+                  "--output_path", "/tmp/http_bench/out",
+                  "--batch_size", str(bs), "--bf16",
+                  "--listen", "127.0.0.1:0",
+                  "--max_wait_ms", "100"] + cont_args
+    t = threading.Thread(target=serve_main, args=(serve_argv,),
                          kwargs={"_server_ready": on_ready}, daemon=True)
     t.start()
     assert ready.wait(timeout=120)
