@@ -304,6 +304,10 @@ def _predict_continuous(args, model, state, arrays):
         model, args.max_target_length, args.chunk_steps,
         fast_argmax=args.fast_argmax)
     refill = args.refill or max(args.batch_size // 4, 1)
+    if not 1 <= refill <= args.batch_size or args.chunk_steps < 1:
+        raise SystemExit(f"--refill must be in [1, batch_size] and "
+                         f"--chunk_steps >= 1; got refill {refill}, "
+                         f"chunk_steps {args.chunk_steps}")
     params = state.ema if args.ema_eval else state.params
     variables = {"params": jax.device_put(params)}
     feed = {k: v for k, v in arrays.items()

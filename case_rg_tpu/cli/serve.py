@@ -374,32 +374,51 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
     def continuous_worker():
         from ..runtime.continuous import QueueSource
 
+        live = []   # items in slots, for failure cleanup
+
         def make_batch(items, k):
             try:
-                return cont["make_batch"]([p["req"] for p in items], k)
+                batch = cont["make_batch"]([p["req"] for p in items], k)
+                live.extend(items)
+                return batch
             except Exception as e:   # malformed request, featurize error
                 fail_items(items, e)
                 return None
 
         def emit(item, ids_row, rank_row):
             try:
-                out = {"answer": ids_row[None]}
-                if rank_row is not None:
-                    out["rank"] = rank_row[None]
-                item["resp"] = responses_for([item["req"]], out, dcfg,
-                                             default_ids=[item["seq"]])[0]
+                item["resp"] = responses_for(
+                    [item["req"]], cont["row_out"](ids_row, rank_row), dcfg,
+                    default_ids=[item["seq"]])[0]
                 item["event"].set()
                 with stats_lock:
                     stats["requests"] += 1
             except Exception as e:
                 fail_items([item], e)
+            if item in live:
+                live.remove(item)
 
-        st = cont["run"](QueueSource(reqq, stop), make_batch, cont["init"],
-                         cont["chunk"], cont["refill"], None, bs,
-                         cont["refill_size"], emit, args.max_target_length,
-                         ordered=False)
-        with stats_lock:
-            stats["batches"] += st["chunks"]
+        def on_chunk(chunks):
+            with stats_lock:
+                stats["batches"] = chunks
+
+        # the worker owns the device: a compile/device error must not
+        # strand current waiters or future requests behind a dead thread
+        # (the dispatcher/completer pair guards the same way)
+        try:
+            cont["run"](QueueSource(reqq, stop), make_batch, cont["init"],
+                        cont["chunk"], cont["refill"], None, bs,
+                        cont["refill_size"], emit, args.max_target_length,
+                        ordered=False, on_chunk=on_chunk)
+        except Exception as e:
+            print(f"[serve] continuous worker failed: {e!r}",
+                  file=sys.stderr)
+            fail_items([p for p in live if not p["event"].is_set()], e)
+            while True:   # keep answering with errors instead of timeouts
+                item = reqq.get()
+                if item is stop:
+                    return
+                fail_items([item], e)
 
     def completer():
         while True:
@@ -580,6 +599,12 @@ def main(argv=None, _server_ready=None):
     if args.continuous:
         # the refill bucket is a second batch shape the mesh must divide
         args.refill = args.refill or max(bs // 4, 1)
+        if not 1 <= args.refill <= bs:
+            raise SystemExit(f"--refill must be in [1, batch_size]; got "
+                             f"{args.refill} (batch_size {bs})")
+        if args.chunk_steps < 1:
+            raise SystemExit(f"--chunk_steps must be >= 1; got "
+                             f"{args.chunk_steps}")
         bbuckets = sorted(set(bbuckets + [args.refill]))
 
     # serving mesh: batches shard over the data axis of THIS process's
@@ -680,11 +705,17 @@ def main(argv=None, _server_ready=None):
             return shard_batch(mesh, batch,
                                pool_axis=pool_devices > 1)
 
+        def row_out(ids_row, rank_row):
+            out = {"answer": ids_row[None]}
+            if rank_row is not None:
+                out["rank"] = rank_row[None]
+            return out
+
         cont = {"make_batch": cont_make_batch,
                 "init": lambda _, bt: init_fn({"params": params}, bt),
                 "chunk": lambda _, st: chunk_fn({"params": params}, st),
                 "refill": refill_fn, "refill_size": args.refill,
-                "run": run_continuous}
+                "run": run_continuous, "row_out": row_out}
 
     if args.listen:
         _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
@@ -698,15 +729,35 @@ def main(argv=None, _server_ready=None):
 
     if cont is not None:
         def emit(req, ids_row, rank_row):
-            out = {"answer": ids_row[None]}
-            if rank_row is not None:
-                out["rank"] = rank_row[None]
-            resp = responses_for([req], out, dcfg)[0]
+            resp = responses_for([req], cont["row_out"](ids_row, rank_row),
+                                 dcfg)[0]
             sink.write(json.dumps(resp) + "\n")
             sink.flush()
 
+        # stdin may be a long-lived trickling pipe: a blocking read must
+        # not stall in-flight rows (IterSource docstring), so stream it
+        # through a reader thread + QueueSource; regular files read
+        # without meaningful blocking and keep the plain iterator
+        if src is sys.stdin:
+            import queue as _queue
+            import threading as _threading
+
+            from ..runtime.continuous import QueueSource
+            _q: "_queue.Queue" = _queue.Queue()
+            _stop = object()
+
+            def _reader():
+                for r in _read_requests(src):
+                    _q.put(r)
+                _q.put(_stop)
+
+            _threading.Thread(target=_reader, daemon=True).start()
+            source = QueueSource(_q, _stop)
+        else:
+            source = _read_requests(src)
+
         stats = cont["run"](
-            _read_requests(src), cont["make_batch"], cont["init"],
+            source, cont["make_batch"], cont["init"],
             cont["chunk"], cont["refill"], None, bs, args.refill, emit,
             args.max_target_length)
         if src is not sys.stdin:

@@ -65,15 +65,22 @@ def make_continuous_fns(model, max_len: int, chunk_steps: int,
         return model.apply(variables, state, n_steps=chunk_steps,
                            fast_argmax=fast_argmax, method=chunk_m)
 
-    def refill_fn(state, new_state, rows):
-        return refill_rows(state, new_state, rows)
-
-    return jax.jit(init_fn), jax.jit(chunk_fn), jax.jit(refill_fn)
+    # the state is consumed linearly (chunk -> harvest from the NEW state
+    # -> maybe refill), so donating it lets XLA update the KV caches and
+    # hoisted operands in place instead of copying the whole pytree every
+    # chunk (the state holds M*layers [B,T,2E] caches + memories + copy
+    # operands — double-buffering it would double its HBM footprint)
+    return (jax.jit(init_fn), jax.jit(chunk_fn, donate_argnums=(1,)),
+            jax.jit(refill_rows, donate_argnums=(0,)))
 
 
 class IterSource:
-    """Request source over a plain iterator (offline serving): ``take``
-    blocks on the underlying iterator until it yields or ends."""
+    """Request source over a plain iterator. NOTE: ``take`` always blocks
+    on the underlying iterator until it yields or ends (``wait`` is
+    advisory here) — fine for in-memory iterators and regular files, NOT
+    for a trickling pipe that stays open (in-flight rows would stall
+    behind the read). Streaming inputs should go through a reader thread
+    + ``QueueSource`` (cli/serve.py does this for stdin)."""
 
     def __init__(self, it: Iterator[dict]):
         self._it = iter(it)
@@ -135,7 +142,9 @@ def run_continuous(source,
                    init_fn, chunk_fn, refill_fn, variables,
                    batch_size: int, refill: int,
                    emit: Callable[[dict, np.ndarray, np.ndarray], None],
-                   max_len: int, ordered: bool = True) -> Dict[str, int]:
+                   max_len: int, ordered: bool = True,
+                   on_chunk: Optional[Callable[[int], None]] = None
+                   ) -> Dict[str, int]:
     """Drive the continuous decode loop over a request source.
 
     ``source`` is an ``IterSource``/``QueueSource`` (a plain iterator is
@@ -144,8 +153,9 @@ def run_continuous(source,
     drops that chunk (the caller already reported the failure).
     ``emit(req, ids_row, rank_row)`` receives finished requests — in
     arrival order when ``ordered`` (offline files), immediately on
-    completion otherwise (HTTP waiters). Returns counters (requests
-    served, chunks run, refills) for observability."""
+    completion otherwise (HTTP waiters). ``on_chunk(chunks_so_far)`` is
+    called after every chunk (live /varz stats). Returns counters
+    (requests served, chunks run, refills) for observability."""
     b = batch_size
     refill = max(1, min(refill, b))
     if not hasattr(source, "take"):
@@ -208,6 +218,8 @@ def run_continuous(source,
                 continue   # stream may have ended; loop re-checks
         state = chunk_fn(variables, state)
         stats["chunks"] += 1
+        if on_chunk is not None:
+            on_chunk(stats["chunks"])
         done = np.asarray(jax.device_get(state["done"]))
         finished = [r for r in range(b) if slots[r] is not None and done[r]]
         if finished:
