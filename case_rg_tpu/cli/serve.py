@@ -12,7 +12,9 @@ Request format (one JSON object per line):
 
     {"id": "r1", "query": "current question",
      "history": ["previous turn", ...],           # optional
-     "passages": ["candidate passage text", ...]} # the retrieval pool
+     "passages": ["candidate passage text", ...], # the retrieval pool
+     "max_tokens": 20}                            # optional per-request
+                                                  # response-length cap
 
 Response line (order preserved):
 
@@ -137,6 +139,14 @@ def build_parser():
     p.add_argument("--min_window_size", type=int, default=4)
     p.add_argument("--num_windows", type=int, default=1)
     p.add_argument("--ema", action="store_true", help="serve EMA weights")
+    p.add_argument("--decoding", type=str, default="greedy",
+                   choices=["greedy", "sample"],
+                   help="sampling-based serving (--decoding sample) with "
+                        "the same controls as run --mode test")
+    p.add_argument("--sample_seed", type=int, default=123456)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--pipeline_depth", type=int, default=4,
                    help="max batches in flight before fetching results")
     p.add_argument("--continuous", action="store_true",
@@ -232,7 +242,12 @@ def featurize_requests(requests: List[dict], model: str, vocab: Vocabulary,
 def _chunk_to_batch(chunk: List[dict], model: str, vocab: Vocabulary,
                     dcfg: DataConfig, bs: int) -> Dict[str, np.ndarray]:
     """Featurize one request chunk into a fixed-size padded batch
-    (pad rows repeat the last request; sample_weight flags them)."""
+    (pad rows repeat the last request; sample_weight flags them).
+
+    A request's optional ``max_tokens`` becomes the per-row response cap
+    (``response_cap``): the continuous decode ends the row there; the
+    batch paths truncate host-side (greedy/sampled prefixes are
+    unaffected by later steps, so both give the same answer)."""
     arrays = featurize_requests(chunk, model, vocab, dcfg)
     real = len(chunk)
     batch: Dict[str, np.ndarray] = {}
@@ -246,6 +261,11 @@ def _chunk_to_batch(chunk: List[dict], model: str, vocab: Vocabulary,
     w = np.zeros(bs, np.float32)
     w[:real] = 1.0
     batch["sample_weight"] = w
+    cap = np.full(bs, dcfg.answer_len, np.int32)
+    for i, r in enumerate(chunk):
+        if "max_tokens" in r:
+            cap[i] = max(1, min(int(r["max_tokens"]), dcfg.answer_len))
+    batch["response_cap"] = cap
     return batch
 
 
@@ -590,6 +610,10 @@ def main(argv=None, _server_ready=None):
                                      args.beam_width,
                                      early_exit=args.early_exit,
                                      fast_argmax=args.fast_argmax,
+                                     decoding=args.decoding,
+                                     sample_seed=args.sample_seed,
+                                     temperature=args.temperature,
+                                     top_k=args.top_k, top_p=args.top_p,
                                      rank_only=args.rank_only)
     except ValueError as e:   # --rank_only on a model without a rank head
         raise SystemExit(str(e))
@@ -664,8 +688,15 @@ def main(argv=None, _server_ready=None):
         out = jax.device_get(out)
         sents = None
         if "answer" in out:
-            sents = [ids_to_sentence(row, vocab)
-                     for row in np.asarray(out["answer"])]
+            ids = np.asarray(out["answer"])
+            # per-request max_tokens: truncate host-side (greedy/sampled
+            # prefixes don't depend on later steps; the continuous path
+            # already stopped the row at its cap)
+            caps = [min(int(r["max_tokens"]), ids.shape[1])
+                    if isinstance(r, dict) and "max_tokens" in r
+                    else ids.shape[1] for r in chunk]
+            sents = [ids_to_sentence(row[:max(c, 1)], vocab)
+                     for row, c in zip(ids, caps)]
             remove_duplicate(sents)
         resps = []
         for i, req in enumerate(chunk):
@@ -690,10 +721,11 @@ def main(argv=None, _server_ready=None):
         # bit-identical per request to the batch predict path; throughput
         # tracks the MEAN answer length instead of the batch max.
         if args.pool_buckets or args.batch_buckets or args.rank_only or \
-                args.beam_width > 1:
+                args.beam_width > 1 or args.decoding != "greedy":
             raise SystemExit("--continuous is greedy-decode serving; it "
                              "composes with none of --pool_buckets/"
-                             "--batch_buckets/--rank_only/--beam_width>1")
+                             "--batch_buckets/--rank_only/--beam_width>1/"
+                             "--decoding sample")
         from ..runtime.continuous import make_continuous_fns, run_continuous
         init_fn, chunk_fn, refill_fn = make_continuous_fns(
             model, args.max_target_length, args.chunk_steps,

@@ -173,7 +173,8 @@ class CaSEModel(nn.Module):
             self._decoder_inputs(batch, st)
         state = self.decoder.chunk_init(memories, keeps, weights, src_ids,
                                         max_len, feature=answer_rep,
-                                        fast_argmax=fast_argmax)
+                                        fast_argmax=fast_argmax,
+                                        row_max=batch.get("response_cap"))
         return state, st["passage_score"]
 
     def decode_chunk(self, state, *, n_steps: int,

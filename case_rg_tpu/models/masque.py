@@ -122,7 +122,8 @@ class MasqueModel(nn.Module):
         memories, keeps, weights, src_ids = self._decoder_inputs(
             batch, score, q_reps, p_reps)
         state = self.decoder.chunk_init(memories, keeps, weights, src_ids,
-                                        max_len, fast_argmax=fast_argmax)
+                                        max_len, fast_argmax=fast_argmax,
+                                        row_max=batch.get("response_cap"))
         return state, score
 
     def decode_chunk(self, state, *, n_steps: int,

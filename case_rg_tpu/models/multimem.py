@@ -293,12 +293,16 @@ class MultiMemoryDecoder(nn.Module):
 
     def chunk_init(self, memories, mem_keeps, weights, src_ids, max_len: int,
                    feature: Optional[jnp.ndarray] = None,
-                   fast_argmax: Optional[bool] = None) -> dict:
+                   fast_argmax: Optional[bool] = None,
+                   row_max: Optional[jnp.ndarray] = None) -> dict:
         """Build the per-row decode state consumed by ``chunk_step``.
 
         Every leaf is a [B, ...] array, so a serving driver can scatter
         fresh rows (from a ``chunk_init`` on newly arrived requests) into
-        a live state with ``decode.continuous.refill_rows``."""
+        a live state with ``decode.continuous.refill_rows``.
+
+        ``row_max`` [B]: per-row response caps (requests' ``max_tokens``);
+        a row ends at its own cap instead of ``max_len``."""
         b = memories[0].shape[0]
         fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
             fast_argmax, src_ids, memories[0].dtype)
@@ -317,6 +321,8 @@ class MultiMemoryDecoder(nn.Module):
             "done": jnp.zeros((b,), bool),
             "hist": jnp.zeros((b, max_len), bool),
             "out": jnp.zeros((b, max_len), jnp.int32),
+            "row_max": jnp.full((b,), max_len, jnp.int32) if row_max is None
+            else jnp.clip(row_max.astype(jnp.int32), 1, max_len),
         }
 
     def chunk_step(self, state: dict, n_steps: int,
@@ -337,6 +343,7 @@ class MultiMemoryDecoder(nn.Module):
             state["memories"], state["mem_keeps"], state["weights"],
             state["src_ids"])
         ids_cat, extras = state["ids_cat"], state["extras"]
+        row_max = state["row_max"]
         rows = jnp.arange(b)
 
         def body(carry, _):
@@ -351,7 +358,7 @@ class MultiMemoryDecoder(nn.Module):
                                     use_pallas_comb)
             active = ~done
             out = out.at[rows, t_w].set(nxt, mode="drop")
-            newly = active & ((nxt == self.eos_id) | (trow >= max_len - 1))
+            newly = active & ((nxt == self.eos_id) | (trow >= row_max - 1))
             prev = jnp.where(active, nxt, prev)
             trow = jnp.where(active & ~newly, trow + 1, trow)
             return (new_caches, prev, hist, trow, done | newly, out), ()

@@ -84,12 +84,15 @@ def continuous_decode_init(model, batch, *, max_len: int, fast_argmax=None):
     cfg = model.cfg
     enc = model.encode(batch)
     b = jax.tree_util.tree_leaves(enc["init_state"])[0].shape[0]
+    cap = batch.get("response_cap")
     state = {
         "enc": enc, "dec": enc["init_state"],
         "prev": jnp.full((b,), cfg.bos_id, jnp.int32),
         "trow": jnp.zeros((b,), jnp.int32),
         "done": jnp.zeros((b,), bool),
         "out": jnp.full((b, max_len), cfg.pad_id, jnp.int32),
+        "row_max": jnp.full((b,), max_len, jnp.int32) if cap is None
+        else jnp.clip(cap.astype(jnp.int32), 1, max_len),
     }
     rank = enc["ck_attn"] if "ck_attn" in enc else None
     return state, rank
@@ -106,6 +109,7 @@ def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None):
     eos, unk = cfg.eos_id, cfg.unk_id
     enc = state["enc"]
     b, max_len = state["out"].shape
+    row_max = state["row_max"]
     per_row = getattr(type(model), "STEP_PER_ROW", False)
     rows = jnp.arange(b)
 
@@ -121,7 +125,7 @@ def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None):
         active = ~done
         out = out.at[rows, jnp.where(active, trow, max_len)].set(
             idx, mode="drop")
-        newly = active & (raw_end | (trow >= max_len - 1))
+        newly = active & (raw_end | (trow >= row_max - 1))
         prev = jnp.where(active, idx, prev)
         trow = jnp.where(active & ~newly, trow + 1, trow)
         return (dec, prev, trow, done | newly, out), ()

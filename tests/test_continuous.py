@@ -257,6 +257,68 @@ def test_protocol_refill_matches_own_run():
     np.testing.assert_array_equal(out[3], base[3])
 
 
+def test_row_max_caps_multimem_and_protocol():
+    """Per-row response caps (requests' max_tokens -> batch response_cap):
+    each row ends at its own cap; emitted tokens equal the uncapped
+    decode's prefix (greedy prefixes don't depend on later steps)."""
+    import dataclasses
+
+    max_len = 12
+    model, params, arrays, base_ids, _, eos = \
+        _models_with_live_eos("case", max_len)
+    b = arrays["query"].shape[0]
+    caps = np.asarray([2, 5, 1, 12, 3, 12, 4, 2], np.int32)
+    batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+    batch["response_cap"] = jnp.asarray(caps)
+    init = jax.jit(lambda p, bt: model.apply(
+        {"params": p}, bt, max_len=max_len, method=type(model).decode_init))
+    chunk = jax.jit(lambda p, st: model.apply(
+        {"params": p}, st, n_steps=3, method=type(model).decode_chunk))
+    state, _ = init(params, batch)
+    for _ in range(max_len // 3 + 1):
+        state = chunk(params, state)
+    assert np.asarray(state["done"]).all()
+    out = np.asarray(state["out"])
+    for r in range(b):
+        capped = base_ids[r][:caps[r]]
+        # the row may also have stopped earlier at EOS
+        expect = _trim(capped, eos)
+        np.testing.assert_array_equal(out[r][:len(expect)], expect,
+                                      err_msg=f"row {r}")
+        assert (out[r][len(expect):] == 0).all(), f"row {r} ran past cap"
+
+    # protocol model (s2sa), through the generic driver
+    from case_rg_tpu.models.predict import greedy_predict
+    from case_rg_tpu.runtime.continuous import make_continuous_fns
+
+    max_len = 8
+    cfg = ModelConfig(name="s2sa", vocab_size=V, embedding_size=16,
+                      hidden_size=16, num_heads=2, max_dec_len=max_len)
+    pmodel = create_model("s2sa", cfg)
+    rng = np.random.RandomState(17)
+    pbatch = _protocol_batch("s2sa", rng)
+    pparams = _protocol_init(pmodel, "s2sa", pbatch, rng)
+    probe = np.asarray(greedy_predict(pmodel, {"params": pparams}, pbatch,
+                                      max_len))
+    vals, counts = np.unique(probe[probe != 0], return_counts=True)
+    eos2 = int(vals[np.argmax(counts)])
+    pmodel = create_model("s2sa", dataclasses.replace(cfg, eos_id=eos2))
+    pbase = np.asarray(jax.jit(lambda p, bt: greedy_predict(
+        pmodel, {"params": p}, bt, max_len))(pparams, pbatch))
+    pcaps = np.asarray([1, 3, 8, 2, 5, 8, 4, 1], np.int32)
+    pbatch2 = dict(pbatch, response_cap=jnp.asarray(pcaps))
+    init_fn, chunk_fn, _ = make_continuous_fns(pmodel, max_len, chunk_steps=3)
+    st, _ = init_fn({"params": pparams}, pbatch2)
+    for _ in range(max_len // 3 + 1):
+        st = chunk_fn({"params": pparams}, st)
+    pout = np.asarray(st["out"])
+    for r in range(pout.shape[0]):
+        expect = _trim(pbase[r][:pcaps[r]], eos2)
+        np.testing.assert_array_equal(pout[r][:len(expect)], expect,
+                                      err_msg=f"s2sa row {r}")
+        assert (pout[r][len(expect):] == 0).all()
+
+
 def test_run_continuous_end_to_end():
     """The serving driver: staggered refills over a 4-slot state, answers
     equal to the one-shot batch predict, emitted in arrival order."""

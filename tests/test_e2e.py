@@ -250,6 +250,25 @@ def test_serve_cli(workspace, tmp_path):
     assert [json.loads(l) for l in open(cont_path)] == \
         [json.loads(l) for l in open(plain3_path)]
 
+    # per-request max_tokens: plain (host truncation) and continuous
+    # (row stops at its cap) agree; capped answer is a prefix
+    reqm = [dict(reqs2[0], id="m1", max_tokens=2), dict(reqs2[1], id="m2")]
+    reqm_path = str(tmp_path / "reqs_m.jsonl")
+    with open(reqm_path, "w") as f:
+        for r in reqm:
+            f.write(json.dumps(r) + "\n")
+    mp, mc = str(tmp_path / "m_plain.jsonl"), str(tmp_path / "m_cont.jsonl")
+    serve_main(common + ["--input", reqm_path, "--output", mp,
+                         "--num_passage", "4"])
+    serve_main(common + ["--input", reqm_path, "--output", mc,
+                         "--num_passage", "4", "--continuous",
+                         "--batch_size", "2", "--chunk_steps", "2",
+                         "--refill", "1"])
+    ml = [json.loads(l) for l in open(mp)]
+    assert ml == [json.loads(l) for l in open(mc)]
+    full = next(l for l in olines if l["id"] == "rA")  # same request uncapped
+    assert full["answer"].startswith(ml[0]["answer"])
+
 
 def test_serve_http(workspace, tmp_path):
     """--listen: HTTP micro-batching server — health check, concurrent
