@@ -123,6 +123,9 @@ def build_parser():
                    help="--continuous: decode steps between harvest/refill")
     p.add_argument("--refill", type=int, default=0,
                    help="--continuous: refill bucket size (0 = batch/4)")
+    p.add_argument("--lookahead", action="store_true",
+                   help="--continuous: keep one chunk dispatched ahead "
+                        "(harvest fetch overlaps the next chunk's compute)")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="mid-epoch salvage checkpoints every N steps")
     p.add_argument("--bf16_train", action="store_true",
@@ -302,7 +305,7 @@ def _predict_continuous(args, model, state, arrays):
                          "--decoding sample")
     init_fn, chunk_fn, refill_fn = make_continuous_fns(
         model, args.max_target_length, args.chunk_steps,
-        fast_argmax=args.fast_argmax)
+        fast_argmax=args.fast_argmax, donate_state=not args.lookahead)
     refill = args.refill or max(args.batch_size // 4, 1)
     if not 1 <= refill <= args.batch_size or args.chunk_steps < 1:
         raise SystemExit(f"--refill must be in [1, batch_size] and "
@@ -326,7 +329,7 @@ def _predict_continuous(args, model, state, arrays):
                    lambda _, st: chunk_fn(variables, st),
                    refill_fn, None, args.batch_size, refill,
                    emit=lambda r, ids, rk: collected.append((r["i"], ids, rk)),
-                   max_len=args.max_target_length)
+                   max_len=args.max_target_length, lookahead=args.lookahead)
     for i, ids, rk in collected:
         out = {"answer": ids[None]}
         if rk is not None:

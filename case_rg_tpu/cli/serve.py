@@ -161,6 +161,11 @@ def build_parser():
     p.add_argument("--refill", type=int, default=0,
                    help="--continuous: refill bucket size (encode program "
                         "for newly arrived requests); 0 = batch_size/4")
+    p.add_argument("--lookahead", action="store_true",
+                   help="--continuous: keep one chunk dispatched ahead so "
+                        "the harvest fetch overlaps the next chunk's "
+                        "compute (hides the host roundtrip; refills land "
+                        "one chunk later, state is double-buffered)")
     p.add_argument("--pool_shard", type=int, default=1,
                    help="shard the passage-pool axis over this many local "
                         "devices (the 'model' mesh axis): per-passage tower "
@@ -429,7 +434,8 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
             cont["run"](QueueSource(reqq, stop), make_batch, cont["init"],
                         cont["chunk"], cont["refill"], None, bs,
                         cont["refill_size"], emit, args.max_target_length,
-                        ordered=False, on_chunk=on_chunk)
+                        ordered=False, on_chunk=on_chunk,
+                        lookahead=cont["lookahead"])
         except Exception as e:
             print(f"[serve] continuous worker failed: {e!r}",
                   file=sys.stderr)
@@ -729,7 +735,8 @@ def main(argv=None, _server_ready=None):
         from ..runtime.continuous import make_continuous_fns, run_continuous
         init_fn, chunk_fn, refill_fn = make_continuous_fns(
             model, args.max_target_length, args.chunk_steps,
-            fast_argmax=args.fast_argmax)
+            fast_argmax=args.fast_argmax,
+            donate_state=not args.lookahead)
 
         def cont_make_batch(chunk, k):
             batch = _chunk_to_batch(chunk, args.model, vocab, dcfg, k)
@@ -747,7 +754,8 @@ def main(argv=None, _server_ready=None):
                 "init": lambda _, bt: init_fn({"params": params}, bt),
                 "chunk": lambda _, st: chunk_fn({"params": params}, st),
                 "refill": refill_fn, "refill_size": args.refill,
-                "run": run_continuous, "row_out": row_out}
+                "run": run_continuous, "row_out": row_out,
+                "lookahead": args.lookahead}
 
     if args.listen:
         _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
@@ -791,7 +799,7 @@ def main(argv=None, _server_ready=None):
         stats = cont["run"](
             source, cont["make_batch"], cont["init"],
             cont["chunk"], cont["refill"], None, bs, args.refill, emit,
-            args.max_target_length)
+            args.max_target_length, lookahead=cont["lookahead"])
         if src is not sys.stdin:
             src.close()
         if sink is not sys.stdout:

@@ -40,8 +40,15 @@ def refill_rows(state, new_state, rows):
 
 
 def make_continuous_fns(model, max_len: int, chunk_steps: int,
-                        fast_argmax: Optional[bool] = None):
+                        fast_argmax: Optional[bool] = None,
+                        donate_state: bool = True):
     """(init_fn, chunk_fn, refill_fn), all jitted.
+
+    ``donate_state=False`` keeps the chunk program from donating its
+    input state — required for ``run_continuous(lookahead=True)``, which
+    reads the previous state's done/out AFTER dispatching the next chunk
+    (a donated input would already be deleted). The tradeoff (in-place
+    updates vs hidden host roundtrips) is a measurement question.
 
     init_fn(variables, batch) -> (state, rank-or-None); chunk_fn(variables,
     state) advances every live row by ``chunk_steps``; refill_fn(state,
@@ -70,7 +77,9 @@ def make_continuous_fns(model, max_len: int, chunk_steps: int,
     # hoisted operands in place instead of copying the whole pytree every
     # chunk (the state holds M*layers [B,T,2E] caches + memories + copy
     # operands — double-buffering it would double its HBM footprint)
-    return (jax.jit(init_fn), jax.jit(chunk_fn, donate_argnums=(1,)),
+    chunk_jit = jax.jit(chunk_fn, donate_argnums=(1,)) if donate_state \
+        else jax.jit(chunk_fn)
+    return (jax.jit(init_fn), chunk_jit,
             jax.jit(refill_rows, donate_argnums=(0,)))
 
 
@@ -143,8 +152,8 @@ def run_continuous(source,
                    batch_size: int, refill: int,
                    emit: Callable[[dict, np.ndarray, np.ndarray], None],
                    max_len: int, ordered: bool = True,
-                   on_chunk: Optional[Callable[[int], None]] = None
-                   ) -> Dict[str, int]:
+                   on_chunk: Optional[Callable[[int], None]] = None,
+                   lookahead: bool = False) -> Dict[str, int]:
     """Drive the continuous decode loop over a request source.
 
     ``source`` is an ``IterSource``/``QueueSource`` (a plain iterator is
@@ -155,7 +164,13 @@ def run_continuous(source,
     arrival order when ``ordered`` (offline files), immediately on
     completion otherwise (HTTP waiters). ``on_chunk(chunks_so_far)`` is
     called after every chunk (live /varz stats). Returns counters
-    (requests served, chunks run, refills) for observability."""
+    (requests served, chunks run, refills) for observability.
+
+    ``lookahead=True`` keeps one chunk dispatched ahead: the harvest's
+    device fetch overlaps the NEXT chunk's compute (hides the host
+    roundtrip), at the cost of refills landing one chunk later and a
+    non-donated (double-buffered) state — build the fns with
+    ``donate_state=False``. Emitted results are identical."""
     b = batch_size
     refill = max(1, min(refill, b))
     if not hasattr(source, "take"):
@@ -180,12 +195,15 @@ def run_continuous(source,
     slots: List[Optional[tuple]] = [None] * b
     arrival = 0
     stats = {"served": 0, "chunks": 0, "refills": 0}
-    state = None
+    state = None     # the state whose done/out the next harvest reads
+    pending = None   # lookahead: one chunk already dispatched from `state`
 
     def fill(rows: List[int], wait: bool) -> bool:
         """Take up to ``refill`` (or b, at cold start) requests and
-        scatter them into ``rows``; returns True if any were added."""
-        nonlocal state, arrival
+        scatter them into ``rows``; returns True if any were added.
+        In lookahead mode the scatter targets the already-dispatched
+        ``pending`` state (the one future chunks grow from)."""
+        nonlocal state, pending, arrival
         width = b if state is None else refill
         newreqs = source.take(min(len(rows), width), wait)
         if not newreqs:
@@ -196,11 +214,15 @@ def run_continuous(source,
             return False
         if state is None:
             state, rank = init_fn(variables, batch)
+            pending = None
         else:
             new_state, rank = init_fn(variables, batch)
             idx = jnp.asarray(
                 np.asarray(rows[:k] + [b] * (width - k), np.int32))
-            state = refill_fn(state, new_state, idx)
+            if lookahead and pending is not None:
+                pending = refill_fn(pending, new_state, idx)
+            else:
+                state = refill_fn(state, new_state, idx)
             stats["refills"] += 1
         rank_h = None if rank is None else np.asarray(jax.device_get(rank))
         for i, req in enumerate(newreqs):
@@ -216,7 +238,13 @@ def run_continuous(source,
                 break
             if not fill(list(range(b)), wait=True):
                 continue   # stream may have ended; loop re-checks
-        state = chunk_fn(variables, state)
+        if lookahead:
+            cur = pending if pending is not None else chunk_fn(variables,
+                                                               state)
+            pending = chunk_fn(variables, cur)   # computes while we harvest
+            state = cur
+        else:
+            state = chunk_fn(variables, state)
         stats["chunks"] += 1
         if on_chunk is not None:
             on_chunk(stats["chunks"])

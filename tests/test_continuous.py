@@ -351,3 +351,20 @@ def test_run_continuous_end_to_end():
         np.testing.assert_array_equal(_trim(ids, eos), _trim(base_ids[i], eos),
                                       err_msg=f"request {i}")
         np.testing.assert_allclose(rk, base_rank[i], rtol=1e-6, atol=1e-7)
+
+    # lookahead mode (one chunk dispatched ahead, non-donated state):
+    # identical emissions, refills just land a chunk later
+    la_fns = make_continuous_fns(model, max_len, chunk_steps=3,
+                                 donate_state=False)
+    got2 = []
+    stats2 = run_continuous(iter(requests), make_batch, *la_fns,
+                            {"params": params}, 4, 2,
+                            emit=lambda r, ids, rk:
+                            got2.append((r["i"], ids.copy(), rk.copy())),
+                            max_len=max_len, lookahead=True)
+    assert stats2["served"] == n
+    assert [g[0] for g in got2] == [g[0] for g in got]
+    for (i, ids, rk), (i2, ids2, rk2) in zip(got, got2):
+        np.testing.assert_array_equal(_trim(ids2, eos), _trim(ids, eos),
+                                      err_msg=f"lookahead request {i}")
+        np.testing.assert_allclose(rk2, rk, rtol=0, atol=0)

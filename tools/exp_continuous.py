@@ -152,8 +152,9 @@ def main(argv):
         idx = idx + [idx[-1]] * (bs - len(idx))
         return {k: jnp.asarray(master[k][idx]) for k in master}
 
-    init_fn, chunk_fn, refill_fn = make_continuous_fns(model, max_len,
-                                                       chunk_steps)
+    lookahead = "--lookahead" in argv
+    init_fn, chunk_fn, refill_fn = make_continuous_fns(
+        model, max_len, chunk_steps, donate_state=not lookahead)
     # compile both programs before timing
     st, _ = init_fn(variables, make_batch(reqs[:B], B))
     jax.block_until_ready(chunk_fn(variables, st))
@@ -164,7 +165,7 @@ def main(argv):
     stats = run_continuous(iter(reqs), make_batch, init_fn, chunk_fn,
                            refill_fn, variables, B, refill,
                            emit=lambda r, ids, rk: got.append(r["i"]),
-                           max_len=max_len)
+                           max_len=max_len, lookahead=lookahead)
     dt = time.time() - t0
     print(f"continuous: {n_req/dt:.0f} qps ({stats['chunks']} chunks, "
           f"{stats['refills']} refills)", flush=True)
