@@ -344,6 +344,15 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
     stats = {"requests": 0, "batches": 0, "errors": 0,
              "batch_rows": 0, "batch_seconds": 0.0}
     stats_lock = threading.Lock()
+    from collections import deque as _deque
+    latencies: "_deque" = _deque(maxlen=1000)   # last-N request latencies
+
+    def note_done(items):
+        now = time.monotonic()
+        with stats_lock:
+            for p in items:
+                if "t_in" in p:
+                    latencies.append(now - p["t_in"])
 
     reqq: queue.Queue = queue.Queue()
     doneq: queue.Queue = queue.Queue(maxsize=max(args.pipeline_depth, 1))
@@ -353,6 +362,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
         # a bad request must not kill the serving threads: release its
         # waiters with an error payload and keep going
         print(f"[serve] batch failed: {exc!r}", file=sys.stderr)
+        note_done(items)
         with stats_lock:
             stats["errors"] += len(items)
         for p in items:
@@ -416,6 +426,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                     [item["req"]], cont["row_out"](ids_row, rank_row), dcfg,
                     default_ids=[item["seq"]])[0]
                 item["event"].set()
+                note_done([item])
                 with stats_lock:
                     stats["requests"] += 1
             except Exception as e:
@@ -459,6 +470,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                 for p, resp in zip(items, resps):
                     p["resp"] = resp
                     p["event"].set()
+                note_done(items)
                 with stats_lock:
                     stats["requests"] += len(items)
                     stats["batches"] += 1
@@ -500,6 +512,15 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                             "batch_buckets": bbuckets,
                             "max_wait_ms": args.max_wait_ms,
                             "continuous": cont is not None}
+                    if latencies:
+                        ls = sorted(latencies)
+
+                        def pct(q):
+                            return round(ls[min(len(ls) - 1,
+                                                int(q * len(ls)))], 4)
+                        varz["request_latency_s"] = {
+                            "p50": pct(0.50), "p90": pct(0.90),
+                            "p99": pct(0.99), "n": len(ls)}
                 self._send(200, (json.dumps(varz) + "\n").encode(),
                            "application/json")
             else:
@@ -522,6 +543,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                 return
             with arrival_lock:
                 pend = [{"req": r, "resp": None, "seq": next(arrival),
+                         "t_in": time.monotonic(),
                          "event": threading.Event()} for r in reqs]
             for p in pend:
                 reqq.put(p)
