@@ -48,7 +48,12 @@ order is preserved via a reorder buffer; a part-filled bucket dispatches
 when full, when ``--bucket_flush_after`` newer requests have streamed past
 its oldest entry (bounded latency for stdin pipes), or at end of input.
 ``--num_passage`` always joins as the largest bucket, so pools bigger than
-every listed bucket are scored at the full pool size.
+every listed bucket are scored at the full pool size. With ``--continuous``
+each bucket becomes its own continuous-decode lane (runtime/continuous.py
+``run_continuous_multi``): small-pool requests decode against a compact
+cross-attention memory AND refill mid-flight; per scheduler round every
+lane's chunk is dispatched before any lane's results are fetched, so one
+lane's host roundtrip overlaps the other lanes' device compute.
 
 ``--listen HOST:PORT`` turns the CLI into an HTTP micro-batching server
 (zero dependencies — stdlib http.server): POST JSONL request lines to
@@ -154,7 +159,8 @@ def build_parser():
                         "progress independently; finished rows are "
                         "refilled mid-flight with newly arrived requests, "
                         "so batch cost tracks the mean answer length "
-                        "instead of the max (runtime/continuous.py)")
+                        "instead of the max (runtime/continuous.py). "
+                        "Composes with --pool_buckets: one lane per bucket")
     p.add_argument("--chunk_steps", type=int, default=8,
                    help="--continuous: decode steps per chunk between "
                         "harvest/refill points")
@@ -300,6 +306,25 @@ def _bucket_for(n_passages: int, buckets: List[int]) -> int:
     return buckets[-1]
 
 
+def _make_lanes(cont, bs: int, refill_size: int, wrap=None, key=None):
+    """One continuous-decode Lane per pool bucket + a request router
+    (``--pool_buckets x --continuous``). ``wrap`` optionally wraps each
+    lane's make_batch (HTTP failure isolation); ``key(item) -> n_passages``
+    adapts routing to the source's item shape (the HTTP queue wraps each
+    request dict in a waiter record)."""
+    from ..runtime.continuous import Lane
+    lanes = {}
+    for k in cont["buckets"]:
+        mb = cont["make_batch_for"][k]
+        lanes[k] = Lane(k, mb if wrap is None else wrap(mb), cont["init"],
+                        cont["chunk"], cont["refill"], bs, refill_size)
+    getn = key or (lambda req: len(req.get("passages", [])))
+
+    def route(item):
+        return lanes[_bucket_for(getn(item), cont["buckets"])]
+    return list(lanes.values()), route
+
+
 def _parse_buckets(spec: str, cap: int,
                    flag: str = "--pool_buckets") -> List[int]:
     """Parse a bucket-size list; ``cap`` (num_passage resp. batch_size)
@@ -407,18 +432,20 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                 fail_items(items, e)
 
     def continuous_worker():
-        from ..runtime.continuous import QueueSource
+        from ..runtime.continuous import QueueSource, run_continuous_multi
 
         live = []   # items in slots, for failure cleanup
 
-        def make_batch(items, k):
-            try:
-                batch = cont["make_batch"]([p["req"] for p in items], k)
-                live.extend(items)
-                return batch
-            except Exception as e:   # malformed request, featurize error
-                fail_items(items, e)
-                return None
+        def wrap_mb(mb):
+            def make_batch(items, k):
+                try:
+                    batch = mb([p["req"] for p in items], k)
+                    live.extend(items)
+                    return batch
+                except Exception as e:   # malformed request, featurize error
+                    fail_items(items, e)
+                    return None
+            return make_batch
 
         def emit(item, ids_row, rank_row):
             try:
@@ -442,11 +469,20 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
         # strand current waiters or future requests behind a dead thread
         # (the dispatcher/completer pair guards the same way)
         try:
-            cont["run"](QueueSource(reqq, stop), make_batch, cont["init"],
-                        cont["chunk"], cont["refill"], None, bs,
-                        cont["refill_size"], emit, args.max_target_length,
-                        ordered=False, on_chunk=on_chunk,
-                        lookahead=cont["lookahead"])
+            src = QueueSource(reqq, stop)
+            if "buckets" in cont:
+                lanes, route = _make_lanes(
+                    cont, bs, cont["refill_size"], wrap=wrap_mb,
+                    key=lambda p: len(p["req"].get("passages", [])))
+                run_continuous_multi(src, lanes, route, None, emit,
+                                     ordered=False, on_chunk=on_chunk)
+            else:
+                cont["run"](src, wrap_mb(cont["make_batch"]), cont["init"],
+                            cont["chunk"], cont["refill"], None, bs,
+                            cont["refill_size"], emit,
+                            args.max_target_length,
+                            ordered=False, on_chunk=on_chunk,
+                            lookahead=cont["lookahead"])
         except Exception as e:
             print(f"[serve] continuous worker failed: {e!r}",
                   file=sys.stderr)
@@ -748,23 +784,30 @@ def main(argv=None, _server_ready=None):
         # refilled mid-flight (runtime/continuous.py). Answers are
         # bit-identical per request to the batch predict path; throughput
         # tracks the MEAN answer length instead of the batch max.
-        if args.pool_buckets or args.batch_buckets or args.rank_only or \
+        if args.batch_buckets or args.rank_only or \
                 args.beam_width > 1 or args.decoding != "greedy":
             raise SystemExit("--continuous is greedy-decode serving; it "
-                             "composes with none of --pool_buckets/"
+                             "composes with none of "
                              "--batch_buckets/--rank_only/--beam_width>1/"
                              "--decoding sample")
+        if args.pool_buckets and args.lookahead:
+            raise SystemExit("--lookahead applies to single-lane "
+                             "--continuous only; with --pool_buckets the "
+                             "multi-lane driver already overlaps each "
+                             "lane's harvest with the other lanes' chunks")
         from ..runtime.continuous import make_continuous_fns, run_continuous
         init_fn, chunk_fn, refill_fn = make_continuous_fns(
             model, args.max_target_length, args.chunk_steps,
             fast_argmax=args.fast_argmax,
             donate_state=not args.lookahead)
 
-        def cont_make_batch(chunk, k):
-            batch = _chunk_to_batch(chunk, args.model, vocab, dcfg, k)
-            ensure_params(batch)
-            return shard_batch(mesh, batch,
-                               pool_axis=pool_devices > 1)
+        def cont_make_batch_for(dk):
+            def mb(chunk, k):
+                batch = _chunk_to_batch(chunk, args.model, vocab, dk, k)
+                ensure_params(batch)
+                return shard_batch(mesh, batch,
+                                   pool_axis=pool_devices > 1)
+            return mb
 
         def row_out(ids_row, rank_row):
             out = {"answer": ids_row[None]}
@@ -772,12 +815,25 @@ def main(argv=None, _server_ready=None):
                 out["rank"] = rank_row[None]
             return out
 
-        cont = {"make_batch": cont_make_batch,
+        cont = {"make_batch": cont_make_batch_for(dcfg),
                 "init": lambda _, bt: init_fn({"params": params}, bt),
                 "chunk": lambda _, st: chunk_fn({"params": params}, st),
                 "refill": refill_fn, "refill_size": args.refill,
                 "run": run_continuous, "row_out": row_out,
                 "lookahead": args.lookahead}
+        if args.pool_buckets:
+            # multi-lane continuous serving: one lane (own decode state +
+            # cached XLA programs) per static pool size; requests route to
+            # the smallest bucket that fits and still refill mid-flight.
+            # The jitted fns are shared — jit caches one executable per
+            # state shape, i.e. per bucket.
+            import dataclasses
+            cbuckets = _parse_buckets(args.pool_buckets, dcfg.num_passage)
+            cont["buckets"] = cbuckets
+            cont["make_batch_for"] = {
+                k: cont_make_batch_for(
+                    dataclasses.replace(dcfg, num_passage=k))
+                for k in cbuckets}
 
     if args.listen:
         _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
@@ -818,10 +874,15 @@ def main(argv=None, _server_ready=None):
         else:
             source = _read_requests(src)
 
-        stats = cont["run"](
-            source, cont["make_batch"], cont["init"],
-            cont["chunk"], cont["refill"], None, bs, args.refill, emit,
-            args.max_target_length, lookahead=cont["lookahead"])
+        if "buckets" in cont:
+            from ..runtime.continuous import run_continuous_multi
+            lanes, route = _make_lanes(cont, bs, args.refill)
+            stats = run_continuous_multi(source, lanes, route, None, emit)
+        else:
+            stats = cont["run"](
+                source, cont["make_batch"], cont["init"],
+                cont["chunk"], cont["refill"], None, bs, args.refill, emit,
+                args.max_target_length, lookahead=cont["lookahead"])
         if src is not sys.stdin:
             src.close()
         if sink is not sys.stdout:

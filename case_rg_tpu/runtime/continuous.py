@@ -261,3 +261,132 @@ def run_continuous(source,
         if free and not source.finished():
             fill(free, wait=False)
     return stats
+
+
+class Lane:
+    """One continuous-decode lane: its own jitted (init, chunk, refill)
+    programs and a fixed-width slot table. Multi-lane serving runs one
+    lane per pool bucket (``--pool_buckets x --continuous``): requests
+    with small retrieval pools decode against a compact cross-attention
+    memory while still refilling mid-flight."""
+
+    def __init__(self, key, make_batch, init_fn, chunk_fn, refill_fn,
+                 batch_size: int, refill: int):
+        self.key = key
+        self.make_batch = make_batch
+        self.init_fn = init_fn
+        self.chunk_fn = chunk_fn
+        self.refill_fn = refill_fn
+        self.b = batch_size
+        self.refill = max(1, min(refill, batch_size))
+        self.state = None
+        self.slots: List[Optional[tuple]] = [None] * batch_size
+        self.queue: List[tuple] = []   # routed (arrival_idx, req) FIFO
+
+    def occupied(self) -> bool:
+        return any(s is not None for s in self.slots)
+
+    def free_rows(self) -> List[int]:
+        return [r for r in range(self.b) if self.slots[r] is None]
+
+    def fill(self, variables, stats) -> None:
+        """Move queued requests into free rows (cold init or row refill)."""
+        free = self.free_rows()
+        if not free or not self.queue:
+            return
+        width = self.b if self.state is None else self.refill
+        take = self.queue[: min(len(free), width)]
+        del self.queue[: len(take)]
+        batch = self.make_batch([req for _, req in take], width)
+        if batch is None:   # featurize failure — reporter already ran
+            return
+        k = len(take)
+        if self.state is None:
+            self.state, rank = self.init_fn(variables, batch)
+        else:
+            new_state, rank = self.init_fn(variables, batch)
+            idx = jnp.asarray(np.asarray(
+                free[:k] + [self.b] * (width - k), np.int32))
+            self.state = self.refill_fn(self.state, new_state, idx)
+            stats["refills"] += 1
+        rank_h = None if rank is None else np.asarray(jax.device_get(rank))
+        for i, (aidx, req) in enumerate(take):
+            self.slots[free[i]] = (aidx, req,
+                                   None if rank_h is None else rank_h[i])
+
+
+def run_continuous_multi(source, lanes: List[Lane], route, variables,
+                         emit: Callable[[dict, np.ndarray, np.ndarray], None],
+                         ordered: bool = True,
+                         on_chunk: Optional[Callable[[int], None]] = None
+                         ) -> Dict[str, int]:
+    """Drive several continuous lanes over one request source.
+
+    ``route(req) -> Lane`` picks a lane per request (e.g. the smallest
+    pool bucket that fits). Per scheduler round, every occupied lane's
+    chunk is DISPATCHED before any lane's flags are fetched, so one
+    lane's harvest roundtrip overlaps the other lanes' device compute.
+    Emission order/semantics match ``run_continuous`` (global
+    arrival-order reorder buffer when ``ordered``)."""
+    if not hasattr(source, "take"):
+        source = IterSource(source)
+    next_emit = 0
+    held: Dict[int, tuple] = {}
+
+    def finish(idx: int, req: dict, ids: np.ndarray, rank):
+        nonlocal next_emit
+        if not ordered:
+            emit(req, ids, rank)
+            return
+        held[idx] = (req, ids, rank)
+        while next_emit in held:
+            r, i, k = held.pop(next_emit)
+            emit(r, i, k)
+            next_emit += 1
+
+    arrival = 0
+    stats = {"served": 0, "chunks": 0, "refills": 0}
+
+    def pump(wait: bool) -> None:
+        """Route newly arrived requests onto lane queues."""
+        nonlocal arrival
+        room = sum(len(lane.free_rows()) + lane.b for lane in lanes)
+        for req in source.take(room, wait):
+            lane = route(req)
+            lane.queue.append((arrival, req))
+            arrival += 1
+
+    while True:
+        busy = [ln for ln in lanes if ln.occupied()]
+        queued = any(ln.queue for ln in lanes)
+        if not busy and not queued:
+            if source.finished():
+                break
+            pump(wait=True)
+            queued = any(ln.queue for ln in lanes)
+            if not queued and source.finished():
+                break
+        for lane in lanes:
+            lane.fill(variables, stats)
+        active = [ln for ln in lanes if ln.occupied()]
+        # dispatch every active lane first; the device works through them
+        # while we fetch each lane's flags in turn
+        for lane in active:
+            lane.state = lane.chunk_fn(variables, lane.state)
+            stats["chunks"] += 1
+        if on_chunk is not None:
+            on_chunk(stats["chunks"])
+        for lane in active:
+            done = np.asarray(jax.device_get(lane.state["done"]))
+            hit = [r for r in range(lane.b)
+                   if lane.slots[r] is not None and done[r]]
+            if hit:
+                out = np.asarray(jax.device_get(lane.state["out"]))
+                for r in hit:
+                    aidx, req, rk = lane.slots[r]
+                    finish(aidx, req, out[r], rk)
+                    lane.slots[r] = None
+                    stats["served"] += 1
+        if not source.finished():
+            pump(wait=False)
+    return stats

@@ -368,3 +368,54 @@ def test_run_continuous_end_to_end():
         np.testing.assert_array_equal(_trim(ids2, eos), _trim(ids, eos),
                                       err_msg=f"lookahead request {i}")
         np.testing.assert_allclose(rk2, rk, rtol=0, atol=0)
+
+
+def test_run_continuous_multi_lanes():
+    """Multi-lane driver (--pool_buckets x --continuous): two lanes at
+    different pool sizes share the jitted fns (jit caches one executable
+    per state shape); requests route by pool size, refill mid-flight, and
+    every answer/ranking equals the request's one-shot predict at ITS
+    pool size, emitted in global arrival order."""
+    max_len = 12
+    model, params, arrays, base3, rank3, eos = \
+        _models_with_live_eos("case", max_len)
+    # a 2-passage variant of the same requests (the compact lane)
+    arrays2 = {"query": arrays["query"], "passage": arrays["passage"][:, :2]}
+    out2 = jax.device_get(jax.jit(lambda p, bt: model.apply(
+        {"params": p}, bt, max_len=max_len, method=type(model).predict))(
+        params, {k: jnp.asarray(v) for k, v in arrays2.items()}))
+    base2, rank2 = np.asarray(out2["answer"]), np.asarray(out2["rank"])
+
+    from case_rg_tpu.runtime.continuous import (Lane, make_continuous_fns,
+                                                run_continuous_multi)
+    init_fn, chunk_fn, refill_fn = make_continuous_fns(model, max_len,
+                                                       chunk_steps=3)
+
+    n = arrays["query"].shape[0]
+    requests = [{"i": i, "k": 3 if i % 2 == 0 else 2} for i in range(n)]
+
+    def mb_for(k):
+        src = arrays if k == 3 else arrays2
+
+        def mb(chunkreqs, bs):
+            idx = [r["i"] for r in chunkreqs]
+            idx = idx + [idx[-1]] * (bs - len(idx))
+            return {kk: jnp.asarray(v[idx]) for kk, v in src.items()}
+        return mb
+
+    lanes = {k: Lane(k, mb_for(k), init_fn, chunk_fn, refill_fn,
+                     batch_size=2, refill=1) for k in (2, 3)}
+    got = []
+    stats = run_continuous_multi(
+        iter(requests), list(lanes.values()), lambda r: lanes[r["k"]],
+        {"params": params},
+        emit=lambda r, ids, rk: got.append((r["i"], r["k"], ids.copy(),
+                                            rk.copy())))
+    assert stats["served"] == n
+    assert stats["refills"] >= 1
+    assert [g[0] for g in got] == list(range(n)), "arrival order violated"
+    for i, k, ids, rk in got:
+        base, rank = (base3, rank3) if k == 3 else (base2, rank2)
+        np.testing.assert_array_equal(_trim(ids, eos), _trim(base[i], eos),
+                                      err_msg=f"request {i} lane {k}")
+        np.testing.assert_allclose(rk, rank[i], rtol=1e-6, atol=1e-7)

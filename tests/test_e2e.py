@@ -269,6 +269,21 @@ def test_serve_cli(workspace, tmp_path):
     full = next(l for l in olines if l["id"] == "rA")  # same request uncapped
     assert full["answer"].startswith(ml[0]["answer"])
 
+    # --continuous x --pool_buckets: one continuous lane per bucket
+    # (rA -> lane 4; rB/rC/rD/rE -> lane 2, refilling mid-flight through
+    # a 2-slot state); answers/rankings byte-identical to the plain
+    # bucketed run, emitted in input order
+    bucket3_path = str(tmp_path / "resp_bucket3.jsonl")
+    serve_main(common + ["--input", req3_path, "--output", bucket3_path,
+                         "--num_passage", "4", "--pool_buckets", "2,4"])
+    contb_path = str(tmp_path / "resp_cont_bucket.jsonl")
+    serve_main(common + ["--input", req3_path, "--output", contb_path,
+                         "--num_passage", "4", "--pool_buckets", "2,4",
+                         "--continuous", "--batch_size", "2",
+                         "--chunk_steps", "2", "--refill", "1"])
+    assert [json.loads(l) for l in open(contb_path)] == \
+        [json.loads(l) for l in open(bucket3_path)]
+
 
 def test_serve_http(workspace, tmp_path):
     """--listen: HTTP micro-batching server — health check, concurrent
@@ -485,6 +500,51 @@ def test_serve_http_continuous(workspace, tmp_path):
     assert varz["requests_served"] >= 3
     assert varz["errors"] >= 1
     holder["server"].shutdown()
+
+    # --continuous x --pool_buckets over HTTP: multi-lane worker; compare
+    # against the plain offline BUCKETED run (bucketed pools score the
+    # exact pool — no dummy pad rows — so the padded-pool ref above does
+    # not apply)
+    rc = {"id": "c1", "query": "what is energy ?",
+          "passages": ["kinetic energy is the energy of motion .",
+                       "whales are large ocean mammals .",
+                       "the blue whale is the largest animal ."]}
+    req3_path = str(tmp_path / "chttp_reqs3.jsonl")
+    ref3_path = str(tmp_path / "chttp_ref3.jsonl")
+    with open(req3_path, "w") as f:
+        for r in (ra, rb, rc):
+            f.write(json.dumps(r) + "\n")
+    serve_main(common + ["--input", req3_path, "--output", ref3_path,
+                         "--pool_buckets", "2,4"])
+    ref3 = {r["id"]: r for r in map(json.loads, open(ref3_path))}
+
+    ready2 = threading.Event()
+    holder2 = {}
+
+    def on_ready2(server):
+        holder2["server"] = server
+        ready2.set()
+
+    argv2 = common + ["--continuous", "--chunk_steps", "2", "--refill", "1",
+                      "--batch_size", "2", "--pool_buckets", "2,4",
+                      "--listen", "127.0.0.1:0"]
+    t2 = threading.Thread(target=serve_main, args=(argv2,),
+                          kwargs={"_server_ready": on_ready2}, daemon=True)
+    t2.start()
+    assert ready2.wait(timeout=60), "bucketed server did not come up"
+    host2, port2 = holder2["server"].server_address[:2]
+    base = f"http://{host2}:{port2}"
+    results2 = {}
+    threads = [threading.Thread(
+        target=lambda r=r, k=k: results2.update({k: post([r])}))
+        for k, r in (("a", ra), ("b", rb), ("c", rc))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    for k, rid in (("a", "a1"), ("b", "b1"), ("c", "c1")):
+        assert results2[k][0] == ref3[rid], f"lane result differs for {rid}"
+    holder2["server"].shutdown()
 
 
 def test_orbax_sampling_fastrng_pipeline(workspace, tmp_path):
