@@ -147,7 +147,12 @@ def build_parser():
     p.add_argument("--decoding", type=str, default="greedy",
                    choices=["greedy", "sample"],
                    help="sampling-based serving (--decoding sample) with "
-                        "the same controls as run --mode test")
+                        "the same controls as run --mode test. Composes "
+                        "with --continuous: per-request PRNG keys ride in "
+                        "the decode rows (seeded by --sample_seed + the "
+                        "request's optional \"seed\" field), so sampled "
+                        "answers are reproducible per request regardless "
+                        "of batch composition or refill timing")
     p.add_argument("--sample_seed", type=int, default=123456)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=0)
@@ -784,12 +789,9 @@ def main(argv=None, _server_ready=None):
         # refilled mid-flight (runtime/continuous.py). Answers are
         # bit-identical per request to the batch predict path; throughput
         # tracks the MEAN answer length instead of the batch max.
-        if args.batch_buckets or args.rank_only or \
-                args.beam_width > 1 or args.decoding != "greedy":
-            raise SystemExit("--continuous is greedy-decode serving; it "
-                             "composes with none of "
-                             "--batch_buckets/--rank_only/--beam_width>1/"
-                             "--decoding sample")
+        if args.batch_buckets or args.rank_only or args.beam_width > 1:
+            raise SystemExit("--continuous composes with none of "
+                             "--batch_buckets/--rank_only/--beam_width>1")
         if args.pool_buckets and args.lookahead:
             raise SystemExit("--lookahead applies to single-lane "
                              "--continuous only; with --pool_buckets the "
@@ -799,11 +801,34 @@ def main(argv=None, _server_ready=None):
         init_fn, chunk_fn, refill_fn = make_continuous_fns(
             model, args.max_target_length, args.chunk_steps,
             fast_argmax=args.fast_argmax,
-            donate_state=not args.lookahead)
+            donate_state=not args.lookahead,
+            decoding=args.decoding, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p)
+
+        # sampled continuous serving: each request gets its own PRNG key
+        # (key data rides in the batch and then in the row's decode state),
+        # derived from --sample_seed and the request's optional "seed"
+        # field (fallback: an arrival counter) — so a request with a seed
+        # samples the same answer regardless of batch composition, refill
+        # timing, or which lane served it
+        import itertools
+        key_counter = itertools.count()
+
+        def request_keys(chunk, width):
+            ks = []
+            for r in chunk:
+                ent = r.get("seed") if isinstance(r, dict) else None
+                ent = next(key_counter) if ent is None else int(ent)
+                ks.append(np.random.SeedSequence(
+                    [args.sample_seed, ent]).generate_state(2, np.uint32))
+            ks += [ks[-1]] * (width - len(ks))   # pad rows never emit
+            return np.stack(ks)
 
         def cont_make_batch_for(dk):
             def mb(chunk, k):
                 batch = _chunk_to_batch(chunk, args.model, vocab, dk, k)
+                if args.decoding == "sample":
+                    batch["sample_key"] = request_keys(chunk, k)
                 ensure_params(batch)
                 return shard_batch(mesh, batch,
                                    pool_axis=pool_devices > 1)

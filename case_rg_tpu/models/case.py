@@ -174,10 +174,17 @@ class CaSEModel(nn.Module):
         state = self.decoder.chunk_init(memories, keeps, weights, src_ids,
                                         max_len, feature=answer_rep,
                                         fast_argmax=fast_argmax,
-                                        row_max=batch.get("response_cap"))
+                                        row_max=batch.get("response_cap"),
+                                        row_keys=batch.get("sample_key"))
         return state, st["passage_score"]
 
     def decode_chunk(self, state, *, n_steps: int,
-                     fast_argmax: Optional[bool] = None):
+                     fast_argmax: Optional[bool] = None,
+                     sampling: bool = False, temperature: float = 1.0,
+                     top_k: int = 0, top_p: float = 1.0):
         return self.decoder.chunk_step(state, n_steps,
-                                       fast_argmax=fast_argmax)
+                                       fast_argmax=fast_argmax,
+                                       sampling=sampling,
+                                       unk_id=self.cfg.unk_id,
+                                       temperature=temperature,
+                                       top_k=top_k, top_p=top_p)

@@ -123,10 +123,17 @@ class MasqueModel(nn.Module):
             batch, score, q_reps, p_reps)
         state = self.decoder.chunk_init(memories, keeps, weights, src_ids,
                                         max_len, fast_argmax=fast_argmax,
-                                        row_max=batch.get("response_cap"))
+                                        row_max=batch.get("response_cap"),
+                                        row_keys=batch.get("sample_key"))
         return state, score
 
     def decode_chunk(self, state, *, n_steps: int,
-                     fast_argmax: Optional[bool] = None):
+                     fast_argmax: Optional[bool] = None,
+                     sampling: bool = False, temperature: float = 1.0,
+                     top_k: int = 0, top_p: float = 1.0):
         return self.decoder.chunk_step(state, n_steps,
-                                       fast_argmax=fast_argmax)
+                                       fast_argmax=fast_argmax,
+                                       sampling=sampling,
+                                       unk_id=self.cfg.unk_id,
+                                       temperature=temperature,
+                                       top_k=top_k, top_p=top_p)

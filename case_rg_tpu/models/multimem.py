@@ -294,7 +294,8 @@ class MultiMemoryDecoder(nn.Module):
     def chunk_init(self, memories, mem_keeps, weights, src_ids, max_len: int,
                    feature: Optional[jnp.ndarray] = None,
                    fast_argmax: Optional[bool] = None,
-                   row_max: Optional[jnp.ndarray] = None) -> dict:
+                   row_max: Optional[jnp.ndarray] = None,
+                   row_keys: Optional[jnp.ndarray] = None) -> dict:
         """Build the per-row decode state consumed by ``chunk_step``.
 
         Every leaf is a [B, ...] array, so a serving driver can scatter
@@ -302,7 +303,14 @@ class MultiMemoryDecoder(nn.Module):
         a live state with ``decode.continuous.refill_rows``.
 
         ``row_max`` [B]: per-row response caps (requests' ``max_tokens``);
-        a row ends at its own cap instead of ``max_len``."""
+        a row ends at its own cap instead of ``max_len``.
+
+        ``row_keys`` [B, 2] uint32: per-row PRNG key data for SAMPLED
+        continuous decoding (``chunk_step(sampling=True)``). The key rides
+        with the row (refilled rows bring their own), and the step key is
+        ``fold_in(row_key, trow)`` — so a request's sampled tokens depend
+        only on (params, its features, its key), not on batch composition,
+        chunk size, or refill timing."""
         b = memories[0].shape[0]
         fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
             fast_argmax, src_ids, memories[0].dtype)
@@ -311,7 +319,7 @@ class MultiMemoryDecoder(nn.Module):
                   for i in range(self.num_memories)]
         ids_cat, extras = self._argmax_precompute(
             src_ids, memories[0].dtype, fast_argmax, use_pallas_comb)
-        return {
+        state = {
             "caches": caches, "cross": cross, "key_projs": key_projs,
             "feat": feat, "memories": list(memories),
             "mem_keeps": list(mem_keeps), "weights": list(weights),
@@ -324,15 +332,29 @@ class MultiMemoryDecoder(nn.Module):
             "row_max": jnp.full((b,), max_len, jnp.int32) if row_max is None
             else jnp.clip(row_max.astype(jnp.int32), 1, max_len),
         }
+        if row_keys is not None:
+            state["keys"] = row_keys.astype(jnp.uint32)
+        return state
 
     def chunk_step(self, state: dict, n_steps: int,
-                   fast_argmax: Optional[bool] = None) -> dict:
-        """Advance every non-done row by ``n_steps`` greedy steps.
+                   fast_argmax: Optional[bool] = None,
+                   sampling: bool = False, unk_id: int = 2,
+                   temperature: float = 1.0, top_k: int = 0,
+                   top_p: float = 1.0) -> dict:
+        """Advance every non-done row by ``n_steps`` decode steps.
 
         Done rows freeze (their writes are dropped via out-of-range
         indices); a row becomes done when it emits EOS or fills max_len.
         ``fast_argmax`` must match the ``chunk_init`` that built the
-        state (both resolve the auto gate identically)."""
+        state (both resolve the auto gate identically).
+
+        ``sampling=True`` samples each step from the extended distribution
+        instead of arg-maxing, with ``sample``'s bookkeeping (EOS at a
+        row's step 0 rewritten to UNK, forced EOS at the row's cap). The
+        per-row step key is ``fold_in(row_key, trow)`` over the state's
+        ``keys`` (see ``chunk_init``), so sampled answers are reproducible
+        per request regardless of batch composition — top_k=1 is
+        bit-identical to the batch ``sample`` path (tests)."""
         fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
             fast_argmax, state["src_ids"], state["memories"][0].dtype)
         max_len = state["out"].shape[1]
@@ -345,6 +367,9 @@ class MultiMemoryDecoder(nn.Module):
         ids_cat, extras = state["ids_cat"], state["extras"]
         row_max = state["row_max"]
         rows = jnp.arange(b)
+        if sampling:
+            from ..decode.loops import sampling_controls
+            row_keys = jax.vmap(jax.random.wrap_key_data)(state["keys"])
 
         def body(carry, _):
             caches, prev, hist, trow, done, out = carry
@@ -353,12 +378,27 @@ class MultiMemoryDecoder(nn.Module):
             new_caches, hist, gen, mix_p, ps, gen_h, gen_logits = \
                 self._step_core(caches, prev, hist, t_w, cross, key_projs,
                                 feat, memories, mem_keeps, weights)
-            nxt = self._greedy_next(gen, mix_p, ps, gen_h, gen_logits,
-                                    src_ids, ids_cat, extras, fast_argmax,
-                                    use_pallas_comb)
+            if sampling:
+                # same distribution as ``sample``: log of the extended
+                # copy-mixed dist + standard controls (defaults identity)
+                dist = self._extend_dist(gen, mix_p, ps, src_ids)
+                logits = jnp.log(dist[:, 0].astype(jnp.float32) + 1e-10)
+                logits = sampling_controls(logits, temperature, top_k,
+                                           top_p)
+                keys_t = jax.vmap(jax.random.fold_in)(row_keys, trow)
+                nxt = jax.vmap(jax.random.categorical)(keys_t, logits
+                                                       ).astype(jnp.int32)
+                raw_end = nxt == self.eos_id
+                nxt = jnp.where((trow == 0) & raw_end, unk_id, nxt)
+                nxt = jnp.where(trow >= row_max - 1, self.eos_id, nxt)
+            else:
+                nxt = self._greedy_next(gen, mix_p, ps, gen_h, gen_logits,
+                                        src_ids, ids_cat, extras,
+                                        fast_argmax, use_pallas_comb)
+                raw_end = nxt == self.eos_id
             active = ~done
             out = out.at[rows, t_w].set(nxt, mode="drop")
-            newly = active & ((nxt == self.eos_id) | (trow >= row_max - 1))
+            newly = active & (raw_end | (trow >= row_max - 1))
             prev = jnp.where(active, nxt, prev)
             trow = jnp.where(active & ~newly, trow + 1, trow)
             return (new_caches, prev, hist, trow, done | newly, out), ()

@@ -94,16 +94,32 @@ def continuous_decode_init(model, batch, *, max_len: int, fast_argmax=None):
         "row_max": jnp.full((b,), max_len, jnp.int32) if cap is None
         else jnp.clip(cap.astype(jnp.int32), 1, max_len),
     }
+    if batch.get("sample_key") is not None:
+        # per-row PRNG key data for sampled continuous decoding: the key
+        # rides with the row, step key = fold_in(row_key, trow) — sampled
+        # tokens are reproducible per request regardless of batch
+        # composition/refill timing (multimem.chunk_init docstring)
+        state["keys"] = batch["sample_key"].astype(jnp.uint32)
     rank = enc["ck_attn"] if "ck_attn" in enc else None
     return state, rank
 
 
-def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None):
-    """Advance non-done rows by ``n_steps`` greedy steps with the
+def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None,
+                            sampling: bool = False, temperature: float = 1.0,
+                            top_k: int = 0, top_p: float = 1.0):
+    """Advance non-done rows by ``n_steps`` decode steps with the
     reference's EOS bookkeeping (an EOS at a row's step 0 is rewritten to
     UNK but still ends the row; positions past EOS stay PAD —
     decode/loops._greedy_loop). Row-independent, so per-request tokens
-    equal the one-shot run_greedy output exactly."""
+    equal the one-shot run_greedy output exactly.
+
+    ``sampling=True`` mirrors ``run_greedy``'s sibling ``run_sample``
+    instead: uncontrolled sampling keeps the reference's double-softmax
+    quirk, any control switches to categorical(controls(log_softmax)),
+    and the row's last step forces EOS. Step keys come from the state's
+    per-row ``keys`` via fold_in(row_key, trow), so sampled tokens are
+    reproducible per request regardless of batch composition (top_k=1 is
+    bit-identical to the batch ``sample_predict`` path — tests)."""
     del fast_argmax
     cfg = model.cfg
     eos, unk = cfg.eos_id, cfg.unk_id
@@ -112,6 +128,10 @@ def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None):
     row_max = state["row_max"]
     per_row = getattr(type(model), "STEP_PER_ROW", False)
     rows = jnp.arange(b)
+    if sampling:
+        from ..decode.loops import sampling_controls
+        controlled = temperature != 1.0 or top_k > 0 or top_p < 1.0
+        row_keys = jax.vmap(jax.random.wrap_key_data)(state["keys"])
 
     def body(carry, _):
         dec, prev, trow, done, out = carry
@@ -119,9 +139,23 @@ def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None):
             scores, dec = model.decode_step(enc, dec, prev, per_row=True)
         else:
             scores, dec = model.decode_step(enc, dec, prev)
-        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        if sampling:
+            keys_t = jax.vmap(jax.random.fold_in)(row_keys, trow)
+            if controlled:
+                logits = sampling_controls(
+                    jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1),
+                    temperature, top_k, top_p)
+            else:
+                # reference double-softmax quirk (run_sample:172-179)
+                logits = jax.nn.softmax(scores, axis=-1)
+            idx = jax.vmap(jax.random.categorical)(keys_t, logits
+                                                   ).astype(jnp.int32)
+        else:
+            idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
         raw_end = idx == eos
         idx = jnp.where((trow == 0) & raw_end, unk, idx)
+        if sampling:   # run_sample forces EOS at the row's last step
+            idx = jnp.where(trow >= row_max - 1, eos, idx)
         active = ~done
         out = out.at[rows, jnp.where(active, trow, max_len)].set(
             idx, mode="drop")

@@ -41,7 +41,10 @@ def refill_rows(state, new_state, rows):
 
 def make_continuous_fns(model, max_len: int, chunk_steps: int,
                         fast_argmax: Optional[bool] = None,
-                        donate_state: bool = True):
+                        donate_state: bool = True,
+                        decoding: str = "greedy",
+                        temperature: float = 1.0, top_k: int = 0,
+                        top_p: float = 1.0):
     """(init_fn, chunk_fn, refill_fn), all jitted.
 
     ``donate_state=False`` keeps the chunk program from donating its
@@ -55,7 +58,17 @@ def make_continuous_fns(model, max_len: int, chunk_steps: int,
     new_state, rows) scatters fresh rows in. Multimem models (CaSE/Masque)
     use their decode_init/decode_chunk methods; the EncDec-protocol models
     (TMemNet/GLKS/GTTP/S2SA) use the generic chunk driver in
-    models/predict.py."""
+    models/predict.py.
+
+    ``decoding='sample'`` samples each step instead of arg-maxing
+    (controls apply as in the batch sampling paths). Batches must then
+    carry ``sample_key`` [B, 2] uint32 per-row PRNG key data — the key
+    rides with the row and the step key is fold_in(row_key, trow), so a
+    request's sampled tokens are reproducible regardless of batch
+    composition, chunk size, or refill timing."""
+    if decoding not in ("greedy", "sample"):
+        raise ValueError(f"unknown decoding {decoding!r}")
+    sampling = decoding == "sample"
     mt = type(model)
     if hasattr(mt, "decode_init"):
         init_m, chunk_m = mt.decode_init, mt.decode_chunk
@@ -63,14 +76,22 @@ def make_continuous_fns(model, max_len: int, chunk_steps: int,
         from ..models.predict import (continuous_decode_chunk,
                                       continuous_decode_init)
         init_m, chunk_m = continuous_decode_init, continuous_decode_chunk
+    # sampling needs the dense extended distribution anyway — skip the
+    # fast-argmax hoisted operands so they don't ride in the state
+    fa = False if sampling else fast_argmax
+    extra = dict(sampling=True, temperature=temperature, top_k=top_k,
+                 top_p=top_p) if sampling else {}
 
     def init_fn(variables, batch):
+        if sampling and batch.get("sample_key") is None:
+            raise ValueError("decoding='sample' needs per-row 'sample_key' "
+                             "key data in the batch")
         return model.apply(variables, batch, max_len=max_len,
-                           fast_argmax=fast_argmax, method=init_m)
+                           fast_argmax=fa, method=init_m)
 
     def chunk_fn(variables, state):
         return model.apply(variables, state, n_steps=chunk_steps,
-                           fast_argmax=fast_argmax, method=chunk_m)
+                           fast_argmax=fa, method=chunk_m, **extra)
 
     # the state is consumed linearly (chunk -> harvest from the NEW state
     # -> maybe refill), so donating it lets XLA update the KV caches and

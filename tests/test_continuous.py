@@ -419,3 +419,114 @@ def test_run_continuous_multi_lanes():
         np.testing.assert_array_equal(_trim(ids, eos), _trim(base[i], eos),
                                       err_msg=f"request {i} lane {k}")
         np.testing.assert_allclose(rk, rank[i], rtol=1e-6, atol=1e-7)
+
+
+def _row_keys(n, seed=5):
+    return np.stack([np.random.SeedSequence([seed, i]).generate_state(
+        2, np.uint32) for i in range(n)])
+
+
+def test_sampled_chunks_topk1_matches_batch_sample():
+    """Sampled continuous decoding, multimem (CaSE): with top_k=1 the
+    categorical is key-independent (all mass on the argmax), so chunked
+    sampling must reproduce the batch ``sample`` path bit-for-bit —
+    including the UNK rewrite at a row's step 0, the forced EOS at the
+    row's last step, and PAD after EOS."""
+    max_len = 12
+    model, params, arrays, _, _, eos = _models_with_live_eos("case", max_len)
+    n = arrays["query"].shape[0]
+    batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+    base = np.asarray(jax.device_get(jax.jit(
+        lambda p, bt: model.apply({"params": p}, bt, max_len=max_len,
+                                  sample_rng=jax.random.PRNGKey(0),
+                                  top_k=1, method=type(model).predict))(
+        params, batch))["answer"])
+
+    from case_rg_tpu.runtime.continuous import make_continuous_fns
+    init_fn, chunk_fn, _ = make_continuous_fns(model, max_len, chunk_steps=3,
+                                               decoding="sample", top_k=1)
+    batch_k = dict(batch, sample_key=jnp.asarray(_row_keys(n)))
+    st, _ = init_fn({"params": params}, batch_k)
+    for _ in range(max_len // 3 + 1):
+        st = chunk_fn({"params": params}, st)
+    assert np.asarray(st["done"]).all()
+    np.testing.assert_array_equal(np.asarray(st["out"]), base)
+
+    # missing sample_key is rejected up front
+    with pytest.raises(ValueError, match="sample_key"):
+        init_fn({"params": params}, batch)
+
+
+def test_sampled_continuous_composition_invariance():
+    """Real sampling (no controls): per-request keys ride with the rows,
+    so sampled answers are identical across different batch sizes, chunk
+    sizes, and refill staggering."""
+    max_len = 12
+    model, params, arrays, _, _, eos = _models_with_live_eos("case", max_len)
+    from case_rg_tpu.runtime.continuous import (make_continuous_fns,
+                                                run_continuous)
+
+    n = arrays["query"].shape[0]
+    keys = _row_keys(n, seed=9)
+    requests = [{"i": i} for i in range(n)]
+
+    def make_batch(chunkreqs, bs):
+        idx = [r["i"] for r in chunkreqs]
+        idx = idx + [idx[-1]] * (bs - len(idx))
+        b = {k: jnp.asarray(v[idx]) for k, v in arrays.items()}
+        b["sample_key"] = jnp.asarray(keys[idx])
+        return b
+
+    runs = []
+    for bs, chunk, refill in ((4, 3, 2), (2, 5, 1)):
+        fns = make_continuous_fns(model, max_len, chunk_steps=chunk,
+                                  decoding="sample")
+        got = []
+        stats = run_continuous(iter(requests), make_batch, *fns,
+                               {"params": params}, bs, refill,
+                               emit=lambda r, ids, rk:
+                               got.append((r["i"], ids.copy())),
+                               max_len=max_len)
+        assert stats["served"] == n
+        runs.append(dict(got))
+    assert sorted(runs[0]) == list(range(n))
+    for i in range(n):
+        np.testing.assert_array_equal(runs[0][i], runs[1][i],
+                                      err_msg=f"request {i}")
+    # sampling actually sampled (differs from greedy for at least one row)
+    g_fns = make_continuous_fns(model, max_len, chunk_steps=3)
+    st, _ = g_fns[0]({"params": params},
+                     {k: jnp.asarray(v) for k, v in arrays.items()})
+    for _ in range(max_len // 3 + 1):
+        st = g_fns[1]({"params": params}, st)
+    assert any(not np.array_equal(runs[0][i], np.asarray(st["out"])[i])
+               for i in range(n))
+
+
+def test_protocol_sampled_chunks_topk1_matches_run_sample():
+    """EncDec-protocol model (s2sa) through the generic driver: top_k=1
+    sampled chunks equal the one-shot sample_predict (run_sample
+    bookkeeping: controlled branch, forced final EOS, PAD after EOS)."""
+    from case_rg_tpu.models.predict import sample_predict
+    from case_rg_tpu.runtime.continuous import make_continuous_fns
+
+    max_len = 8
+    cfg = ModelConfig(name="s2sa", vocab_size=V, embedding_size=16,
+                      hidden_size=16, num_heads=2, max_dec_len=max_len)
+    model = create_model("s2sa", cfg)
+    rng = np.random.RandomState(23)
+    batch = _protocol_batch("s2sa", rng)
+    params = _protocol_init(model, "s2sa", batch, rng)
+    base = np.asarray(jax.jit(lambda p, bt: sample_predict(
+        model, {"params": p}, bt, max_len, jax.random.PRNGKey(0),
+        top_k=1))(params, batch))
+
+    n = batch["context"].shape[0]
+    init_fn, chunk_fn, _ = make_continuous_fns(model, max_len, chunk_steps=3,
+                                               decoding="sample", top_k=1)
+    batch_k = dict(batch, sample_key=jnp.asarray(_row_keys(n, seed=3)))
+    st, _ = init_fn({"params": params}, batch_k)
+    for _ in range(max_len // 3 + 1):
+        st = chunk_fn({"params": params}, st)
+    assert np.asarray(st["done"]).all()
+    np.testing.assert_array_equal(np.asarray(st["out"]), base)

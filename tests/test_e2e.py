@@ -269,6 +269,34 @@ def test_serve_cli(workspace, tmp_path):
     full = next(l for l in olines if l["id"] == "rA")  # same request uncapped
     assert full["answer"].startswith(ml[0]["answer"])
 
+    # sampled continuous serving: top_k=1 makes the categorical
+    # deterministic (all mass on the argmax), so --continuous
+    # --decoding sample must equal plain sampled serving byte-for-byte
+    sp = str(tmp_path / "s_plain.jsonl")
+    sc = str(tmp_path / "s_cont.jsonl")
+    serve_main(common + ["--input", req3_path, "--output", sp,
+                         "--num_passage", "4", "--decoding", "sample",
+                         "--top_k", "1"])
+    serve_main(common + ["--input", req3_path, "--output", sc,
+                         "--num_passage", "4", "--decoding", "sample",
+                         "--top_k", "1", "--continuous",
+                         "--batch_size", "2", "--chunk_steps", "2",
+                         "--refill", "1"])
+    assert [json.loads(l) for l in open(sc)] == \
+        [json.loads(l) for l in open(sp)]
+
+    # true sampling (no controls): per-request keys make reruns of the
+    # same stream reproducible end-to-end
+    s1 = str(tmp_path / "s_run1.jsonl")
+    s2 = str(tmp_path / "s_run2.jsonl")
+    for p_out in (s1, s2):
+        serve_main(common + ["--input", req3_path, "--output", p_out,
+                             "--num_passage", "4", "--decoding", "sample",
+                             "--continuous", "--batch_size", "2",
+                             "--chunk_steps", "2", "--refill", "1"])
+    assert [json.loads(l) for l in open(s1)] == \
+        [json.loads(l) for l in open(s2)]
+
     # --continuous x --pool_buckets: one continuous lane per bucket
     # (rA -> lane 4; rB/rC/rD/rE -> lane 2, refilling mid-flight through
     # a 2-slot state); answers/rankings byte-identical to the plain
