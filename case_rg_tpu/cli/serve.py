@@ -13,8 +13,14 @@ Request format (one JSON object per line):
     {"id": "r1", "query": "current question",
      "history": ["previous turn", ...],           # optional
      "passages": ["candidate passage text", ...], # the retrieval pool
-     "max_tokens": 20}                            # optional per-request
+     "max_tokens": 20,                            # optional per-request
                                                   # response-length cap
+     "seed": 7,                                   # optional (--continuous
+                                                  # --decoding sample):
+                                                  # per-request PRNG seed
+     "temperature": 0.7, "top_k": 40, "top_p": 0.9}  # optional per-request
+                                                  # sampling controls
+                                                  # (--request_controls)
 
 Response line (order preserved):
 
@@ -154,6 +160,14 @@ def build_parser():
                         "answers are reproducible per request regardless "
                         "of batch composition or refill timing")
     p.add_argument("--sample_seed", type=int, default=123456)
+    p.add_argument("--request_controls", action="store_true",
+                   help="--continuous --decoding sample: honor per-request "
+                        "\"temperature\"/\"top_k\"/\"top_p\" fields — each "
+                        "decode row applies its own request's controls "
+                        "(decode/loops.sampling_controls_rows); rows "
+                        "without a field use the global flags. All rows "
+                        "then sample from the standard controlled "
+                        "distribution (no double-softmax quirk)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--top_p", type=float, default=1.0)
@@ -783,6 +797,11 @@ def main(argv=None, _server_ready=None):
         served += len(chunk)
         return resps
 
+    if args.request_controls and not (args.continuous
+                                      and args.decoding == "sample"):
+        raise SystemExit("--request_controls applies to --continuous "
+                         "--decoding sample serving only")
+
     cont = None
     if args.continuous:
         # continuous batching: per-row decode progress, finished rows
@@ -824,11 +843,32 @@ def main(argv=None, _server_ready=None):
             ks += [ks[-1]] * (width - len(ks))   # pad rows never emit
             return np.stack(ks)
 
+        def request_ctls(chunk, width):
+            """Per-row (temperature, top_k, top_p), request fields
+            overriding the global flags; validated here so a bad value
+            fails only its own featurize chunk (error isolation)."""
+            cs = []
+            for r in chunk:
+                t = float(r.get("temperature", args.temperature))
+                k = int(r.get("top_k", args.top_k))
+                tp = float(r.get("top_p", args.top_p))
+                if t <= 0.0:
+                    raise ValueError(f"temperature must be > 0, got {t}")
+                if not 0.0 < tp <= 1.0:
+                    raise ValueError(f"top_p must be in (0, 1], got {tp}")
+                if k < 0:
+                    raise ValueError(f"top_k must be >= 0, got {k}")
+                cs.append((t, float(k), tp))
+            cs += [cs[-1]] * (width - len(cs))
+            return np.asarray(cs, np.float32)
+
         def cont_make_batch_for(dk):
             def mb(chunk, k):
                 batch = _chunk_to_batch(chunk, args.model, vocab, dk, k)
                 if args.decoding == "sample":
                     batch["sample_key"] = request_keys(chunk, k)
+                    if args.request_controls:
+                        batch["sample_ctl"] = request_ctls(chunk, k)
                 ensure_params(batch)
                 return shard_batch(mesh, batch,
                                    pool_axis=pool_devices > 1)

@@ -64,6 +64,38 @@ def sampling_controls(logits: jnp.ndarray, temperature: float = 1.0,
     return logits
 
 
+def sampling_controls_rows(logits: jnp.ndarray, temperature: jnp.ndarray,
+                           top_k: jnp.ndarray, top_p: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Per-ROW sampling controls on [B, V] f32 logits: the same
+    temperature -> top-k -> nucleus pipeline as ``sampling_controls`` but
+    with [B] control vectors, so every decode row can carry its own
+    request's controls (continuous serving: runtime/continuous.py). A row
+    with (1.0, 0, 1.0) is identity; otherwise the row matches
+    ``sampling_controls(logits[r:r+1], *controls[r])`` exactly — one
+    shared descending sort serves both the top-k threshold and the
+    nucleus mask (values below the k-th largest form a suffix of the
+    sorted order, so masking them in place equals sort-after-mask).
+    Controls are validated host-side by the caller (featurize time)."""
+    b, v = logits.shape
+    logits = logits / temperature[:, None].astype(logits.dtype)
+    neg = jnp.asarray(-1e30, logits.dtype)
+    sorted_logits, sorted_idx = jax.lax.top_k(logits, v)   # descending
+    k_eff = jnp.clip(top_k, 1, v)
+    kth = jnp.take_along_axis(sorted_logits, (k_eff - 1)[:, None], axis=-1)
+    cut_k = (top_k > 0)[:, None] & (sorted_logits < kth)
+    sl = jnp.where(cut_k, neg, sorted_logits)
+    probs = jax.nn.softmax(sl, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # top_p >= 1 is identity (sampling_controls skips the branch — the
+    # explicit OR avoids dropping the smallest token to float residue)
+    keep_sorted = ((cum - probs) < top_p[:, None]) | (top_p >= 1.0)[:, None]
+    keep_sorted &= ~cut_k
+    rows = jnp.arange(b)[:, None]
+    keep = jnp.zeros((b, v), bool).at[rows, sorted_idx].set(keep_sorted)
+    return jnp.where(keep, logits, neg)
+
+
 def _greedy_loop(pick_fn, init_state, batch_size: int, max_len: int,
                  bos: int, eos: int, unk: int, pad: int,
                  early_exit: bool) -> jnp.ndarray:

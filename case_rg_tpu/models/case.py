@@ -175,7 +175,8 @@ class CaSEModel(nn.Module):
                                         max_len, feature=answer_rep,
                                         fast_argmax=fast_argmax,
                                         row_max=batch.get("response_cap"),
-                                        row_keys=batch.get("sample_key"))
+                                        row_keys=batch.get("sample_key"),
+                                        row_ctl=batch.get("sample_ctl"))
         return state, st["passage_score"]
 
     def decode_chunk(self, state, *, n_steps: int,

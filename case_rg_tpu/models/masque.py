@@ -124,7 +124,8 @@ class MasqueModel(nn.Module):
         state = self.decoder.chunk_init(memories, keeps, weights, src_ids,
                                         max_len, fast_argmax=fast_argmax,
                                         row_max=batch.get("response_cap"),
-                                        row_keys=batch.get("sample_key"))
+                                        row_keys=batch.get("sample_key"),
+                                        row_ctl=batch.get("sample_ctl"))
         return state, score
 
     def decode_chunk(self, state, *, n_steps: int,

@@ -295,7 +295,8 @@ class MultiMemoryDecoder(nn.Module):
                    feature: Optional[jnp.ndarray] = None,
                    fast_argmax: Optional[bool] = None,
                    row_max: Optional[jnp.ndarray] = None,
-                   row_keys: Optional[jnp.ndarray] = None) -> dict:
+                   row_keys: Optional[jnp.ndarray] = None,
+                   row_ctl: Optional[jnp.ndarray] = None) -> dict:
         """Build the per-row decode state consumed by ``chunk_step``.
 
         Every leaf is a [B, ...] array, so a serving driver can scatter
@@ -310,7 +311,11 @@ class MultiMemoryDecoder(nn.Module):
         with the row (refilled rows bring their own), and the step key is
         ``fold_in(row_key, trow)`` — so a request's sampled tokens depend
         only on (params, its features, its key), not on batch composition,
-        chunk size, or refill timing."""
+        chunk size, or refill timing.
+
+        ``row_ctl`` [B, 3] f32: per-row sampling controls (temperature,
+        top_k, top_p) — each request's controls ride with its row and
+        apply via decode/loops.sampling_controls_rows."""
         b = memories[0].shape[0]
         fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
             fast_argmax, src_ids, memories[0].dtype)
@@ -334,6 +339,8 @@ class MultiMemoryDecoder(nn.Module):
         }
         if row_keys is not None:
             state["keys"] = row_keys.astype(jnp.uint32)
+        if row_ctl is not None:
+            state["ctl"] = row_ctl.astype(jnp.float32)
         return state
 
     def chunk_step(self, state: dict, n_steps: int,
@@ -368,8 +375,10 @@ class MultiMemoryDecoder(nn.Module):
         row_max = state["row_max"]
         rows = jnp.arange(b)
         if sampling:
-            from ..decode.loops import sampling_controls
+            from ..decode.loops import (sampling_controls,
+                                        sampling_controls_rows)
             row_keys = jax.vmap(jax.random.wrap_key_data)(state["keys"])
+            ctl = state.get("ctl")
 
         def body(carry, _):
             caches, prev, hist, trow, done, out = carry
@@ -383,8 +392,13 @@ class MultiMemoryDecoder(nn.Module):
                 # copy-mixed dist + standard controls (defaults identity)
                 dist = self._extend_dist(gen, mix_p, ps, src_ids)
                 logits = jnp.log(dist[:, 0].astype(jnp.float32) + 1e-10)
-                logits = sampling_controls(logits, temperature, top_k,
-                                           top_p)
+                if ctl is not None:   # per-request controls ride the rows
+                    logits = sampling_controls_rows(
+                        logits, ctl[:, 0], ctl[:, 1].astype(jnp.int32),
+                        ctl[:, 2])
+                else:
+                    logits = sampling_controls(logits, temperature, top_k,
+                                               top_p)
                 keys_t = jax.vmap(jax.random.fold_in)(row_keys, trow)
                 nxt = jax.vmap(jax.random.categorical)(keys_t, logits
                                                        ).astype(jnp.int32)

@@ -100,6 +100,10 @@ def continuous_decode_init(model, batch, *, max_len: int, fast_argmax=None):
         # tokens are reproducible per request regardless of batch
         # composition/refill timing (multimem.chunk_init docstring)
         state["keys"] = batch["sample_key"].astype(jnp.uint32)
+    if batch.get("sample_ctl") is not None:
+        # per-row (temperature, top_k, top_p) — each request's sampling
+        # controls ride with its row (sampling_controls_rows)
+        state["ctl"] = batch["sample_ctl"].astype(jnp.float32)
     rank = enc["ck_attn"] if "ck_attn" in enc else None
     return state, rank
 
@@ -129,9 +133,10 @@ def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None,
     per_row = getattr(type(model), "STEP_PER_ROW", False)
     rows = jnp.arange(b)
     if sampling:
-        from ..decode.loops import sampling_controls
+        from ..decode.loops import sampling_controls, sampling_controls_rows
         controlled = temperature != 1.0 or top_k > 0 or top_p < 1.0
         row_keys = jax.vmap(jax.random.wrap_key_data)(state["keys"])
+        ctl = state.get("ctl")
 
     def body(carry, _):
         dec, prev, trow, done, out = carry
@@ -141,7 +146,14 @@ def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None,
             scores, dec = model.decode_step(enc, dec, prev)
         if sampling:
             keys_t = jax.vmap(jax.random.fold_in)(row_keys, trow)
-            if controlled:
+            if ctl is not None:
+                # per-request controls: always the standard controlled
+                # distribution (a default-controls row samples from the
+                # true softmax, not the double-softmax quirk)
+                logits = sampling_controls_rows(
+                    jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1),
+                    ctl[:, 0], ctl[:, 1].astype(jnp.int32), ctl[:, 2])
+            elif controlled:
                 logits = sampling_controls(
                     jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1),
                     temperature, top_k, top_p)

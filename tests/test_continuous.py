@@ -503,6 +503,85 @@ def test_sampled_continuous_composition_invariance():
                for i in range(n))
 
 
+def test_sampling_controls_rows_matches_scalar():
+    """Per-row dynamic controls == the scalar pipeline applied row-wise
+    (shared-sort equivalence incl. temperature/top-k/top-p composition)."""
+    from case_rg_tpu.decode.loops import (sampling_controls,
+                                          sampling_controls_rows)
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.standard_normal((6, 50)).astype(np.float32) * 3)
+    combos = [(1.0, 0, 1.0), (0.7, 0, 1.0), (1.0, 5, 1.0), (1.0, 0, 0.9),
+              (0.5, 3, 0.8), (2.0, 1, 0.5)]
+    temp = jnp.asarray([c[0] for c in combos], jnp.float32)
+    topk = jnp.asarray([c[1] for c in combos], jnp.int32)
+    topp = jnp.asarray([c[2] for c in combos], jnp.float32)
+    got = np.asarray(sampling_controls_rows(logits, temp, topk, topp))
+    for r, (t, k, p) in enumerate(combos):
+        want = np.asarray(sampling_controls(logits[r:r + 1], t, k, p))[0]
+        np.testing.assert_allclose(got[r], want, rtol=0, atol=0,
+                                   err_msg=f"row {r} controls {t, k, p}")
+
+
+def test_per_request_controls_ride_rows():
+    """Per-row sampling controls (state['ctl']): rows carrying top_k=1
+    must reproduce the batch sample(top_k=1) output even when OTHER rows
+    in the same state sample with different controls."""
+    max_len = 12
+    model, params, arrays, _, _, eos = _models_with_live_eos("case", max_len)
+    n = arrays["query"].shape[0]
+    batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+    base = np.asarray(jax.device_get(jax.jit(
+        lambda p, bt: model.apply({"params": p}, bt, max_len=max_len,
+                                  sample_rng=jax.random.PRNGKey(0),
+                                  top_k=1, method=type(model).predict))(
+        params, batch))["answer"])
+
+    from case_rg_tpu.runtime.continuous import make_continuous_fns
+    ctl = np.tile(np.asarray([[1.0, 1.0, 1.0]], np.float32), (n, 1))
+    ctl[n // 2:] = (0.7, 0.0, 0.9)   # different controls on the back half
+    batch_k = dict(batch, sample_key=jnp.asarray(_row_keys(n)),
+                   sample_ctl=jnp.asarray(ctl))
+    init_fn, chunk_fn, _ = make_continuous_fns(model, max_len, chunk_steps=3,
+                                               decoding="sample")
+    st, _ = init_fn({"params": params}, batch_k)
+    for _ in range(max_len // 3 + 1):
+        st = chunk_fn({"params": params}, st)
+    assert np.asarray(st["done"]).all()
+    out = np.asarray(st["out"])
+    np.testing.assert_array_equal(out[: n // 2], base[: n // 2])
+    # the back half actually sampled under its own controls
+    assert not np.array_equal(out[n // 2:], base[n // 2:])
+
+
+def test_protocol_per_request_controls():
+    """EncDec-protocol driver with per-row controls: all-top_k=1 control
+    rows equal the controlled sample_predict(top_k=1) run."""
+    from case_rg_tpu.models.predict import sample_predict
+    from case_rg_tpu.runtime.continuous import make_continuous_fns
+
+    max_len = 8
+    cfg = ModelConfig(name="s2sa", vocab_size=V, embedding_size=16,
+                      hidden_size=16, num_heads=2, max_dec_len=max_len)
+    model = create_model("s2sa", cfg)
+    rng = np.random.RandomState(29)
+    batch = _protocol_batch("s2sa", rng)
+    params = _protocol_init(model, "s2sa", batch, rng)
+    base = np.asarray(jax.jit(lambda p, bt: sample_predict(
+        model, {"params": p}, bt, max_len, jax.random.PRNGKey(0),
+        top_k=1))(params, batch))
+
+    n = batch["context"].shape[0]
+    ctl = np.tile(np.asarray([[1.0, 1.0, 1.0]], np.float32), (n, 1))
+    batch_k = dict(batch, sample_key=jnp.asarray(_row_keys(n, seed=4)),
+                   sample_ctl=jnp.asarray(ctl))
+    init_fn, chunk_fn, _ = make_continuous_fns(model, max_len, chunk_steps=3,
+                                               decoding="sample")
+    st, _ = init_fn({"params": params}, batch_k)
+    for _ in range(max_len // 3 + 1):
+        st = chunk_fn({"params": params}, st)
+    np.testing.assert_array_equal(np.asarray(st["out"]), base)
+
+
 def test_protocol_sampled_chunks_topk1_matches_run_sample():
     """EncDec-protocol model (s2sa) through the generic driver: top_k=1
     sampled chunks equal the one-shot sample_predict (run_sample
