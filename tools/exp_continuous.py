@@ -11,6 +11,12 @@ only the stop bookkeeping reads it). Mean/percentile lengths are printed
 so the speedup can be read against the distribution.
 
 Usage: python tools/exp_continuous.py [B] [--n N] [--chunk C] [--refill R]
+       [--lookahead] [--lanes 5,10] [--small]
+
+``--lanes k1,k2,...``: additionally measure a pool-size-MIXED stream,
+served single-lane at the full pool vs one continuous lane per bucket
+(serve --pool_buckets x --continuous); the compact lanes stream a
+fraction of the cross-attention K/V bytes.
 """
 
 import dataclasses
@@ -170,6 +176,68 @@ def main(argv):
     print(f"continuous: {n_req/dt:.0f} qps ({stats['chunks']} chunks, "
           f"{stats['refills']} refills)", flush=True)
     assert len(got) == n_req
+
+    # ---- multi-lane (--lanes 5,10): pool-size-mixed request stream,
+    #      served single-lane at the full pool vs one continuous lane per
+    #      bucket (Lane/run_continuous_multi). The compact lanes stream a
+    #      fraction of the cross-attention K/V bytes (the decode is
+    #      bandwidth-bound there), so the multi-lane win compounds with
+    #      the mean-length win. Requests route to the smallest bucket
+    #      that fits their pool size ----
+    if "--lanes" in argv:
+        from case_rg_tpu.runtime.continuous import (Lane,
+                                                    run_continuous_multi)
+        lane_sizes = sorted(int(x) for x in
+                            argv[argv.index("--lanes") + 1].split(","))
+        np_pool = dcfg.num_passage
+        if lane_sizes[-1] != np_pool:
+            lane_sizes.append(np_pool)
+        srng = np.random.RandomState(42)
+        sizes = srng.choice(lane_sizes, size=n_req)
+        reqs_mix = [{"i": i, "k": int(sizes[i])} for i in range(n_req)]
+        print(f"lane mix: {dict(zip(*np.unique(sizes, return_counts=True)))}",
+              flush=True)
+
+        def mb_for(k):
+            def mb(chunkreqs, bs):
+                idx = [r["i"] for r in chunkreqs]
+                idx = idx + [idx[-1]] * (bs - len(idx))
+                return {"query": jnp.asarray(master["query"][idx]),
+                        "passage": jnp.asarray(master["passage"][idx][:, :k])}
+            return mb
+
+        # single-lane baseline: the same mixed stream, every request
+        # served at the full pool size
+        got = []
+        t0 = time.time()
+        stats = run_continuous(iter(reqs_mix), make_batch, init_fn,
+                               chunk_fn, refill_fn, variables, B, refill,
+                               emit=lambda r, ids, rk: got.append(r["i"]),
+                               max_len=max_len)
+        dt = time.time() - t0
+        print(f"mixed single-lane (pool {np_pool}): {n_req/dt:.0f} qps "
+              f"({stats['chunks']} chunks)", flush=True)
+
+        lanes = {k: Lane(k, mb_for(k), init_fn, chunk_fn, refill_fn,
+                         B, refill) for k in lane_sizes}
+        # compile each lane's programs (init at B and refill widths, chunk)
+        for k in lane_sizes:
+            stw, _ = init_fn(variables, mb_for(k)(reqs_mix[:1], B))
+            jax.block_until_ready(chunk_fn(variables, stw))
+            if refill != B:
+                jax.block_until_ready(
+                    init_fn(variables, mb_for(k)(reqs_mix[:1], refill)))
+        got = []
+        t0 = time.time()
+        stats = run_continuous_multi(
+            iter(reqs_mix), list(lanes.values()),
+            lambda r: lanes[r["k"]], variables,
+            emit=lambda r, ids, rk: got.append(r["i"]))
+        dt = time.time() - t0
+        print(f"mixed multi-lane {lane_sizes}: {n_req/dt:.0f} qps "
+              f"({stats['chunks']} chunks, {stats['refills']} refills)",
+              flush=True)
+        assert sorted(got) == list(range(n_req))
 
 
 if __name__ == "__main__":
