@@ -18,9 +18,16 @@ Request format (one JSON object per line):
      "seed": 7,                                   # optional (--continuous
                                                   # --decoding sample):
                                                   # per-request PRNG seed
-     "temperature": 0.7, "top_k": 40, "top_p": 0.9}  # optional per-request
+     "temperature": 0.7, "top_k": 40, "top_p": 0.9,  # optional per-request
                                                   # sampling controls
                                                   # (--request_controls)
+     "stream": true}                              # optional (--listen
+                                                  # --continuous): stream
+                                                  # token deltas as JSONL
+                                                  # lines while the row
+                                                  # decodes; final line
+                                                  # carries answer/ranking
+                                                  # + "done": true
 
 Response line (order preserved):
 
@@ -401,6 +408,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
     reqq: queue.Queue = queue.Queue()
     doneq: queue.Queue = queue.Queue(maxsize=max(args.pipeline_depth, 1))
     stop = object()
+    lane_holder: Dict[str, list] = {}   # multi-lane worker publishes lanes
 
     def fail_items(items, exc):
         # a bad request must not kill the serving threads: release its
@@ -413,6 +421,8 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
             p["resp"] = {"id": p["req"].get("id", p["seq"])
                          if isinstance(p["req"], dict) else p["seq"],
                          "error": str(exc)}
+            if "stream_q" in p:   # unblock a streaming handler too
+                p["stream_q"].put(dict(p["resp"], done=True))
             p["event"].set()
 
     def dispatcher():
@@ -471,6 +481,9 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                 item["resp"] = responses_for(
                     [item["req"]], cont["row_out"](ids_row, rank_row), dcfg,
                     default_ids=[item["seq"]])[0]
+                if "stream_q" in item:   # final authoritative line
+                    item["stream_q"].put(dict(item["resp"], done=True))
+                    last_sent.pop(id(item), None)
                 item["event"].set()
                 note_done([item])
                 with stats_lock:
@@ -484,6 +497,34 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
             with stats_lock:
                 stats["batches"] = chunks
 
+        # token streaming ("stream": true requests): after every chunk,
+        # push the newly decoded words of each live streaming row to its
+        # handler. Deltas are detokenized word fragments (wordpiece joins
+        # can differ across a fragment boundary); the final line carries
+        # the authoritative full answer + ranking.
+        import numpy as _np
+
+        from ..runtime.io import ids_to_words
+        detok = vocab.detokenizer()
+        last_sent: Dict[int, int] = {}   # id(item) -> words streamed
+
+        def stream_cb(st, slots):
+            import jax as _jax
+            live_s = [(r, s[1]) for r, s in enumerate(slots)
+                      if s is not None and "stream_q" in s[1]]
+            if not live_s:
+                return
+            out_h = _np.asarray(_jax.device_get(st["out"]))
+            trow_h = _np.asarray(_jax.device_get(st["trow"]))
+            for r, item in live_s:
+                words = ids_to_words(out_h[r][: int(trow_h[r])], vocab)
+                sent = last_sent.get(id(item), 0)
+                if len(words) > sent:
+                    item["stream_q"].put(
+                        {"id": item["req"].get("id", item["seq"]),
+                         "delta": detok(words[sent:])})
+                    last_sent[id(item)] = len(words)
+
         # the worker owns the device: a compile/device error must not
         # strand current waiters or future requests behind a dead thread
         # (the dispatcher/completer pair guards the same way)
@@ -493,15 +534,18 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                 lanes, route = _make_lanes(
                     cont, bs, cont["refill_size"], wrap=wrap_mb,
                     key=lambda p: len(p["req"].get("passages", [])))
+                lane_holder["lanes"] = lanes
                 run_continuous_multi(src, lanes, route, None, emit,
-                                     ordered=False, on_chunk=on_chunk)
+                                     ordered=False, on_chunk=on_chunk,
+                                     stream_cb=stream_cb)
             else:
                 cont["run"](src, wrap_mb(cont["make_batch"]), cont["init"],
                             cont["chunk"], cont["refill"], None, bs,
                             cont["refill_size"], emit,
                             args.max_target_length,
                             ordered=False, on_chunk=on_chunk,
-                            lookahead=cont["lookahead"])
+                            lookahead=cont["lookahead"],
+                            stream_cb=stream_cb)
         except Exception as e:
             print(f"[serve] continuous worker failed: {e!r}",
                   file=sys.stderr)
@@ -576,6 +620,15 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                         varz["request_latency_s"] = {
                             "p50": pct(0.50), "p90": pct(0.90),
                             "p99": pct(0.99), "n": len(ls)}
+                    if lane_holder:
+                        # racy-but-safe snapshot (GIL list reads) of each
+                        # continuous lane's live occupancy and queue depth
+                        varz["lanes"] = {
+                            str(ln.key): {
+                                "occupied": sum(s is not None
+                                                for s in ln.slots),
+                                "queued": len(ln.queue)}
+                            for ln in lane_holder["lanes"]}
                 self._send(200, (json.dumps(varz) + "\n").encode(),
                            "application/json")
             else:
@@ -596,6 +649,37 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
             if not reqs:
                 self._send(400, b"empty body\n", "text/plain")
                 return
+            if any(r.get("stream") for r in reqs):
+                # token streaming: JSONL lines flushed as the row decodes —
+                # {"id", "delta"} per chunk, then the authoritative
+                # {"id", "answer", "ranking", "done": true}. HTTP/1.0
+                # close-delimited body (no Content-Length); one streaming
+                # request per POST.
+                if cont is None or len(reqs) != 1:
+                    self._send(400, b"streaming requests need --continuous "
+                               b"serving and exactly one request per POST\n",
+                               "text/plain")
+                    return
+                with arrival_lock:
+                    item = {"req": reqs[0], "resp": None,
+                            "seq": next(arrival), "t_in": time.monotonic(),
+                            "event": threading.Event(),
+                            "stream_q": queue.Queue()}
+                reqq.put(item)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/jsonl")
+                self.end_headers()
+                while True:
+                    try:
+                        msg = item["stream_q"].get(
+                            timeout=args.request_timeout)
+                    except queue.Empty:
+                        msg = {"id": item["req"].get("id", item["seq"]),
+                               "error": "timed out", "done": True}
+                    self.wfile.write((json.dumps(msg) + "\n").encode())
+                    self.wfile.flush()
+                    if msg.get("done"):
+                        return
             with arrival_lock:
                 pend = [{"req": r, "resp": None, "seq": next(arrival),
                          "t_in": time.monotonic(),

@@ -174,7 +174,8 @@ def run_continuous(source,
                    emit: Callable[[dict, np.ndarray, np.ndarray], None],
                    max_len: int, ordered: bool = True,
                    on_chunk: Optional[Callable[[int], None]] = None,
-                   lookahead: bool = False) -> Dict[str, int]:
+                   lookahead: bool = False,
+                   stream_cb: Optional[Callable] = None) -> Dict[str, int]:
     """Drive the continuous decode loop over a request source.
 
     ``source`` is an ``IterSource``/``QueueSource`` (a plain iterator is
@@ -191,7 +192,13 @@ def run_continuous(source,
     device fetch overlaps the NEXT chunk's compute (hides the host
     roundtrip), at the cost of refills landing one chunk later and a
     non-donated (double-buffered) state — build the fns with
-    ``donate_state=False``. Emitted results are identical."""
+    ``donate_state=False``. Emitted results are identical.
+
+    ``stream_cb(state, slots)`` is called after every chunk, BEFORE the
+    harvest (token streaming: the callback can fetch ``out``/``trow`` and
+    push per-row token deltas to live clients; ``slots[r]`` is
+    ``(arrival_idx, request, rank)`` or None). A finished row's final
+    ``emit`` always follows its last delta on the same thread."""
     b = batch_size
     refill = max(1, min(refill, b))
     if not hasattr(source, "take"):
@@ -269,6 +276,8 @@ def run_continuous(source,
         stats["chunks"] += 1
         if on_chunk is not None:
             on_chunk(stats["chunks"])
+        if stream_cb is not None:
+            stream_cb(state, slots)
         done = np.asarray(jax.device_get(state["done"]))
         finished = [r for r in range(b) if slots[r] is not None and done[r]]
         if finished:
@@ -339,7 +348,8 @@ class Lane:
 def run_continuous_multi(source, lanes: List[Lane], route, variables,
                          emit: Callable[[dict, np.ndarray, np.ndarray], None],
                          ordered: bool = True,
-                         on_chunk: Optional[Callable[[int], None]] = None
+                         on_chunk: Optional[Callable[[int], None]] = None,
+                         stream_cb: Optional[Callable] = None
                          ) -> Dict[str, int]:
     """Drive several continuous lanes over one request source.
 
@@ -398,6 +408,8 @@ def run_continuous_multi(source, lanes: List[Lane], route, variables,
         if on_chunk is not None:
             on_chunk(stats["chunks"])
         for lane in active:
+            if stream_cb is not None:
+                stream_cb(lane.state, lane.slots)
             done = np.asarray(jax.device_get(lane.state["done"]))
             hit = [r for r in range(lane.b)
                    if lane.slots[r] is not None and done[r]]

@@ -17,9 +17,9 @@ from ..constants import BOS_WORD, EOS_WORD, PAD_WORD, UNK_WORD
 from ..data.vocab import Vocabulary
 
 
-def ids_to_sentence(ids: Sequence[int], vocab: Vocabulary) -> List[str]:
-    """Token ids -> words, skipping BOS/PAD, stopping at EOS; empty -> [UNK]
-    (ref: common/Utils.py:200-217)."""
+def ids_to_words(ids: Sequence[int], vocab: Vocabulary) -> List[str]:
+    """Token ids -> words, skipping BOS/PAD, stopping at EOS — WITHOUT the
+    empty->[UNK] filler (token streaming wants honest partial prefixes)."""
     words = []
     for i in ids:
         w = vocab.id2vocab.get(int(i), UNK_WORD)
@@ -28,7 +28,13 @@ def ids_to_sentence(ids: Sequence[int], vocab: Vocabulary) -> List[str]:
         if w == EOS_WORD:
             break
         words.append(w)
-    return words or [UNK_WORD]
+    return words
+
+
+def ids_to_sentence(ids: Sequence[int], vocab: Vocabulary) -> List[str]:
+    """Token ids -> words, skipping BOS/PAD, stopping at EOS; empty -> [UNK]
+    (ref: common/Utils.py:200-217)."""
+    return ids_to_words(ids, vocab) or [UNK_WORD]
 
 
 def remove_duplicate_once(sents: List[List[str]], n: int = 3) -> bool:

@@ -527,6 +527,31 @@ def test_serve_http_continuous(workspace, tmp_path):
     assert varz["continuous"] is True
     assert varz["requests_served"] >= 3
     assert varz["errors"] >= 1
+
+    # token streaming: "stream": true returns JSONL delta lines while the
+    # row decodes, then the authoritative final line — identical payload
+    # to the non-streaming response for the same request
+    sreq = dict(ra, id="s1", stream=True)
+    sdata = (json.dumps(sreq) + "\n").encode()
+    with urllib.request.urlopen(
+            urllib.request.Request(base + "/", data=sdata, method="POST"),
+            timeout=600) as r:
+        assert r.status == 200
+        slines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert slines[-1].get("done") is True
+    final = {k: v for k, v in slines[-1].items() if k != "done"}
+    assert final == dict(ref["a1"], id="s1")
+    deltas = [l for l in slines[:-1] if "delta" in l]
+    if final["answer"] != "[UNK]":   # non-empty answer -> at least 1 delta
+        assert deltas, f"no streamed deltas before the final line: {slines}"
+    assert all(isinstance(d["delta"], str) and d["delta"] for d in deltas)
+    # streaming on a non-continuous server / multi-request POST is a 400
+    try:
+        urllib.request.urlopen(urllib.request.Request(
+            base + "/", data=sdata + sdata, method="POST"), timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
     holder["server"].shutdown()
 
     # --continuous x --pool_buckets over HTTP: multi-lane worker; compare
@@ -572,6 +597,11 @@ def test_serve_http_continuous(workspace, tmp_path):
         th.join(timeout=600)
     for k, rid in (("a", "a1"), ("b", "b1"), ("c", "c1")):
         assert results2[k][0] == ref3[rid], f"lane result differs for {rid}"
+    with urllib.request.urlopen(base + "/varz", timeout=30) as r:
+        varz2 = json.loads(r.read().decode())
+    assert set(varz2["lanes"]) == {"2", "4"}   # per-lane occupancy stats
+    assert all(v["occupied"] == 0 and v["queued"] == 0
+               for v in varz2["lanes"].values())
     holder2["server"].shutdown()
 
 
