@@ -167,6 +167,13 @@ def build_parser():
                         "answers are reproducible per request regardless "
                         "of batch composition or refill timing")
     p.add_argument("--sample_seed", type=int, default=123456)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every serving program before reading "
+                        "input / binding --listen (one synthetic request "
+                        "per pool bucket x batch width; first CaSE compile "
+                        "is 200-500 s on TPU — readiness beats surprising "
+                        "the first client; warm restarts hit the "
+                        "persistent compilation cache)")
     p.add_argument("--request_controls", action="store_true",
                    help="--continuous --decoding sample: honor per-request "
                         "\"temperature\"/\"top_k\"/\"top_p\" fields — each "
@@ -983,6 +990,48 @@ def main(argv=None, _server_ready=None):
                 k: cont_make_batch_for(
                     dataclasses.replace(dcfg, num_passage=k))
                 for k in cbuckets}
+
+    if args.warmup:
+        # compile every serving program BEFORE accepting traffic (first
+        # CaSE compile is 200-500 s on TPU — readiness beats surprising
+        # the first client). Exercises the exact serving paths with a
+        # synthetic request per (pool bucket x batch width); the
+        # persistent compilation cache makes warm restarts cheap.
+        import time as _time
+        t0 = _time.time()
+
+        def warm_req(k):
+            # explicit seed: keep the sampled-serving arrival-counter key
+            # stream identical with and without --warmup
+            return {"query": "warm up", "passages": ["warm up ."] * k,
+                    "seed": 0}
+
+        pools = cont["buckets"] if cont is not None and "buckets" in cont \
+            else (_parse_buckets(args.pool_buckets, dcfg.num_passage)
+                  if args.pool_buckets else [dcfg.num_passage])
+        if cont is not None:
+            mbs = cont["make_batch_for"] if "buckets" in cont else \
+                {pools[0]: cont["make_batch"]}
+            for k, mb in mbs.items():
+                for width in {bs, args.refill}:
+                    st, _ = cont["init"](None, mb([warm_req(k)], width))
+                    if width == bs:
+                        jax.block_until_ready(
+                            jax.tree_util.tree_leaves(
+                                cont["chunk"](None, st))[0])
+        else:
+            import dataclasses as _dc
+            for k in pools:
+                dk = _dc.replace(dcfg, num_passage=k)
+                for width in bbuckets:
+                    batch = _chunk_to_batch([warm_req(k)], args.model,
+                                            vocab, dk, width)
+                    ensure_params(batch)
+                    jax.block_until_ready(
+                        jax.tree_util.tree_leaves(run_predict(batch))[0])
+        kind = "continuous" if cont is not None else "predict"
+        print(f"[serve] warmup compiled {kind} programs (pools {pools}) "
+              f"in {_time.time()-t0:.0f}s", file=sys.stderr)
 
     if args.listen:
         _serve_http(args, dcfg, ensure_params, responses_for, run_predict,

@@ -301,14 +301,17 @@ def test_serve_cli(workspace, tmp_path):
     # (rA -> lane 4; rB/rC/rD/rE -> lane 2, refilling mid-flight through
     # a 2-slot state); answers/rankings byte-identical to the plain
     # bucketed run, emitted in input order
+    # (--warmup on both: precompiling the serving programs up front must
+    # not change any output)
     bucket3_path = str(tmp_path / "resp_bucket3.jsonl")
     serve_main(common + ["--input", req3_path, "--output", bucket3_path,
-                         "--num_passage", "4", "--pool_buckets", "2,4"])
+                         "--num_passage", "4", "--pool_buckets", "2,4",
+                         "--warmup"])
     contb_path = str(tmp_path / "resp_cont_bucket.jsonl")
     serve_main(common + ["--input", req3_path, "--output", contb_path,
                          "--num_passage", "4", "--pool_buckets", "2,4",
                          "--continuous", "--batch_size", "2",
-                         "--chunk_steps", "2", "--refill", "1"])
+                         "--chunk_steps", "2", "--refill", "1", "--warmup"])
     assert [json.loads(l) for l in open(contb_path)] == \
         [json.loads(l) for l in open(bucket3_path)]
 
