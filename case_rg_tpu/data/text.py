@@ -119,7 +119,7 @@ class WordPieceTokenizer:
             if native is not None:
                 ids = native.tokenize_ids(text, self.lower, self.max_chars)
                 words = self._words
-                return [words[i] for i in ids]
+                return [words[i] for i in ids.tolist()]
         out: List[str] = []
         for tok in basic_tokenize(text, lower=self.lower):
             out.extend(self.wordpiece(tok))

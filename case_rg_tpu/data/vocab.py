@@ -48,13 +48,26 @@ class Vocabulary:
         return self.vocab2id.get(word, self.unk_id)
 
     def ids(self, words: Iterable[str]) -> List[int]:
-        return [self.get(w) for w in words]
+        # hot loop (every featurized token passes through here): bind the
+        # dict lookup once instead of a method call per token
+        get = self.vocab2id.get
+        unk = self.unk_id
+        return [get(w, unk) for w in words]
 
     def words(self, ids: Iterable[int]) -> List[str]:
         return [self.id2vocab.get(int(i), UNK_WORD) for i in ids]
 
     def tokenizer(self) -> WordPieceTokenizer:
-        return WordPieceTokenizer(self.vocab2id, unk_word=UNK_WORD)
+        # cached: the tokenizer lazily builds a native wordpiece table
+        # (~10 ms for a BERT-size vocab) that serving would otherwise
+        # rebuild per request chunk. NOTE: the native tokenizer reuses an
+        # output buffer — call it from one thread at a time (every serving
+        # path featurizes on a single dispatcher/worker thread).
+        tok = getattr(self, "_tokenizer", None)
+        if tok is None:
+            tok = WordPieceTokenizer(self.vocab2id, unk_word=UNK_WORD)
+            self._tokenizer = tok
+        return tok
 
     @staticmethod
     def detokenizer():
