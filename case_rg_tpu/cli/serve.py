@@ -250,30 +250,52 @@ def build_parser():
 def featurize_requests(requests: List[dict], model: str, vocab: Vocabulary,
                        dcfg: DataConfig) -> Dict[str, np.ndarray]:
     """Requests -> the same fixed-shape arrays the offline pipeline emits
-    (tokenization mirrors data/loaders.load_query/load_passage)."""
+    (tokenization mirrors data/loaders.load_query/load_passage).
+
+    All texts of the chunk (queries, history turns, passage sentences) are
+    tokenized in ONE native batch call — the per-sentence ctypes crossing
+    dominated the host featurizer at device-rate serving (docs/PERF.md)."""
     tok = vocab.tokenizer()
-    query: Dict[str, List[str]] = {}
-    passage: Dict[str, List[str]] = {}
-    samples = []
+    texts: List[str] = []
+    meta = []   # per request: (query_i, [hist_i], [[sent_i per passage]])
     for i, req in enumerate(requests):
-        qid = f"q{i}"
-        query[qid] = tok(req.get("query", ""))
-        ctx_ids = []
-        for j, h in enumerate(req.get("history", [])):
-            cid = f"q{i}_h{j}"
-            query[cid] = tok(h)
-            ctx_ids.append(cid)
-        pool = []
+        qi = len(texts)
+        texts.append(req.get("query", ""))
+        his = []
+        for h in req.get("history", []):
+            his.append(len(texts))
+            texts.append(h)
         n_pass = len(req.get("passages", []))
         if n_pass > dcfg.num_passage:
             print(f"[serve] warning: request {req.get('id', i)!r} has "
                   f"{n_pass} passages; only the first {dcfg.num_passage} "
                   "are scored (raise --num_passage to cover the pool)",
                   file=sys.stderr)
-        for j, ptext in enumerate(req.get("passages", [])):
+        ps = []
+        for ptext in req.get("passages", []):
+            sidx = []
+            for sent in split_sentences(ptext):
+                sidx.append(len(texts))
+                texts.append(sent)
+            ps.append(sidx)
+        meta.append((qi, his, ps))
+    toked = tok.batch(texts)
+
+    query: Dict[str, List[str]] = {}
+    passage: Dict[str, List[str]] = {}
+    samples = []
+    for i, (qi, his, ps) in enumerate(meta):
+        qid = f"q{i}"
+        query[qid] = toked[qi]
+        ctx_ids = []
+        for j, hi in enumerate(his):
+            cid = f"q{i}_h{j}"
+            query[cid] = toked[hi]
+            ctx_ids.append(cid)
+        pool = []
+        for j, sidx in enumerate(ps):
             pid = f"p{i}_{j}"
-            joined = " [SEP] ".join(
-                " ".join(tok(sent)) for sent in split_sentences(ptext))
+            joined = " [SEP] ".join(" ".join(toked[s]) for s in sidx)
             passage[pid] = joined.split(" ") if joined else []
             pool.append(pid)
         samples.append({"query_id": qid, "context_id": ctx_ids,

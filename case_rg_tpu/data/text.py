@@ -125,6 +125,24 @@ class WordPieceTokenizer:
             out.extend(self.wordpiece(tok))
         return out
 
+    def batch(self, texts: List[str]) -> List[List[str]]:
+        """Tokenize many texts with one native call — byte-identical to
+        ``[self(t) for t in texts]`` (tests/test_native.py). Any non-ASCII
+        text (or no native library) falls back to the per-text path."""
+        if texts and all(t.isascii() for t in texts):
+            native = self._native_tokenizer()
+            if native is not None:
+                ids, lens = native.tokenize_ids_batch(texts, self.lower,
+                                                      self.max_chars)
+                words = self._words
+                toks = [words[i] for i in ids.tolist()]
+                out, pos = [], 0
+                for ln in lens.tolist():
+                    out.append(toks[pos:pos + ln])
+                    pos += ln
+                return out
+        return [self(t) for t in texts]
+
 
 def bert_detokenize(tokens: Iterable[str]) -> str:
     """' '.join then merge '##' continuations (ref: common/Utils.py:39-42)."""

@@ -70,6 +70,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, i32p, ctypes.c_int]
         lib.wp_tokenize.restype = ctypes.c_int
+        lib.wp_tokenize_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, i32p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, i32p]
+        lib.wp_tokenize_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -119,6 +123,24 @@ class NativeWordPiece:
                                       self._buf, len(self._buf))
             if n >= 0:
                 return self._buf[:n].copy()
+            self._buf = np.zeros(len(self._buf) * 2, np.int32)
+
+    def tokenize_ids_batch(self, texts, lower: bool = True,
+                           max_chars: int = 100):
+        """Tokenize many ASCII texts with ONE native call (the per-call
+        ctypes crossing dominates once the tokenizer itself is C++).
+        Returns (flat ids [sum lens] int32, per-text lens [n] int32)."""
+        blob = "".join(texts).encode("ascii")   # caller guarantees ASCII
+        offs = np.zeros(len(texts) + 1, np.int32)
+        if texts:
+            offs[1:] = np.cumsum([len(t) for t in texts])
+        lens = np.zeros(max(len(texts), 1), np.int32)
+        while True:
+            n = self._lib.wp_tokenize_batch(
+                self._h, blob, offs, len(texts), 1 if lower else 0,
+                max_chars, self._buf, len(self._buf), lens)
+            if n >= 0:
+                return self._buf[:n].copy(), lens[: len(texts)].copy()
             self._buf = np.zeros(len(self._buf) * 2, np.int32)
 
     def __del__(self):

@@ -247,4 +247,25 @@ int wp_tokenize(void* h, const char* text, int text_len, int lower,
   return n;
 }
 
+// Batched wp_tokenize: texts arrive concatenated in `blob`, text i spanning
+// bytes [offsets[i], offsets[i+1]). Ids are written consecutively into
+// `out`; per-text counts land in `out_lens`. Returns the total id count,
+// or -1 if out_cap was too small (caller grows the buffer and retries).
+// One ctypes crossing per CHUNK instead of per sentence — the crossing
+// overhead dominated the serving featurizer once the tokenizer itself was
+// native (docs/PERF.md).
+int wp_tokenize_batch(void* h, const char* blob, const int32_t* offsets,
+                      int n_texts, int lower, int max_chars,
+                      int32_t* out, int out_cap, int32_t* out_lens) {
+  int total = 0;
+  for (int i = 0; i < n_texts; ++i) {
+    int n = wp_tokenize(h, blob + offsets[i], offsets[i + 1] - offsets[i],
+                        lower, max_chars, out + total, out_cap - total);
+    if (n < 0) return -1;
+    out_lens[i] = n;
+    total += n;
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -84,6 +84,14 @@ def test_native_wordpiece_matches_python():
     assert tok("café whales") == tok_py("café whales")
     assert "cafe" in " ".join(tok("café")) or tok("café")
 
+    # batched tokenization (one ctypes crossing per chunk) is byte-identical
+    # to per-text calls, preserves order/empties, and a non-ASCII member
+    # sends the whole batch down the per-text fallback with equal output
+    batches = [texts, [], [""], ["a", "", "whales."],
+               ["café whales", "the ocean"]]
+    for b in batches:
+        assert tok.batch(b) == [tok(t) for t in b], repr(b[:3])
+
 
 @pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
 def test_native_wordpiece_faster_than_python():
