@@ -72,15 +72,32 @@ def load_qrel(path: str) -> Dict[str, str]:
     return qrel
 
 
+def _batch_tokenize(tokenizer: Tokenizer, texts: List[str],
+                    chunk: int = 8192) -> List[List[str]]:
+    """Tokenize many texts, using the tokenizer's batched native call when
+    it has one (one ctypes crossing per ``chunk`` texts — corpus-scale
+    prep and serving featurization are dominated by per-call overhead
+    otherwise, docs/PERF.md). Byte-identical to mapping the tokenizer."""
+    bat = getattr(tokenizer, "batch", None)
+    if bat is None:
+        return [tokenizer(t) for t in texts]
+    out: List[List[str]] = []
+    for i in range(0, len(texts), chunk):
+        out.extend(bat(texts[i:i + chunk]))
+    return out
+
+
 def load_query(path: str, tokenizer: Tokenizer) -> Dict[str, List[str]]:
-    query: Dict[str, List[str]] = {}
+    qids: List[str] = []
+    texts: List[str] = []
     with open(path, encoding="utf-8") as f:
         next(f)
         for line in f:
             parts = line.strip("\n").strip("\r").split("\t")
             if len(parts) == 2:
-                query[parts[0]] = tokenizer(parts[1])
-    return query
+                qids.append(parts[0])
+                texts.append(parts[1])
+    return dict(zip(qids, _batch_tokenize(tokenizer, texts)))
 
 
 def load_passage(path: str, pool: Optional[Dict[str, List[str]]],
@@ -91,15 +108,22 @@ def load_passage(path: str, pool: Optional[Dict[str, List[str]]],
     if pool is not None:
         for pids in pool.values():
             poolset.update(pids)
-    passages: Dict[str, List[str]] = {}
+    rows: List[Tuple[str, int, int]] = []   # (pid, first sent idx, n sents)
+    texts: List[str] = []
     with open(path, encoding="utf-8") as f:
         next(f)
         for line in f:
             parts = line.strip("\n").strip("\r").split("\t")
             if len(parts) == 2 and (pool is None or parts[0] in poolset):
-                joined = " [SEP] ".join(
-                    " ".join(tokenizer(sent)) for sent in split_sentences(parts[1]))
-                passages[parts[0]] = joined.split(" ") if joined else []
+                sents = split_sentences(parts[1])
+                rows.append((parts[0], len(texts), len(sents)))
+                texts.extend(sents)
+    toked = _batch_tokenize(tokenizer, texts)
+    passages: Dict[str, List[str]] = {}
+    for pid, first, n in rows:
+        joined = " [SEP] ".join(
+            " ".join(t) for t in toked[first:first + n])
+        passages[pid] = joined.split(" ") if joined else []
     return passages
 
 
