@@ -272,7 +272,10 @@ def featurize_requests(requests: List[dict], model: str, vocab: Vocabulary,
                   "are scored (raise --num_passage to cover the pool)",
                   file=sys.stderr)
         ps = []
-        for ptext in req.get("passages", []):
+        # passages beyond the pool size are discarded by featurize() —
+        # don't pay to sentence-split/tokenize them (the warning above
+        # already fired)
+        for ptext in req.get("passages", [])[: dcfg.num_passage]:
             sidx = []
             for sent in split_sentences(ptext):
                 sidx.append(len(texts))
@@ -512,13 +515,17 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                     default_ids=[item["seq"]])[0]
                 if "stream_q" in item:   # final authoritative line
                     item["stream_q"].put(dict(item["resp"], done=True))
-                    last_sent.pop(id(item), None)
                 item["event"].set()
                 note_done([item])
                 with stats_lock:
                     stats["requests"] += 1
             except Exception as e:
                 fail_items([item], e)
+            finally:
+                # drop the streaming cursor on BOTH outcomes (seq keys are
+                # never reused, so a missed pop could only leak, not
+                # poison a later stream — but don't leak either)
+                last_sent.pop(item["seq"], None)
             if item in live:
                 live.remove(item)
 
@@ -535,7 +542,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
 
         from ..runtime.io import ids_to_words
         detok = vocab.detokenizer()
-        last_sent: Dict[int, int] = {}   # id(item) -> words streamed
+        last_sent: Dict[int, int] = {}   # item seq -> words streamed
 
         def stream_cb(st, slots):
             import jax as _jax
@@ -547,12 +554,12 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
             trow_h = _np.asarray(_jax.device_get(st["trow"]))
             for r, item in live_s:
                 words = ids_to_words(out_h[r][: int(trow_h[r])], vocab)
-                sent = last_sent.get(id(item), 0)
+                sent = last_sent.get(item["seq"], 0)
                 if len(words) > sent:
                     item["stream_q"].put(
                         {"id": item["req"].get("id", item["seq"]),
                          "delta": detok(words[sent:])})
-                    last_sent[id(item)] = len(words)
+                    last_sent[item["seq"]] = len(words)
 
         # the worker owns the device: a compile/device error must not
         # strand current waiters or future requests behind a dead thread
@@ -958,19 +965,16 @@ def main(argv=None, _server_ready=None):
 
         def request_ctls(chunk, width):
             """Per-row (temperature, top_k, top_p), request fields
-            overriding the global flags; validated here so a bad value
-            fails only its own featurize chunk (error isolation)."""
+            overriding the global flags; validated here (same checks as
+            the device pipeline — decode/loops.validate_controls) so a
+            bad value fails only its own featurize chunk."""
+            from ..decode.loops import validate_controls
             cs = []
             for r in chunk:
                 t = float(r.get("temperature", args.temperature))
                 k = int(r.get("top_k", args.top_k))
                 tp = float(r.get("top_p", args.top_p))
-                if t <= 0.0:
-                    raise ValueError(f"temperature must be > 0, got {t}")
-                if not 0.0 < tp <= 1.0:
-                    raise ValueError(f"top_p must be in (0, 1], got {tp}")
-                if k < 0:
-                    raise ValueError(f"top_k must be >= 0, got {k}")
+                validate_controls(t, k, tp)
                 cs.append((t, float(k), tp))
             cs += [cs[-1]] * (width - len(cs))
             return np.asarray(cs, np.float32)

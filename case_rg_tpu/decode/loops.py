@@ -30,6 +30,17 @@ import jax.numpy as jnp
 StepFn = Callable[[object, jnp.ndarray], Tuple[jnp.ndarray, object]]
 
 
+def validate_controls(temperature: float, top_k: int, top_p: float) -> None:
+    """Shared range checks for sampling controls (device pipeline and the
+    serving CLI's per-request validation stay in lockstep)."""
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0, got {top_k}")
+
+
 def sampling_controls(logits: jnp.ndarray, temperature: float = 1.0,
                       top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:
     """Standard sampling controls on [B, V] f32 logits (all opt-in; the
@@ -37,12 +48,7 @@ def sampling_controls(logits: jnp.ndarray, temperature: float = 1.0,
     masked positions set to -inf. The reference has no sampling controls
     (its sampler is plain Categorical — common/Utils.py:90-95), so this is
     a capability extension, gated off by default for parity."""
-    if temperature <= 0.0:
-        raise ValueError(f"temperature must be > 0, got {temperature}")
-    if not 0.0 < top_p <= 1.0:
-        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
-    if top_k < 0:
-        raise ValueError(f"top_k must be >= 0, got {top_k}")
+    validate_controls(temperature, top_k, top_p)
     neg = jnp.asarray(-1e30, logits.dtype)
     if temperature != 1.0:
         logits = logits / jnp.asarray(temperature, logits.dtype)

@@ -114,9 +114,17 @@ class NativeWordPiece:
         self._h = lib.wp_create(blob, len(blob), unk_id)
         self._buf = np.zeros(4096, np.int32)
 
+    def _fit_buf(self, n_bytes: int) -> None:
+        # every emitted wordpiece id consumes >= 1 source character, so
+        # the id count is bounded by the input byte length — size the
+        # buffer once instead of tokenize-retry-doubling
+        if len(self._buf) < n_bytes:
+            self._buf = np.zeros(n_bytes, np.int32)
+
     def tokenize_ids(self, text: str, lower: bool = True,
                      max_chars: int = 100) -> np.ndarray:
         data = text.encode("ascii")   # caller guarantees ASCII
+        self._fit_buf(len(data))
         while True:
             n = self._lib.wp_tokenize(self._h, data, len(data),
                                       1 if lower else 0, max_chars,
@@ -135,6 +143,7 @@ class NativeWordPiece:
         if texts:
             offs[1:] = np.cumsum([len(t) for t in texts])
         lens = np.zeros(max(len(texts), 1), np.int32)
+        self._fit_buf(len(blob))
         while True:
             n = self._lib.wp_tokenize_batch(
                 self._h, blob, offs, len(texts), 1 if lower else 0,
