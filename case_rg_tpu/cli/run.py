@@ -109,6 +109,16 @@ def build_parser():
                    help="initialize jax.distributed for multi-host meshes "
                         "(replaces torch.distributed.launch; ref run.sh:21)")
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--early_stop", type=int, default=0,
+                   help="stop training once the per-epoch dev loss "
+                        "(--dev_eval) hasn't improved for this many "
+                        "consecutive epochs; 0 = train the full --epoch "
+                        "count (the reference always does). The best "
+                        "epoch is recorded in model/best.json either way")
+    p.add_argument("--best_only", action="store_true",
+                   help="--mode test: decode only the best-dev-loss epoch "
+                        "(model/best.json, written by --dev_eval training) "
+                        "instead of every checkpoint")
     p.add_argument("--dev_eval", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="deterministic dev loss after every training epoch "
@@ -212,9 +222,12 @@ def train(args):
             eval_arrays, _, _, _ = load_prepared(prepared, "dev", args.model)
             if len(eval_arrays["id"]) == 0:
                 eval_arrays = None
+    if args.early_stop and eval_arrays is None:
+        raise SystemExit("--early_stop needs --dev_eval and a prepared dev "
+                         "split")
     trainer.fit(state, arrays, args.epoch, output, seed=args.seed,
                 start_epoch=start_epoch, profile_dir=args.profile_dir,
-                eval_arrays=eval_arrays)
+                eval_arrays=eval_arrays, early_stop=args.early_stop)
 
 
 def test(args):
@@ -254,8 +267,19 @@ def test(args):
         print("[run] no dev/test splits prepared; nothing to do", flush=True)
         return
 
+    epochs_to_test = range(args.epoch)
+    if args.best_only:
+        from ..train.checkpoint import best_epoch
+        be = best_epoch(output)
+        if be is None:
+            raise SystemExit("--best_only: no model/best.json under "
+                             f"{output} (train with --dev_eval first)")
+        print(f"[run] test best epoch only: {be} (model/best.json)",
+              flush=True)
+        epochs_to_test = [be]
+
     sample = None
-    for epoch in range(args.epoch):
+    for epoch in epochs_to_test:
         if not checkpoint_exists(output, epoch):
             continue
         if sample is None:

@@ -109,8 +109,10 @@ def build_parser():
                    help="prepared dir holding vocab.txt (+ freq.json)")
     p.add_argument("--output_path", type=str, required=True,
                    help="training output dir holding model/ checkpoints")
-    p.add_argument("--epoch", type=int, default=None,
-                   help="checkpoint epoch (default: latest)")
+    p.add_argument("--epoch", type=str, default=None,
+                   help="checkpoint epoch (default: latest); 'best' serves "
+                        "the best-dev-loss epoch (model/best.json, written "
+                        "by --dev_eval training)")
     p.add_argument("--input", type=str, default="-")
     p.add_argument("--output", type=str, default="-")
     p.add_argument("--batch_size", type=int, default=64)
@@ -796,8 +798,20 @@ def main(argv=None, _server_ready=None):
     mcfg = build_model_cfg(base, args.model, vocab)
     model = create_model(args.model, mcfg)
 
-    epoch = args.epoch if args.epoch is not None else \
-        latest_epoch(args.output_path)
+    if args.epoch is None:
+        epoch = latest_epoch(args.output_path)
+    elif args.epoch == "best":
+        from ..train.checkpoint import best_epoch
+        epoch = best_epoch(args.output_path)
+        if epoch is None:
+            raise SystemExit("--epoch best: no model/best.json under "
+                             f"{args.output_path} (train with --dev_eval)")
+    else:
+        try:
+            epoch = int(args.epoch)
+        except ValueError:
+            raise SystemExit(f"--epoch must be an integer or 'best'; got "
+                             f"{args.epoch!r}")
     if epoch is None or not checkpoint_exists(args.output_path, epoch):
         raise SystemExit(f"no checkpoint for epoch {epoch!r} under "
                          f"{args.output_path}/model")

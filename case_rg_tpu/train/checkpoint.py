@@ -86,6 +86,24 @@ def latest_epoch(output_path: str) -> Optional[int]:
         return json.load(f)["epoch"]
 
 
+def save_best(output_path: str, epoch: int, dev_total: float) -> None:
+    """Record the best-dev-loss epoch (written by Trainer.fit whenever the
+    per-epoch dev loss improves; consumed by ``--epoch best`` at serving
+    and ``run --mode test --best_only``)."""
+    d = os.path.join(output_path, "model")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "best.json"), "w") as f:
+        json.dump({"epoch": epoch, "dev_total": dev_total}, f)
+
+
+def best_epoch(output_path: str) -> Optional[int]:
+    p = os.path.join(output_path, "model", "best.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["epoch"]
+
+
 def load_checkpoint(output_path: str, epoch: int, target: Any) -> Any:
     """Backend auto-detected: ``{epoch}.ckpt`` file (msgpack) or
     ``{epoch}.orbax`` directory."""

@@ -31,7 +31,7 @@ from ..config import TrainConfig
 from ..data.batching import Batcher
 from ..runtime.mesh import make_mesh, replicated, shard_batch
 from .checkpoint import (checkpoint_exists, latest_epoch, load_checkpoint,
-                         save_checkpoint, wait_for_checkpoints)
+                         save_best, save_checkpoint, wait_for_checkpoints)
 from .schedule import cosine_hard_restarts_with_warmup
 
 
@@ -227,8 +227,15 @@ class Trainer:
     def fit(self, state: TrainState, arrays: Dict[str, np.ndarray],
             epochs: int, output_path: str, seed: int = 0,
             start_epoch: int = 0, profile_dir: Optional[str] = None,
-            eval_arrays: Optional[Dict[str, np.ndarray]] = None
-            ) -> TrainState:
+            eval_arrays: Optional[Dict[str, np.ndarray]] = None,
+            early_stop: int = 0) -> TrainState:
+        """``early_stop`` > 0 (needs ``eval_arrays``): stop once the dev
+        total loss hasn't improved for that many consecutive epochs. The
+        best epoch is recorded in model/best.json whenever the dev loss
+        improves (also with early_stop off) — serving's ``--epoch best``
+        and ``run --mode test --best_only`` read it. The reference always
+        trains the full 20 epochs and decodes every checkpoint to pick
+        one (CaSE/Run.py:31-62); dev-loss selection is ours."""
         from ..runtime.profiling import MetricsLogger, trace
 
         batcher = Batcher(arrays, self.tc.batch_size, shuffle=True, seed=seed,
@@ -237,6 +244,8 @@ class Trainer:
         rng = jax.random.PRNGKey(seed)
         logger = MetricsLogger(os.path.join(output_path, "metrics.jsonl")
                                if output_path else None)
+        best: Optional[tuple] = None   # (dev_total, epoch)
+        stale = 0
         try:
             with trace(profile_dir), PreemptionGuard() as guard:
                 for epoch in range(start_epoch, epochs):
@@ -256,6 +265,22 @@ class Trainer:
                               flush=True)
                         logger.log(int(jax.device_get(state.step)),
                                    {f"dev_{k}": v for k, v in dev.items()})
+                        total = float(dev.get("total",
+                                              next(iter(dev.values()))))
+                        if best is None or total < best[0]:
+                            best = (total, epoch)
+                            stale = 0
+                            if output_path and jax.process_index() == 0:
+                                save_best(output_path, epoch, total)
+                        else:
+                            stale += 1
+                            if early_stop and stale >= early_stop:
+                                print(f"[train] early stop after epoch "
+                                      f"{epoch}: no dev improvement for "
+                                      f"{early_stop} epochs (best epoch "
+                                      f"{best[1]}, dev {best[0]:.6f})",
+                                      flush=True)
+                                break
         except KeyboardInterrupt:
             # preemption (or ctrl-c routed through the guard): state salvaged
             # by train_epoch; exit the loop cleanly

@@ -269,3 +269,50 @@ def test_eval_losses_weighted_batch_mean():
     # determinism: identical on repeat
     again = trainer.eval_losses(state, arrays)
     assert got == again
+
+
+def test_fit_early_stop_and_best_json(tmp_path):
+    """fit(early_stop=N): training stops after N non-improving dev epochs
+    and model/best.json tracks the best epoch (scripted dev losses)."""
+    import os
+
+    from case_rg_tpu.data.batching import Batcher  # noqa: F401 (parity)
+    from case_rg_tpu.train.checkpoint import best_epoch, checkpoint_exists
+
+    rng = np.random.RandomState(11)
+    n = 8
+    arrays = {
+        "id": np.arange(n),
+        "context": rng.randint(1, V, size=(n, 6)).astype(np.int32),
+        "background": rng.randint(1, V, size=(n, 10)).astype(np.int32),
+        "response": rng.randint(4, V, size=(n, 5)).astype(np.int32),
+    }
+    model = create_model("s2sa", _cfg())
+    tc = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=1)
+    trainer = Trainer(model, tc, total_steps=50)
+    sample = {k: v for k, v in arrays.items() if k != "id"}
+    sample = dict(sample, sample_weight=np.ones(n, np.float32))
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+
+    script = iter([1.0, 0.9, 0.95, 0.96, 0.97, 0.5])
+    trainer.eval_losses = lambda st, arr: {"total": next(script)}
+
+    out = str(tmp_path / "es")
+    trainer.fit(state, arrays, epochs=6, output_path=out,
+                eval_arrays=arrays, early_stop=2)
+    # dev: 1.0, 0.9, 0.95, 0.96 -> stop after epoch 3 (2 stale epochs);
+    # epochs 4/5 (dev 0.97/0.5) never run
+    assert checkpoint_exists(out, 3)
+    assert not checkpoint_exists(out, 4)
+    assert best_epoch(out) == 1
+
+    # early_stop=0: full run, best.json still tracks the minimum
+    # (fresh state: the first fit's train steps donated the old buffers)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    script2 = iter([1.0, 0.9, 0.95, 0.2])
+    trainer.eval_losses = lambda st, arr: {"total": next(script2)}
+    out2 = str(tmp_path / "full")
+    trainer.fit(state, arrays, epochs=4, output_path=out2,
+                eval_arrays=arrays)
+    assert checkpoint_exists(out2, 3)
+    assert best_epoch(out2) == 3
