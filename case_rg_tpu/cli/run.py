@@ -36,7 +36,7 @@ def build_parser():
     p.add_argument("--model", type=str, required=True,
                    choices=["case", "masque", "glks", "tmemnet", "gttp", "s2sa"])
     p.add_argument("--mode", type=str, required=True,
-                   choices=["train", "test", "ps_train"])
+                   choices=["train", "test", "ps_train", "avg"])
     p.add_argument("--data_path", type=str, default="./dataset/")
     p.add_argument("--dataset", type=str, default="cast")
     p.add_argument("--prepared_dir", type=str, default=None)
@@ -119,6 +119,12 @@ def build_parser():
                    help="--mode test: decode only the best-dev-loss epoch "
                         "(model/best.json, written by --dev_eval training) "
                         "instead of every checkpoint")
+    p.add_argument("--avg_epochs", type=str, default="",
+                   help="--mode avg: comma-separated epochs to average "
+                        "(default: the last 3 existing checkpoints)")
+    p.add_argument("--avg_only", action="store_true",
+                   help="--mode test: decode only the averaged checkpoint "
+                        "(model/avg.ckpt, written by --mode avg)")
     p.add_argument("--dev_eval", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="deterministic dev loss after every training epoch "
@@ -268,7 +274,14 @@ def test(args):
         return
 
     epochs_to_test = range(args.epoch)
-    if args.best_only:
+    if args.avg_only:
+        if not checkpoint_exists(output, "avg"):
+            raise SystemExit("--avg_only: no model/avg.ckpt under "
+                             f"{output} (run --mode avg first)")
+        print("[run] test averaged checkpoint only (model/avg.ckpt)",
+              flush=True)
+        epochs_to_test = ["avg"]
+    elif args.best_only:
         from ..train.checkpoint import best_epoch
         be = best_epoch(output)
         if be is None:
@@ -361,6 +374,65 @@ def _predict_continuous(args, model, state, arrays):
         yield {"id": [i], "_indices": [i]}, out
 
 
+def average(args):
+    """--mode avg: write model/avg.ckpt — the uniform average of several
+    epoch checkpoints' params and EMA shadows. A classic eval-quality
+    lever the reference lacks (it only writes per-epoch raw checkpoints
+    and never applies even its EMA at eval —
+    common/CumulativeTrainer.py:80-86). Decode it with
+    ``--mode test --avg_only``; serve it with ``--epoch avg``."""
+    prepared, output, _unused, vocab, mcfg, model = setup(args,
+                                                          need_train=False)
+    if args.avg_epochs:
+        epochs = [int(x) for x in args.avg_epochs.split(",") if x]
+    else:
+        epochs = [e for e in range(args.epoch)
+                  if checkpoint_exists(output, e)][-3:]
+    missing = [e for e in epochs if not checkpoint_exists(output, e)]
+    if not epochs or missing:
+        raise SystemExit(f"--mode avg: no checkpoints to average "
+                         f"(epochs {epochs}, missing {missing})")
+    # compute-free restore template from any prepared split (shapes only)
+    sample = None
+    for split in ("train", "dev", "test"):
+        path = os.path.join(prepared, f"{split}.{args.model}.npz")
+        if os.path.exists(path):
+            arrays, _m, _v, _ = load_prepared(prepared, split, args.model)
+            if len(arrays["id"]):
+                from ..data.batching import Batcher
+                sample = next(Batcher(arrays, args.batch_size,
+                                      shuffle=False).epoch(0))
+                sample = {k: v for k, v in sample.items()
+                          if not k.startswith("_")}
+                break
+    if sample is None:
+        raise SystemExit("--mode avg: no prepared split to build the "
+                         "restore template from")
+    trainer = Trainer(model, TrainConfig(batch_size=args.batch_size,
+                                         output_path=output),
+                      total_steps=100)
+    template = jax.eval_shape(
+        lambda: trainer.init_state(jax.random.PRNGKey(0), sample))
+    states = [load_checkpoint(output, e, template) for e in epochs]
+
+    def mean_leaf(*xs):
+        x0 = np.asarray(xs[0])
+        if not np.issubdtype(x0.dtype, np.floating):
+            return np.asarray(xs[-1])   # counters keep the last epoch's
+        return np.mean(np.stack([np.asarray(x) for x in xs], 0),
+                       0).astype(x0.dtype)
+
+    tm = jax.tree_util.tree_map
+    state = states[-1].replace(
+        params=tm(mean_leaf, *[s.params for s in states]),
+        ema=tm(mean_leaf, *[s.ema for s in states]))
+    from ..train.checkpoint import save_checkpoint
+    save_checkpoint(output, "avg", state, jax.process_index(),
+                    update_latest=False)
+    print(f"[run] averaged epochs {epochs} -> {output}/model/avg.ckpt",
+          flush=True)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     np.random.seed(args.seed)
@@ -385,6 +457,8 @@ def main(argv=None):
         jax.distributed.initialize()
     if args.mode in ("train", "ps_train"):
         train(args)
+    elif args.mode == "avg":
+        average(args)
     else:
         test(args)
 

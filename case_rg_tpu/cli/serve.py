@@ -112,7 +112,8 @@ def build_parser():
     p.add_argument("--epoch", type=str, default=None,
                    help="checkpoint epoch (default: latest); 'best' serves "
                         "the best-dev-loss epoch (model/best.json, written "
-                        "by --dev_eval training)")
+                        "by --dev_eval training); 'avg' serves the "
+                        "averaged checkpoint (run --mode avg)")
     p.add_argument("--input", type=str, default="-")
     p.add_argument("--output", type=str, default="-")
     p.add_argument("--batch_size", type=int, default=64)
@@ -806,12 +807,14 @@ def main(argv=None, _server_ready=None):
         if epoch is None:
             raise SystemExit("--epoch best: no model/best.json under "
                              f"{args.output_path} (train with --dev_eval)")
+    elif args.epoch == "avg":
+        epoch = "avg"   # averaged checkpoint (run --mode avg)
     else:
         try:
             epoch = int(args.epoch)
         except ValueError:
-            raise SystemExit(f"--epoch must be an integer or 'best'; got "
-                             f"{args.epoch!r}")
+            raise SystemExit("--epoch must be an integer, 'best', or "
+                             f"'avg'; got {args.epoch!r}")
     if epoch is None or not checkpoint_exists(args.output_path, epoch):
         raise SystemExit(f"no checkpoint for epoch {epoch!r} under "
                          f"{args.output_path}/model")

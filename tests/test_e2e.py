@@ -59,6 +59,35 @@ def test_s2sa_full_pipeline(workspace, tmp_path):
     assert "ROUGE_L_F1" in some and "BLEU" in some and "METEOR" in some
     assert np.isfinite(some["ROUGE_L_F1"])
 
+    # best-epoch selection: best.json written by --dev_eval, --best_only
+    # decodes exactly that epoch
+    from case_rg_tpu.train.checkpoint import best_epoch
+    be = best_epoch(out)
+    assert be in (0, 1)
+    run_main(_run_args(root, out, "s2sa", "test", ["--best_only"]))
+    assert os.path.exists(os.path.join(
+        out, "result", f"toy_test_{be}.0.answer"))
+
+    # --mode avg: averaged checkpoint holds the mean of the epoch params;
+    # --avg_only decodes only it
+    run_main(_run_args(root, out, "s2sa", "avg", ["--avg_epochs", "0,1"]))
+    from flax import serialization
+
+    def params_of(tag):
+        with open(os.path.join(out, "model", f"{tag}.ckpt"), "rb") as f:
+            return serialization.msgpack_restore(f.read())["params"]
+
+    p0, p1, pa = params_of(0), params_of(1), params_of("avg")
+
+    def leaf(p):
+        return p["encoders"]["embedding"]["embedding"]
+
+    np.testing.assert_allclose(leaf(pa), (leaf(p0) + leaf(p1)) / 2.0,
+                               rtol=1e-6)
+    run_main(_run_args(root, out, "s2sa", "test", ["--avg_only"]))
+    assert os.path.exists(os.path.join(out, "result",
+                                       "toy_test_avg.0.answer"))
+
 
 def test_case_full_pipeline(workspace, tmp_path):
     from case_rg_tpu.cli.run import main as run_main
