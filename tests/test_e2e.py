@@ -110,6 +110,25 @@ def test_case_full_pipeline(workspace, tmp_path):
                        ["--epoch", "1", "--decoding", "sample",
                         "--temperature", "0.8", "--top_p", "0.9"]))
 
+    # StableHLO export: self-contained artifact (params baked in) whose
+    # outputs --check verifies equal the live predict program; the loader
+    # needs only jax + the blob
+    from case_rg_tpu.cli.export_model import main as export_main
+    from case_rg_tpu.runtime.exported import load_exported
+    art = str(tmp_path / "case_b4.shlo")
+    export_main(["--model", "case",
+                 "--prepared_dir", os.path.join(root, "toy", "prepared"),
+                 "--output_path", out, "--epoch", "0",
+                 "--embedding_size", "16", "--hidden_size", "16",
+                 "--num_heads", "2", "--max_target_length", "8",
+                 "--query_len", "24", "--passage_len", "24",
+                 "--num_passage", "4", "--batch_size", "4",
+                 "--out", art, "--check"])
+    assert os.path.exists(art) and os.path.exists(art + ".json")
+    sidecar = json.load(open(art + ".json"))
+    assert sidecar["model"] == "case" and "query" in sidecar["inputs"]
+    assert load_exported(art).platforms == ("cpu",)
+
     # offline continuous predict: result files identical to the batch path
     # (compare per-rank shards only — eval_main wrote merged .all.* files)
     import re
