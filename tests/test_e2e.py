@@ -692,3 +692,71 @@ def test_train_resume(workspace, tmp_path):
     # second invocation with 2 epochs resumes from epoch 1
     run_main(_run_args(root, out, "s2sa", "train", ["--epoch", "2"]))
     assert os.path.exists(os.path.join(out, "model", "1.ckpt"))
+
+
+def test_serve_multi(workspace, tmp_path):
+    """Multi-model router (cli/serve_multi.py): two single-model backends
+    in one process; requests route by their "model" field, responses merge
+    in input order and match single-model serving; streaming passes
+    through; /varz aggregates per backend."""
+    import threading
+    import urllib.request
+    from case_rg_tpu.cli.run import main as run_main
+    from case_rg_tpu.cli.serve_multi import main as multi_main
+    root = workspace
+    out_case = str(tmp_path / "mm_case")
+    out_s2sa = str(tmp_path / "mm_s2sa")
+    run_main(_run_args(root, out_case, "case", "train", ["--epoch", "1"]))
+    run_main(_run_args(root, out_s2sa, "s2sa", "train", ["--epoch", "1"]))
+
+    dims = ["--embedding_size", "16", "--hidden_size", "16",
+            "--num_heads", "2", "--max_target_length", "8",
+            "--query_len", "24", "--passage_len", "24",
+            "--num_passage", "4", "--continuous", "--batch_size", "2",
+            "--chunk_steps", "2", "--refill", "1"]
+    holder, ready = {}, threading.Event()
+
+    def on_ready(server):
+        holder["server"] = server
+        ready.set()
+
+    argv = ["--listen", "127.0.0.1:0",
+            "--prepared_dir", os.path.join(root, "toy", "prepared"),
+            "--backend", f"case={out_case}",
+            "--backend", f"s2sa={out_s2sa}", "--"] + dims
+    t = threading.Thread(target=multi_main, args=(argv,),
+                         kwargs={"_server_ready": on_ready}, daemon=True)
+    t.start()
+    assert ready.wait(timeout=300), "router did not come up"
+    base = "http://%s:%d" % holder["server"].server_address[:2]
+
+    ra = {"id": "rA", "query": "what is kinetic energy ?",
+          "passages": ["kinetic energy is the energy of motion .",
+                       "whales are large ocean mammals ."]}
+    rb = dict(ra, id="rB", model="s2sa")
+    data = "".join(json.dumps(r) + "\n" for r in (ra, rb)).encode()
+    req = urllib.request.Request(base + "/", data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert [l["id"] for l in lines] == ["rA", "rB"]
+    assert "ranking" in lines[0]          # case has a rank head
+    assert "ranking" not in lines[1]      # s2sa has none
+    assert all(l["answer"] for l in lines)
+
+    # streaming passes through the router chunk-by-chunk
+    sreq = dict(ra, id="sA", stream=True)
+    sdata = (json.dumps(sreq) + "\n").encode()
+    with urllib.request.urlopen(
+            urllib.request.Request(base + "/", data=sdata, method="POST"),
+            timeout=600) as r:
+        slines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert slines[-1].get("done") is True
+    assert slines[-1]["answer"] == lines[0]["answer"]
+
+    with urllib.request.urlopen(base + "/varz", timeout=60) as r:
+        varz = json.loads(r.read().decode())
+    assert set(varz) == {"case", "s2sa"}
+    assert varz["case"]["continuous"] is True
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        assert r.status == 200
+    holder["server"].shutdown()
