@@ -8,3 +8,12 @@ caches instead of the reference's per-step prefix recompute.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: `from case_rg_tpu import Pipeline` without importing jax at
+    # package-import time (CLI entry points configure backends first)
+    if name == "Pipeline":
+        from .pipeline import Pipeline
+        return Pipeline
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -102,13 +102,27 @@ from ..train.checkpoint import checkpoint_exists, latest_epoch, load_checkpoint
 
 def build_parser():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", type=str, required=True,
+    p.add_argument("--model", type=str, default=None,
                    choices=["case", "masque", "glks", "tmemnet", "gttp",
-                            "s2sa"])
+                            "s2sa"],
+                   help="required unless --from_export (the artifact "
+                        "sidecar names the model)")
     p.add_argument("--prepared_dir", type=str, required=True,
                    help="prepared dir holding vocab.txt (+ freq.json)")
-    p.add_argument("--output_path", type=str, required=True,
-                   help="training output dir holding model/ checkpoints")
+    p.add_argument("--output_path", type=str, default=None,
+                   help="training output dir holding model/ checkpoints "
+                        "(required unless --from_export)")
+    p.add_argument("--from_export", type=str, default="",
+                   help="serve a StableHLO artifact written by "
+                        "cli/export_model.py instead of a checkpoint: no "
+                        "model build, no checkpoint restore — params are "
+                        "baked into the artifact. Model, batch size, data "
+                        "shapes, decode length, and rank-only mode come "
+                        "from the <artifact>.json sidecar; flags that "
+                        "would change the compiled program (--continuous, "
+                        "--pool_buckets, --decoding sample, --bf16, ...) "
+                        "do not apply. The artifact is platform-tagged: "
+                        "serve it on the platform it was exported for")
     p.add_argument("--epoch", type=str, default=None,
                    help="checkpoint epoch (default: latest); 'best' serves "
                         "the best-dev-loss epoch (model/best.json, written "
@@ -768,6 +782,48 @@ def main(argv=None, _server_ready=None):
     args = build_parser().parse_args(argv)
     import jax
 
+    sidecar = None
+    if args.from_export:
+        # the artifact IS the compiled program: every flag that would
+        # change it is rejected, and its sidecar supplies the model name,
+        # batch size, data shapes, and decode config
+        for bad, name in [
+                (args.continuous, "--continuous"),
+                (args.pool_buckets, "--pool_buckets"),
+                (args.batch_buckets, "--batch_buckets"),
+                (args.pool_shard > 1, "--pool_shard"),
+                (args.decoding != "greedy", "--decoding sample"),
+                (args.request_controls, "--request_controls"),
+                (args.epoch is not None, "--epoch"),
+                (args.ema, "--ema"), (args.bf16, "--bf16"),
+                (args.bf16_scores, "--bf16_scores"),
+                (args.rank_only, "--rank_only"),
+                (args.model is not None, "--model"),
+                (args.output_path is not None, "--output_path")]:
+            if bad:
+                raise SystemExit(f"--from_export serves the artifact as "
+                                 f"exported; {name} does not apply (it is "
+                                 f"fixed by — or irrelevant to — the "
+                                 f"artifact)")
+        try:
+            with open(args.from_export + ".json", encoding="utf-8") as f:
+                sidecar = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            raise SystemExit(f"--from_export: cannot read sidecar "
+                             f"{args.from_export}.json: {e}")
+        args.model = sidecar["model"]
+        args.batch_size = int(sidecar["batch_size"])
+        args.max_target_length = int(sidecar["max_target_length"])
+        args.beam_width = int(sidecar.get("beam_width", 1))
+        args.rank_only = bool(sidecar.get("rank_only"))
+        d = sidecar["data"]
+        args.query_len = int(d["query_len"])
+        args.passage_len = int(d["passage_len"])
+        args.num_passage = int(d["num_passage"])
+    elif args.model is None or args.output_path is None:
+        raise SystemExit("--model and --output_path are required (unless "
+                         "--from_export)")
+
     if args.bf16_scores:
         from ..ops.attention import set_bf16_scores
         set_bf16_scores(True)
@@ -789,119 +845,141 @@ def main(argv=None, _server_ready=None):
                       answer_len=args.max_target_length,
                       min_window_size=args.min_window_size,
                       num_windows=args.num_windows)
-    base = ModelConfig(embedding_size=args.embedding_size,
-                       hidden_size=args.hidden_size, num_heads=args.num_heads,
-                       max_target_length=args.max_target_length,
-                       max_dec_len=args.max_target_length,
-                       beam_width=args.beam_width,
-                       min_window_size=args.min_window_size,
-                       num_windows=args.num_windows)
-    mcfg = build_model_cfg(base, args.model, vocab)
-    model = create_model(args.model, mcfg)
-
-    if args.epoch is None:
-        epoch = latest_epoch(args.output_path)
-    elif args.epoch == "best":
-        from ..train.checkpoint import best_epoch
-        epoch = best_epoch(args.output_path)
-        if epoch is None:
-            raise SystemExit("--epoch best: no model/best.json under "
-                             f"{args.output_path} (train with --dev_eval)")
-    elif args.epoch == "avg":
-        epoch = "avg"   # averaged checkpoint (run --mode avg)
-    else:
-        try:
-            epoch = int(args.epoch)
-        except ValueError:
-            raise SystemExit("--epoch must be an integer, 'best', or "
-                             f"'avg'; got {args.epoch!r}")
-    if epoch is None or not checkpoint_exists(args.output_path, epoch):
-        raise SystemExit(f"no checkpoint for epoch {epoch!r} under "
-                         f"{args.output_path}/model")
-
     bs = args.batch_size
     detok = vocab.detokenizer()
-    from ..train.trainer import Trainer
-    trainer = Trainer(model, TrainConfig(batch_size=bs,
-                                         output_path=args.output_path),
-                      total_steps=100)
-    try:
-        predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
-                                     args.beam_width,
-                                     early_exit=args.early_exit,
-                                     fast_argmax=args.fast_argmax,
-                                     decoding=args.decoding,
-                                     sample_seed=args.sample_seed,
-                                     temperature=args.temperature,
-                                     top_k=args.top_k, top_p=args.top_p,
-                                     rank_only=args.rank_only)
-    except ValueError as e:   # --rank_only on a model without a rank head
-        raise SystemExit(str(e))
-
-    bbuckets = _parse_buckets(args.batch_buckets, bs, "--batch_buckets") \
-        if args.batch_buckets else [bs]
-    if args.continuous:
-        # the refill bucket is a second batch shape the mesh must divide
-        args.refill = args.refill or max(bs // 4, 1)
-        if not 1 <= args.refill <= bs:
-            raise SystemExit(f"--refill must be in [1, batch_size]; got "
-                             f"{args.refill} (batch_size {bs})")
-        if args.chunk_steps < 1:
-            raise SystemExit(f"--chunk_steps must be >= 1; got "
-                             f"{args.chunk_steps}")
-        bbuckets = sorted(set(bbuckets + [args.refill]))
-
-    # serving mesh: batches shard over the data axis of THIS process's
-    # devices, params are replicated — the same dp layout trainer.predict
-    # uses for offline --mode test, so a multi-chip host serves multi-chip
-    # with no flag needed. The data-axis size divides every batch-bucket
-    # size (gcd), and on a single chip this degrades to a plain device_put.
-    # --pool_shard N additionally reserves N devices for the 'model' axis
-    # and shards the passage-pool axis over them (per-passage tower compute
-    # stays device-local; collectives only at the cross-passage joins).
-    import math
-    from functools import reduce
-    from ..runtime.mesh import local_mesh, replicated, shard_batch
-    pool_devices = max(1, args.pool_shard)
-    if pool_devices > 1:
-        pools = (_parse_buckets(args.pool_buckets, dcfg.num_passage)
-                 if args.pool_buckets else [dcfg.num_passage])
-        bad = [k for k in pools if k % pool_devices]
-        if bad:
-            raise SystemExit(
-                f"--pool_shard {pool_devices} must divide every served pool "
-                f"size; offending: {bad} (pool buckets {pools})")
-    mesh = local_mesh(reduce(math.gcd, bbuckets), model=pool_devices)
-
     params = None
     served = 0
 
-    def run_predict(batch):
-        return predict_fn({"params": params},
-                          shard_batch(mesh, batch,
-                                      pool_axis=pool_devices > 1))
+    if args.from_export:
+        # the artifact is the whole predict program with params baked in
+        # (cli/export_model.py): nothing to build, nothing to restore —
+        # jax + the blob serve. One fixed (batch_size x pool) shape.
+        from ..runtime.exported import load_exported
+        art = load_exported(args.from_export)
+        plats = [p.lower() for p in sidecar.get("platforms", [])]
+        backend = jax.default_backend().lower()
+        if plats and backend not in plats:
+            raise SystemExit(f"--from_export: artifact was exported for "
+                             f"platform(s) {plats}, this host runs "
+                             f"{backend!r} — re-export on the target "
+                             f"platform")
+        epoch = "export:" + str(sidecar.get("epoch"))
+        bbuckets = [bs]
 
-    def ensure_params(batch):
-        nonlocal params
-        if params is not None:
+        def run_predict(batch):
+            return art.call(batch)
+
+        def ensure_params(batch):
             return
-        # first chunk: build the restore template WITHOUT computing —
-        # eval_shape traces init_state abstractly (flax/orbax restore only
-        # need the tree structure + shapes), skipping the full train-losses
-        # init compile that used to dominate serving cold-start
-        template = jax.eval_shape(
-            lambda: trainer.init_state(jax.random.PRNGKey(0), batch))
-        state = load_checkpoint(args.output_path, epoch, template)
-        params = state.ema if args.ema else state.params
-        if args.bf16:
-            from ..train.precision import cast_params
-            params = cast_params(params)
-        # commit the tree to the device(s) ONCE (replicated over the
-        # serving mesh): host-numpy params would be re-uploaded on every
-        # predict call (~tens of MB through the relay per batch — measured
-        # as a 30x serving slowdown by tools/exp_http_load.py before this
-        # device_put)
-        params = jax.device_put(params, replicated(mesh))
+    else:
+        base = ModelConfig(embedding_size=args.embedding_size,
+                           hidden_size=args.hidden_size, num_heads=args.num_heads,
+                           max_target_length=args.max_target_length,
+                           max_dec_len=args.max_target_length,
+                           beam_width=args.beam_width,
+                           min_window_size=args.min_window_size,
+                           num_windows=args.num_windows)
+        mcfg = build_model_cfg(base, args.model, vocab)
+        model = create_model(args.model, mcfg)
+
+        if args.epoch is None:
+            epoch = latest_epoch(args.output_path)
+        elif args.epoch == "best":
+            from ..train.checkpoint import best_epoch
+            epoch = best_epoch(args.output_path)
+            if epoch is None:
+                raise SystemExit("--epoch best: no model/best.json under "
+                                 f"{args.output_path} (train with --dev_eval)")
+        elif args.epoch == "avg":
+            epoch = "avg"   # averaged checkpoint (run --mode avg)
+        else:
+            try:
+                epoch = int(args.epoch)
+            except ValueError:
+                raise SystemExit("--epoch must be an integer, 'best', or "
+                                 f"'avg'; got {args.epoch!r}")
+        if epoch is None or not checkpoint_exists(args.output_path, epoch):
+            raise SystemExit(f"no checkpoint for epoch {epoch!r} under "
+                             f"{args.output_path}/model")
+
+        from ..train.trainer import Trainer
+        trainer = Trainer(model, TrainConfig(batch_size=bs,
+                                             output_path=args.output_path),
+                          total_steps=100)
+        try:
+            predict_fn = make_predict_fn(model, mcfg, args.max_target_length,
+                                         args.beam_width,
+                                         early_exit=args.early_exit,
+                                         fast_argmax=args.fast_argmax,
+                                         decoding=args.decoding,
+                                         sample_seed=args.sample_seed,
+                                         temperature=args.temperature,
+                                         top_k=args.top_k, top_p=args.top_p,
+                                         rank_only=args.rank_only)
+        except ValueError as e:   # --rank_only on a model without a rank head
+            raise SystemExit(str(e))
+
+        bbuckets = _parse_buckets(args.batch_buckets, bs, "--batch_buckets") \
+            if args.batch_buckets else [bs]
+        if args.continuous:
+            # the refill bucket is a second batch shape the mesh must divide
+            args.refill = args.refill or max(bs // 4, 1)
+            if not 1 <= args.refill <= bs:
+                raise SystemExit(f"--refill must be in [1, batch_size]; got "
+                                 f"{args.refill} (batch_size {bs})")
+            if args.chunk_steps < 1:
+                raise SystemExit(f"--chunk_steps must be >= 1; got "
+                                 f"{args.chunk_steps}")
+            bbuckets = sorted(set(bbuckets + [args.refill]))
+
+        # serving mesh: batches shard over the data axis of THIS process's
+        # devices, params are replicated — the same dp layout trainer.predict
+        # uses for offline --mode test, so a multi-chip host serves multi-chip
+        # with no flag needed. The data-axis size divides every batch-bucket
+        # size (gcd), and on a single chip this degrades to a plain device_put.
+        # --pool_shard N additionally reserves N devices for the 'model' axis
+        # and shards the passage-pool axis over them (per-passage tower compute
+        # stays device-local; collectives only at the cross-passage joins).
+        import math
+        from functools import reduce
+        from ..runtime.mesh import local_mesh, replicated, shard_batch
+        pool_devices = max(1, args.pool_shard)
+        if pool_devices > 1:
+            pools = (_parse_buckets(args.pool_buckets, dcfg.num_passage)
+                     if args.pool_buckets else [dcfg.num_passage])
+            bad = [k for k in pools if k % pool_devices]
+            if bad:
+                raise SystemExit(
+                    f"--pool_shard {pool_devices} must divide every served pool "
+                    f"size; offending: {bad} (pool buckets {pools})")
+        mesh = local_mesh(reduce(math.gcd, bbuckets), model=pool_devices)
+
+        def run_predict(batch):
+            return predict_fn({"params": params},
+                              shard_batch(mesh, batch,
+                                          pool_axis=pool_devices > 1))
+
+        def ensure_params(batch):
+            nonlocal params
+            if params is not None:
+                return
+            # first chunk: build the restore template WITHOUT computing —
+            # eval_shape traces init_state abstractly (flax/orbax restore only
+            # need the tree structure + shapes), skipping the full train-losses
+            # init compile that used to dominate serving cold-start
+            template = jax.eval_shape(
+                lambda: trainer.init_state(jax.random.PRNGKey(0), batch))
+            state = load_checkpoint(args.output_path, epoch, template)
+            params = state.ema if args.ema else state.params
+            if args.bf16:
+                from ..train.precision import cast_params
+                params = cast_params(params)
+            # commit the tree to the device(s) ONCE (replicated over the
+            # serving mesh): host-numpy params would be re-uploaded on every
+            # predict call (~tens of MB through the relay per batch — measured
+            # as a 30x serving slowdown by tools/exp_http_load.py before this
+            # device_put)
+            params = jax.device_put(params, replicated(mesh))
 
     def responses_for(chunk, out, dcfg_k, default_ids=None) -> List[dict]:
         nonlocal served

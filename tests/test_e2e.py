@@ -129,6 +129,48 @@ def test_case_full_pipeline(workspace, tmp_path):
     assert sidecar["model"] == "case" and "query" in sidecar["inputs"]
     assert load_exported(art).platforms == ("cpu",)
 
+    # serve --from_export: the artifact serves without model code or a
+    # checkpoint (model/shapes from the sidecar); answers + rankings match
+    # checkpoint serving with the same fixed-cost decode
+    from case_rg_tpu.cli.serve import main as serve_main
+    prep = os.path.join(root, "toy", "prepared")
+    reqs = [{"id": "q1", "query": "what is kinetic energy ?",
+             "passages": ["kinetic energy is the energy of motion .",
+                          "whales are large ocean mammals ."]},
+            {"id": "q2", "query": "where do whales live ?",
+             "passages": ["whales are large ocean mammals ."],
+             "max_tokens": 4}]
+    rin = str(tmp_path / "reqs.jsonl")
+    with open(rin, "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in reqs)
+    r_exp = str(tmp_path / "resp_export.jsonl")
+    serve_main(["--prepared_dir", prep, "--from_export", art,
+                "--input", rin, "--output", r_exp])
+    r_live = str(tmp_path / "resp_live.jsonl")
+    serve_main(["--model", "case", "--prepared_dir", prep,
+                "--output_path", out, "--epoch", "0",
+                "--embedding_size", "16", "--hidden_size", "16",
+                "--num_heads", "2", "--max_target_length", "8",
+                "--query_len", "24", "--passage_len", "24",
+                "--num_passage", "4", "--batch_size", "4",
+                "--no-early_exit", "--input", rin, "--output", r_live])
+    got = [json.loads(l) for l in open(r_exp)]
+    want = [json.loads(l) for l in open(r_live)]
+    assert got == want
+    assert got[0]["id"] == "q1" and got[0]["answer"]
+    assert got[0]["ranking"] and len(got[1]["ranking"]) == 1
+
+    # flags fixed by the artifact are rejected, as is a missing --model
+    # without --from_export
+    for extra in (["--continuous"], ["--bf16"], ["--epoch", "1"],
+                  ["--model", "case"]):
+        with pytest.raises(SystemExit):
+            serve_main(["--prepared_dir", prep, "--from_export", art,
+                        "--input", rin, "--output", os.devnull] + extra)
+    with pytest.raises(SystemExit):
+        serve_main(["--prepared_dir", prep, "--input", rin,
+                    "--output", os.devnull])
+
     # offline continuous predict: result files identical to the batch path
     # (compare per-rank shards only — eval_main wrote merged .all.* files)
     import re
