@@ -139,6 +139,9 @@ def build_parser():
                    help="--continuous: decode steps between harvest/refill")
     p.add_argument("--refill", type=int, default=0,
                    help="--continuous: refill bucket size (0 = batch/4)")
+    p.add_argument("--refill_min", type=int, default=1,
+                   help="--continuous: coalesce refills — wait for this "
+                        "many free rows before a mid-flight refill")
     p.add_argument("--lookahead", action="store_true",
                    help="--continuous: keep one chunk dispatched ahead "
                         "(harvest fetch overlaps the next chunk's compute)")
@@ -366,7 +369,8 @@ def _predict_continuous(args, model, state, arrays):
                    lambda _, st: chunk_fn(variables, st),
                    refill_fn, None, args.batch_size, refill,
                    emit=lambda r, ids, rk: collected.append((r["i"], ids, rk)),
-                   max_len=args.max_target_length, lookahead=args.lookahead)
+                   max_len=args.max_target_length, lookahead=args.lookahead,
+                   refill_min=max(1, min(args.refill_min, refill)))
     for i, ids, rk in collected:
         out = {"answer": ids[None]}
         if rk is not None:

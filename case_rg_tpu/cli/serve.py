@@ -222,6 +222,12 @@ def build_parser():
                         "the harvest fetch overlaps the next chunk's "
                         "compute (hides the host roundtrip; refills land "
                         "one chunk later, state is double-buffered)")
+    p.add_argument("--refill_min", type=int, default=1,
+                   help="--continuous: coalesce refills — wait until this "
+                        "many rows are free before a mid-flight refill "
+                        "(each refill pays a fixed refill-width encode + a "
+                        "host roundtrip, so eager 1-row refills waste "
+                        "both; rows keep finishing either way)")
     p.add_argument("--pool_shard", type=int, default=1,
                    help="shard the passage-pool axis over this many local "
                         "devices (the 'model' mesh axis): per-passage tower "
@@ -392,7 +398,8 @@ def _make_lanes(cont, bs: int, refill_size: int, wrap=None, key=None):
     for k in cont["buckets"]:
         mb = cont["make_batch_for"][k]
         lanes[k] = Lane(k, mb if wrap is None else wrap(mb), cont["init"],
-                        cont["chunk"], cont["refill"], bs, refill_size)
+                        cont["chunk"], cont["refill"], bs, refill_size,
+                        refill_min=cont.get("refill_min", 1))
     getn = key or (lambda req: len(req.get("passages", [])))
 
     def route(item):
@@ -598,6 +605,7 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                             args.max_target_length,
                             ordered=False, on_chunk=on_chunk,
                             lookahead=cont["lookahead"],
+                            refill_min=cont["refill_min"],
                             stream_cb=stream_cb)
         except Exception as e:
             print(f"[serve] continuous worker failed: {e!r}",
@@ -930,6 +938,9 @@ def main(argv=None, _server_ready=None):
             if args.chunk_steps < 1:
                 raise SystemExit(f"--chunk_steps must be >= 1; got "
                                  f"{args.chunk_steps}")
+            if not 1 <= args.refill_min <= args.refill:
+                raise SystemExit(f"--refill_min must be in [1, refill]; got "
+                                 f"{args.refill_min} (refill {args.refill})")
             bbuckets = sorted(set(bbuckets + [args.refill]))
 
         # serving mesh: batches shard over the data axis of THIS process's
@@ -1097,7 +1108,8 @@ def main(argv=None, _server_ready=None):
                 "chunk": lambda _, st: chunk_fn({"params": params}, st),
                 "refill": refill_fn, "refill_size": args.refill,
                 "run": run_continuous, "row_out": row_out,
-                "lookahead": args.lookahead}
+                "lookahead": args.lookahead,
+                "refill_min": args.refill_min}
         if args.pool_buckets:
             # multi-lane continuous serving: one lane (own decode state +
             # cached XLA programs) per static pool size; requests route to
@@ -1201,7 +1213,8 @@ def main(argv=None, _server_ready=None):
             stats = cont["run"](
                 source, cont["make_batch"], cont["init"],
                 cont["chunk"], cont["refill"], None, bs, args.refill, emit,
-                args.max_target_length, lookahead=cont["lookahead"])
+                args.max_target_length, lookahead=cont["lookahead"],
+                refill_min=cont["refill_min"])
         if src is not sys.stdin:
             src.close()
         if sink is not sys.stdout:

@@ -104,6 +104,30 @@ def make_continuous_fns(model, max_len: int, chunk_steps: int,
             jax.jit(refill_rows, donate_argnums=(0,)))
 
 
+class _LazyRank:
+    """Defers the refill's rank fetch off the critical path: the device
+    array starts an async device->host copy at construction and is
+    materialized on first row access (usually chunks later, when the
+    request finishes — by then the copy has landed, so the fetch is
+    ~free instead of a blocking host roundtrip per refill)."""
+
+    __slots__ = ("_arr", "_np")
+
+    def __init__(self, arr):
+        self._arr = arr
+        self._np = None
+        try:
+            arr.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+
+    def row(self, i: int):
+        if self._np is None:
+            self._np = np.asarray(jax.device_get(self._arr))
+            self._arr = None
+        return self._np[i]
+
+
 class IterSource:
     """Request source over a plain iterator. NOTE: ``take`` always blocks
     on the underlying iterator until it yields or ends (``wait`` is
@@ -175,7 +199,8 @@ def run_continuous(source,
                    max_len: int, ordered: bool = True,
                    on_chunk: Optional[Callable[[int], None]] = None,
                    lookahead: bool = False,
-                   stream_cb: Optional[Callable] = None) -> Dict[str, int]:
+                   stream_cb: Optional[Callable] = None,
+                   refill_min: int = 1) -> Dict[str, int]:
     """Drive the continuous decode loop over a request source.
 
     ``source`` is an ``IterSource``/``QueueSource`` (a plain iterator is
@@ -198,9 +223,19 @@ def run_continuous(source,
     harvest (token streaming: the callback can fetch ``out``/``trow`` and
     push per-row token deltas to live clients; ``slots[r]`` is
     ``(arrival_idx, request, rank)`` or None). A finished row's final
-    ``emit`` always follows its last delta on the same thread."""
+    ``emit`` always follows its last delta on the same thread.
+
+    ``refill_min`` coalesces refills: free rows accumulate until at least
+    ``min(refill_min, refill)`` are free before a mid-flight refill runs.
+    Each refill pays a fixed-width (``refill``-row) encode regardless of
+    how many rows it actually fills, so eager refilling of 1-2 rows per
+    chunk wastes encode FLOPs and a host roundtrip; coalescing trades a
+    little occupancy for refills that arrive ~full. 1 (default) keeps the
+    old eager behavior. Free rows are retired either way, so coalescing
+    never deadlocks — rows keep finishing until the threshold is met."""
     b = batch_size
     refill = max(1, min(refill, b))
+    refill_min = max(1, min(refill_min, refill))
     if not hasattr(source, "take"):
         source = IterSource(source)
 
@@ -252,10 +287,13 @@ def run_continuous(source,
             else:
                 state = refill_fn(state, new_state, idx)
             stats["refills"] += 1
-        rank_h = None if rank is None else np.asarray(jax.device_get(rank))
+        # rank rides as a lazy async-copy handle: fetching it here would
+        # block a host roundtrip per refill; requests read it chunks
+        # later, when they finish (_LazyRank resolves once per bucket)
+        lazy = None if rank is None else _LazyRank(rank)
         for i, req in enumerate(newreqs):
             slots[rows[i]] = (arrival, req,
-                              None if rank_h is None else rank_h[i])
+                              None if lazy is None else (lazy, i))
             arrival += 1
         return True
 
@@ -278,17 +316,21 @@ def run_continuous(source,
             on_chunk(stats["chunks"])
         if stream_cb is not None:
             stream_cb(state, slots)
-        done = np.asarray(jax.device_get(state["done"]))
+        # one combined fetch: done + out in a single device_get (the out
+        # rows are ~KBs; on a relay-attached device the roundtrip count,
+        # not the bytes, is what the loop pays for)
+        done, out = (np.asarray(x) for x in
+                     jax.device_get((state["done"], state["out"])))
         finished = [r for r in range(b) if slots[r] is not None and done[r]]
         if finished:
-            out = np.asarray(jax.device_get(state["out"]))
             for r in finished:
                 idx, req, rk = slots[r]
-                finish(idx, req, out[r], rk)
+                finish(idx, req, out[r],
+                       None if rk is None else rk[0].row(rk[1]))
                 slots[r] = None
                 stats["served"] += 1
         free = [r for r in range(b) if slots[r] is None]
-        if free and not source.finished():
+        if len(free) >= refill_min and not source.finished():
             fill(free, wait=False)
     return stats
 
@@ -301,7 +343,7 @@ class Lane:
     memory while still refilling mid-flight."""
 
     def __init__(self, key, make_batch, init_fn, chunk_fn, refill_fn,
-                 batch_size: int, refill: int):
+                 batch_size: int, refill: int, refill_min: int = 1):
         self.key = key
         self.make_batch = make_batch
         self.init_fn = init_fn
@@ -309,6 +351,7 @@ class Lane:
         self.refill_fn = refill_fn
         self.b = batch_size
         self.refill = max(1, min(refill, batch_size))
+        self.refill_min = max(1, min(refill_min, self.refill))
         self.state = None
         self.slots: List[Optional[tuple]] = [None] * batch_size
         self.queue: List[tuple] = []   # routed (arrival_idx, req) FIFO
@@ -320,9 +363,14 @@ class Lane:
         return [r for r in range(self.b) if self.slots[r] is None]
 
     def fill(self, variables, stats) -> None:
-        """Move queued requests into free rows (cold init or row refill)."""
+        """Move queued requests into free rows (cold init or row refill).
+        Mid-flight refills coalesce to ``refill_min`` free rows (see
+        ``run_continuous``); a lane with no live rows always fills."""
         free = self.free_rows()
         if not free or not self.queue:
+            return
+        if (self.state is not None and self.occupied()
+                and len(free) < self.refill_min):
             return
         width = self.b if self.state is None else self.refill
         take = self.queue[: min(len(free), width)]
@@ -339,10 +387,10 @@ class Lane:
                 free[:k] + [self.b] * (width - k), np.int32))
             self.state = self.refill_fn(self.state, new_state, idx)
             stats["refills"] += 1
-        rank_h = None if rank is None else np.asarray(jax.device_get(rank))
+        lazy = None if rank is None else _LazyRank(rank)
         for i, (aidx, req) in enumerate(take):
             self.slots[free[i]] = (aidx, req,
-                                   None if rank_h is None else rank_h[i])
+                                   None if lazy is None else (lazy, i))
 
 
 def run_continuous_multi(source, lanes: List[Lane], route, variables,
@@ -410,14 +458,15 @@ def run_continuous_multi(source, lanes: List[Lane], route, variables,
         for lane in active:
             if stream_cb is not None:
                 stream_cb(lane.state, lane.slots)
-            done = np.asarray(jax.device_get(lane.state["done"]))
+            done, out = (np.asarray(x) for x in jax.device_get(
+                (lane.state["done"], lane.state["out"])))
             hit = [r for r in range(lane.b)
                    if lane.slots[r] is not None and done[r]]
             if hit:
-                out = np.asarray(jax.device_get(lane.state["out"]))
                 for r in hit:
                     aidx, req, rk = lane.slots[r]
-                    finish(aidx, req, out[r], rk)
+                    finish(aidx, req, out[r],
+                           None if rk is None else rk[0].row(rk[1]))
                     lane.slots[r] = None
                     stats["served"] += 1
         if not source.finished():

@@ -369,6 +369,23 @@ def test_run_continuous_end_to_end():
                                       err_msg=f"lookahead request {i}")
         np.testing.assert_allclose(rk2, rk, rtol=0, atol=0)
 
+    # coalesced refills (refill_min=refill width): identical per-request
+    # answers; every mid-flight refill waits for a full refill bucket, so
+    # refill count can only drop
+    got3 = []
+    stats3 = run_continuous(iter(requests), make_batch, init_fn, chunk_fn,
+                            refill_fn, {"params": params}, 4, 2,
+                            emit=lambda r, ids, rk:
+                            got3.append((r["i"], ids.copy(), rk.copy())),
+                            max_len=max_len, refill_min=2)
+    assert stats3["served"] == n
+    assert stats3["refills"] <= stats["refills"]
+    assert [g[0] for g in got3] == [g[0] for g in got]
+    for (i, ids, rk), (i3, ids3, rk3) in zip(got, got3):
+        np.testing.assert_array_equal(_trim(ids3, eos), _trim(ids, eos),
+                                      err_msg=f"refill_min request {i}")
+        np.testing.assert_allclose(rk3, rk, rtol=0, atol=0)
+
 
 def test_run_continuous_multi_lanes():
     """Multi-lane driver (--pool_buckets x --continuous): two lanes at

@@ -58,6 +58,10 @@ def main(argv):
         chunk_steps = int(argv[argv.index("--chunk") + 1])
     if "--refill" in argv:
         refill = int(argv[argv.index("--refill") + 1])
+    caps_spec = None          # --caps lo-hi: per-request max_tokens mix
+    if "--caps" in argv:
+        lo, hi = argv[argv.index("--caps") + 1].split("-")
+        caps_spec = (int(lo), int(hi))
 
     small = "--small" in argv   # CPU smoke: tiny shapes, same code path
     vocab = Vocabulary.load("/tmp/http_bench/prepared/vocab.txt")
@@ -107,30 +111,59 @@ def main(argv):
             pool.append({k: v[j] for k, v in a.items()})
     master = {k: np.stack([r[k] for r in pool]) for k in ("query", "passage")}
 
-    # pick a live EOS from a probe decode, then rebuild the model with it
+    skip_batch = "--skip_batch" in argv   # caps-mode sweeps: skip the
+    # probe + fixed/early-exit measurements (they cost ~6 min of compiles
+    # per invocation through the relay and their numbers don't change)
+    if skip_batch and caps_spec is None:
+        raise SystemExit("--skip_batch requires --caps (the probe decode "
+                         "is what picks the retagged EOS)")
+    probe = None
     predict = jax.jit(lambda vs, bt: model.apply(
         vs, bt, max_len=max_len, method=type(model).predict))
-    probe_batch = {k: jnp.asarray(master[k][:B]) for k in master}
-    t0 = time.time()
-    probe = np.asarray(predict(variables, probe_batch)["answer"])
-    print(f"probe decode (compile) {time.time()-t0:.0f}s", flush=True)
-    vals, counts = np.unique(probe[probe != 0], return_counts=True)
-    eos = int(vals[np.argmax(counts)])
-    model = create_model("case", dataclasses.replace(mcfg, eos_id=eos))
-    predict = jax.jit(lambda vs, bt: model.apply(
-        vs, bt, max_len=max_len, method=type(model).predict))
-    predict_ee = jax.jit(lambda vs, bt: model.apply(
-        vs, bt, max_len=max_len, early_exit=True,
-        method=type(model).predict))
+    if not skip_batch:
+        probe_batch = {k: jnp.asarray(master[k][:B]) for k in master}
+        t0 = time.time()
+        probe = np.asarray(predict(variables, probe_batch)["answer"])
+        print(f"probe decode (compile) {time.time()-t0:.0f}s", flush=True)
+    caps_arr = None
+    if caps_spec is None:
+        vals, counts = np.unique(probe[probe != 0], return_counts=True)
+        eos = int(vals[np.argmax(counts)])
+        model = create_model("case", dataclasses.replace(mcfg, eos_id=eos))
+        predict = jax.jit(lambda vs, bt: model.apply(
+            vs, bt, max_len=max_len, method=type(model).predict))
+        predict_ee = jax.jit(lambda vs, bt: model.apply(
+            vs, bt, max_len=max_len, early_exit=True,
+            method=type(model).predict))
+    else:
+        # per-request max_tokens mix (the shipped response_cap feature):
+        # random weights rarely emit the real EOS, so fixed/early-exit pay
+        # the full max_len while continuous pays ~the mean cap — the same
+        # economics a trained model's EOS length mix produces, but
+        # controllable. eos stays the real (never-emitted) id.
+        eos = mcfg.eos_id
+        crng = np.random.RandomState(11)
+        caps_arr = crng.randint(caps_spec[0], caps_spec[1] + 1,
+                                size=n_req).astype(np.int32)
+        predict_ee = jax.jit(lambda vs, bt: model.apply(
+            vs, bt, max_len=max_len, early_exit=True,
+            method=type(model).predict))
+        print(f"caps mix {caps_spec[0]}-{caps_spec[1]}: "
+              f"mean={caps_arr.mean():.1f} "
+              f"p50={np.percentile(caps_arr, 50):.0f} "
+              f"p90={np.percentile(caps_arr, 90):.0f} "
+              f"max={caps_arr.max()}", flush=True)
 
     # emitted-length distribution under the chosen EOS
     def lens(ids):
         hit = ids == eos
         first = np.where(hit.any(1), hit.argmax(1) + 1, ids.shape[1])
         return first
-    ld = lens(probe)
-    print(f"eos={eos} len mean={ld.mean():.1f} p50={np.percentile(ld,50):.0f} "
-          f"p90={np.percentile(ld,90):.0f} max={ld.max()}", flush=True)
+    if probe is not None:
+        ld = lens(probe)
+        print(f"eos={eos} len mean={ld.mean():.1f} "
+              f"p50={np.percentile(ld,50):.0f} "
+              f"p90={np.percentile(ld,90):.0f} max={ld.max()}", flush=True)
 
     def batches():
         for i in range(0, n_req, B):
@@ -138,17 +171,18 @@ def main(argv):
             idx = np.concatenate([idx, np.repeat(idx[-1:], B - len(idx))])
             yield {k: jnp.asarray(master[k][idx]) for k in master}
 
-    # fixed batch (no early exit)
-    for name, fn in (("fixed", predict), ("early_exit", predict_ee)):
-        list_b = list(batches())
-        np.asarray(fn(variables, list_b[0])["answer"])  # compile
-        t0 = time.time()
-        outs = [fn(variables, bt)["answer"] for bt in list_b]
-        for o in outs:
-            np.asarray(o)
-        dt = time.time() - t0
-        print(f"{name}: {n_req/dt:.0f} qps ({dt*1000/len(list_b):.1f} "
-              f"ms/batch)", flush=True)
+    if not skip_batch:
+        # fixed batch (no early exit)
+        for name, fn in (("fixed", predict), ("early_exit", predict_ee)):
+            list_b = list(batches())
+            np.asarray(fn(variables, list_b[0])["answer"])  # compile
+            t0 = time.time()
+            outs = [fn(variables, bt)["answer"] for bt in list_b]
+            for o in outs:
+                np.asarray(o)
+            dt = time.time() - t0
+            print(f"{name}: {n_req/dt:.0f} qps ({dt*1000/len(list_b):.1f} "
+                  f"ms/batch)", flush=True)
 
     # continuous
     reqs = [{"i": i} for i in range(n_req)]
@@ -156,26 +190,49 @@ def main(argv):
     def make_batch(chunkreqs, bs):
         idx = [r["i"] for r in chunkreqs]
         idx = idx + [idx[-1]] * (bs - len(idx))
-        return {k: jnp.asarray(master[k][idx]) for k in master}
+        out = {k: jnp.asarray(master[k][idx]) for k in master}
+        if caps_arr is not None:
+            out["response_cap"] = jnp.asarray(caps_arr[idx])
+        return out
 
     lookahead = "--lookahead" in argv
-    init_fn, chunk_fn, refill_fn = make_continuous_fns(
-        model, max_len, chunk_steps, donate_state=not lookahead)
-    # compile both programs before timing
-    st, _ = init_fn(variables, make_batch(reqs[:B], B))
-    jax.block_until_ready(chunk_fn(variables, st))
-    if refill != B:
-        jax.block_until_ready(init_fn(variables, make_batch(reqs[:1], refill)))
-    got = []
-    t0 = time.time()
-    stats = run_continuous(iter(reqs), make_batch, init_fn, chunk_fn,
-                           refill_fn, variables, B, refill,
-                           emit=lambda r, ids, rk: got.append(r["i"]),
-                           max_len=max_len, lookahead=lookahead)
-    dt = time.time() - t0
-    print(f"continuous: {n_req/dt:.0f} qps ({stats['chunks']} chunks, "
-          f"{stats['refills']} refills)", flush=True)
-    assert len(got) == n_req
+    refill_min = 1
+    if "--refill_min" in argv:
+        refill_min = int(argv[argv.index("--refill_min") + 1])
+    sweep = [chunk_steps]
+    if "--sweep" in argv:   # chunk-size sweep in ONE process (shared
+        # init/refill programs; only the chunk program recompiles)
+        sweep = [int(x) for x in argv[argv.index("--sweep") + 1].split(",")]
+
+    def _emit(r, ids, rk):
+        got.append(r["i"])
+        row = np.asarray(ids)
+        # caps mode: the forced stop at a row's cap doesn't write EOS into
+        # ``out`` (reference cap semantics) — count emitted tokens instead
+        out_lens.append(int((row != 0).sum()) if caps_arr is not None
+                        else int(lens(row[None])[0]))
+
+    for cs in sweep:
+        init_fn, chunk_fn, refill_fn = make_continuous_fns(
+            model, max_len, cs, donate_state=not lookahead)
+        # compile both programs before timing
+        st, _ = init_fn(variables, make_batch(reqs[:B], B))
+        jax.block_until_ready(chunk_fn(variables, st))
+        if refill != B:
+            jax.block_until_ready(
+                init_fn(variables, make_batch(reqs[:1], refill)))
+        got, out_lens = [], []
+        t0 = time.time()
+        stats = run_continuous(iter(reqs), make_batch, init_fn, chunk_fn,
+                               refill_fn, variables, B, refill,
+                               emit=_emit, max_len=max_len,
+                               lookahead=lookahead, refill_min=refill_min)
+        dt = time.time() - t0
+        print(f"continuous[chunk={cs} refill={refill} min={refill_min} "
+              f"la={int(lookahead)}]: {n_req/dt:.0f} qps "
+              f"({stats['chunks']} chunks, {stats['refills']} refills; "
+              f"emitted len mean={np.mean(out_lens):.1f})", flush=True)
+        assert len(got) == n_req
 
     # ---- multi-lane (--lanes 5,10): pool-size-mixed request stream,
     #      served single-lane at the full pool vs one continuous lane per
