@@ -215,12 +215,15 @@ def main(argv):
     for cs in sweep:
         init_fn, chunk_fn, refill_fn = make_continuous_fns(
             model, max_len, cs, donate_state=not lookahead)
-        # compile both programs before timing
+        # compile ALL programs before timing — init (both widths), chunk,
+        # and the refill scatter (its first-call compile otherwise lands
+        # inside the first timed refill)
         st, _ = init_fn(variables, make_batch(reqs[:B], B))
         jax.block_until_ready(chunk_fn(variables, st))
-        if refill != B:
-            jax.block_until_ready(
-                init_fn(variables, make_batch(reqs[:1], refill)))
+        sw, _ = init_fn(variables, make_batch(reqs[:B], B))
+        sw2, _ = init_fn(variables, make_batch(reqs[:1], refill))
+        jax.block_until_ready(jax.tree_util.tree_leaves(
+            refill_fn(sw, sw2, jnp.arange(refill, dtype=jnp.int32)))[0])
         got, out_lens = [], []
         t0 = time.time()
         stats = run_continuous(iter(reqs), make_batch, init_fn, chunk_fn,
