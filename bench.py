@@ -81,6 +81,22 @@ def main():
     variables = cast_params(variables)
 
     predict = make_predict_fn(model, cfg, max_len=40)
+
+    # Guard: the measured program must contain the Pallas fast paths that
+    # the headline number depends on (candidate-argmax + fused encoder
+    # attention lower to tpu_custom_call; auto-enabled for bf16 params).
+    # A silent fallback to the dense path would produce a slower but
+    # plausible-looking number — fail loudly instead.
+    backend = jax.default_backend()
+    if backend == "tpu" or os.environ.get("CASE_RG_BENCH_REQUIRE_PALLAS"):
+        hlo = predict.lower(variables, batch).as_text()
+        n_custom = hlo.count("tpu_custom_call")
+        if n_custom < 2:
+            raise SystemExit(
+                f"bench.py: expected >=2 Pallas tpu_custom_call sites in "
+                f"the lowered predict program (fused encoder attention + "
+                f"candidate argmax), found {n_custom} — fast path inactive")
+
     np.asarray(predict(variables, batch)["answer"])  # compile + full sync
     # NOTE: distinct batches per iteration and a real host fetch per result —
     # on this image's relay-backed TPU backend, block_until_ready can return
@@ -89,25 +105,42 @@ def main():
     # Throughput is measured with pipelined dispatch (all batches submitted,
     # results fetched in order) — how a serving deployment drives the chip;
     # serial dispatch-fetch loses ~18% to the per-call host roundtrip
-    # (tools/exp_pipeline_serve.py).
-    iters = 12
-    batches = []
-    for _ in range(iters):
-        batches.append({
-            "query": jnp.asarray(rng.randint(4, v, size=(b, 1, 60)), jnp.int32),
-            "passage": jnp.asarray(rng.randint(4, v, size=(b, 10, 100)), jnp.int32),
-        })
-    t0 = time.time()
-    outs = [predict(variables, bt)["answer"] for bt in batches]
-    for o in outs:
-        np.asarray(o)
-    qps = b * iters / (time.time() - t0)
+    # (tools/exp_pipeline_serve.py). The relay adds run-to-run variance
+    # (BENCH_r01 610 vs a same-code 827 in a different session), so the
+    # headline is the MEDIAN of `windows` independent pipelined windows,
+    # with the per-window values reported alongside.
+    iters = int(os.environ.get("CASE_RG_BENCH_ITERS", "12"))
+    windows = int(os.environ.get("CASE_RG_BENCH_WINDOWS", "3"))
+
+    def fresh_batch():
+        return {
+            "query": jnp.asarray(rng.randint(4, v, size=(b, 1, 60)),
+                                 jnp.int32),
+            "passage": jnp.asarray(rng.randint(4, v, size=(b, 10, 100)),
+                                   jnp.int32),
+        }
+
+    window_qps = []
+    for _ in range(windows):
+        batches = [fresh_batch() for _ in range(iters)]
+        t0 = time.time()
+        outs = [predict(variables, bt)["answer"] for bt in batches]
+        for o in outs:
+            np.asarray(o)
+        window_qps.append(b * iters / (time.time() - t0))
+    qps = float(np.median(window_qps))
 
     baseline = _read_baseline()
     vs = qps / baseline if baseline else 0.0
-    print(json.dumps({"metric": "case_rank_decode_qps_per_chip",
-                      "value": round(qps, 2), "unit": "queries/sec/chip",
-                      "vs_baseline": round(vs, 2)}))
+    print(json.dumps({
+        "metric": "case_rank_decode_qps_per_chip",
+        "value": round(qps, 2), "unit": "queries/sec/chip",
+        "vs_baseline": round(vs, 2),
+        "windows": [round(w, 1) for w in window_qps],
+        "baseline_note": ("PyTorch reference CaSE do_test on this host's "
+                          "CPU (no GPU present; see BASELINE.md) — NOT a "
+                          "GPU-vs-TPU comparison"),
+    }))
 
 
 if __name__ == "__main__":

@@ -12,12 +12,12 @@ a step closure::
   (post-rewrite) token is fed back as the next input (greedy:98-107).
 * ``run_sample`` is the categorical-sampling variant (sample:31-58), with the
   forced-EOS final step.
-* ``run_beam`` is a vectorized batch x width beam with the reference's
-  length-normalized cost ``cum_cost / length`` and cost ``-log(p + 1e-10)``
-  (beam:170-180). Finished beams freeze in place (single PAD continuation);
-  the reference instead retires them from its fringe, a difference that can
-  matter only when more than ``width`` hypotheses finish at distinct steps —
-  the reference never exercises beam > 1 (all Run.py defaults are width 1).
+* ``run_beam`` is a vectorized batch x width beam that reproduces the
+  reference's ``Node``-fringe semantics exactly — EOS retirement with
+  fringe refill, ``-log(p + 1e-10)`` costs, ``cum_cost / length`` final
+  selection, and the stable-sort tie-breaking — see its docstring. Parity
+  vs the imported reference beam at width 2-3 is enforced by
+  ``tests/test_reference_parity_beam.py``.
 """
 
 from __future__ import annotations
@@ -233,83 +233,103 @@ def run_sample(step_fn: StepFn, init_state, batch_size: int, max_len: int,
 def run_beam(step_fn: StepFn, init_state, batch_size: int, max_len: int,
              width: int, bos: int, eos: int, pad: int = 0,
              eps: float = 1e-10) -> jnp.ndarray:
-    """Length-normalized beam search, vectorized over batch*width.
+    """Reference-exact beam search, vectorized over batch*width.
+
+    Reproduces ``common/Generations.py:112-190`` (``beam``/``Node``)
+    including its retirement semantics and tie-breaking:
+
+    * A beam whose newest token is EOS **retires** into the per-sample
+      results at the start of the next step (beam:139-141); the fringe then
+      refills to ``width`` from the surviving parents' expansions.
+      (Considering all V children per parent is selection-equivalent to the
+      reference's per-parent top-``width`` (to_word at beam:160): any child
+      in the global top ``width`` is within its parent's top ``width``.)
+    * Token cost ``-log(p + 1e-10)`` (beam:170). Fringe selection sorts by
+      ``cum_cost/length`` (beam:180), but all alive beams at a step share
+      one length, so raw cumulative cost gives the identical order — the
+      normalization only decides the FINAL winner among retirees of
+      different lengths (beam:184, length counts the BOS root).
+    * Tie-breaking: the reference's stable sort enumerates children in
+      (fringe position, per-parent topk rank) order; ``lax.top_k`` on the
+      flattened [parent, token] axis picks lower indices on ties, which is
+      the same order. Among retirees, earlier steps win ties (results are
+      appended then stably sorted) — reproduced by strict-< best updates,
+      with ``argmin``'s first-minimum giving fringe order within a step.
 
     ``init_state`` must already be tiled to batch*width (use
-    ``tile_state``). step_fn sees flattened [B*W] token batches.
-    Returns the best beam's tokens [B, max_len] (PAD after EOS).
+    ``tile_state``); ``step_fn`` sees flattened [B*W] token batches and must
+    emit probabilities. Returns the winning sequences [B, max_len], PAD
+    after EOS (the EOS itself is emitted, as in the reference's
+    ``to_sequence_of_values()[1:]``).
     """
-    neg = jnp.asarray(1e9, jnp.float32)
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    b_ar = jnp.arange(batch_size)
+
+    def harvest(best_norm, best_tok, norm_r, toks):
+        """Fold retirees (norm_r [B,W], inf where not retiring) into the
+        running best. First-minimum argmin = fringe order; strict < keeps
+        earlier retirees on ties."""
+        cand = jnp.min(norm_r, axis=1)
+        idx = jnp.argmin(norm_r, axis=1)
+        better = cand < best_norm
+        best_norm = jnp.where(better, cand, best_norm)
+        best_tok = jnp.where(better[:, None], toks[b_ar, idx], best_tok)
+        return best_norm, best_tok
 
     def body(carry, t):
-        state, prev, cum, length, ended = carry
-        scores, state = step_fn(state, prev)          # [B*W, V]
+        state, prev, cum, alive, toks, best_norm, best_tok = carry
+
+        # --- retire EOS-ended beams (beam:139-141, results append) ---
+        prev_b = prev.reshape(batch_size, width)
+        newly = alive & (prev_b == eos) & (t > 0)
+        norm_r = jnp.where(newly, cum / (t + 1.0), inf)
+        best_norm, best_tok = harvest(best_norm, best_tok, norm_r, toks)
+        alive = alive & ~newly
+        any_alive = jnp.any(alive, axis=1)          # fringe non-empty?
+
+        # --- expand the fringe (beam:154-180) ---
+        scores, state = step_fn(state, prev)        # [B*W, V] probabilities
         v = scores.shape[-1]
-        logp = -jnp.log(jnp.maximum(scores, 0.0) + eps)   # cost per token
-        logp = logp.reshape(batch_size, width, v)
-        cum_ = cum.reshape(batch_size, width, 1)
-        len_ = length.reshape(batch_size, width, 1)
-        ended_ = ended.reshape(batch_size, width)
-
-        # candidate costs: alive beams expand all tokens; finished beams only
-        # continue with PAD at unchanged cost
-        cand_cum = cum_ + logp
-        cand_len = len_ + 1.0
-        norm = cand_cum / cand_len
-        frozen_norm = (cum_ / jnp.maximum(len_, 1.0))[:, :, 0]
-        # mask: finished beams contribute a single candidate (PAD column)
-        pad_col = jax.nn.one_hot(pad, v, dtype=bool)
-        allowed = jnp.where(ended_[:, :, None], pad_col[None, None, :], True)
-        norm = jnp.where(allowed, norm, neg)
-        norm = jnp.where(ended_[:, :, None] & pad_col[None, None, :],
-                         frozen_norm[:, :, None], norm)
-        # first step: all width beams are identical; keep only beam 0
-        norm = jnp.where((t == 0) & (jnp.arange(width)[None, :, None] > 0),
-                         neg, norm)
-
-        flat = norm.reshape(batch_size, width * v)
-        _, top_idx = jax.lax.top_k(-flat, width)
+        cost = -jnp.log(jnp.maximum(scores, 0.0) + eps)
+        cand = cum[:, :, None] + cost.reshape(batch_size, width, v)
+        cand = jnp.where(alive[:, :, None], cand, inf)
+        # first step: the reference fringe holds ONE root per sample
+        cand = jnp.where((t == 0) & (jnp.arange(width)[None, :, None] > 0),
+                         inf, cand)
+        flat = cand.reshape(batch_size, width * v)
+        neg_cum, top_idx = jax.lax.top_k(-flat, width)
         beam_idx = top_idx // v
-        tok_idx = (top_idx % v).astype(jnp.int32)
+        tok = (top_idx % v).astype(jnp.int32)
 
-        b_ar = jnp.arange(batch_size)[:, None]
-        new_ended = jnp.take_along_axis(ended_, beam_idx, axis=1)
-        tok_idx = jnp.where(new_ended, pad, tok_idx)
-        new_cum = jnp.where(new_ended,
-                            jnp.take_along_axis(cum_[:, :, 0], beam_idx, 1),
-                            cand_cum[b_ar, beam_idx, tok_idx])
-        new_len = jnp.where(new_ended,
-                            jnp.take_along_axis(len_[:, :, 0], beam_idx, 1),
-                            jnp.take_along_axis(len_[:, :, 0], beam_idx, 1) + 1.0)
-        new_ended = new_ended | (tok_idx == eos)
+        new_toks = jnp.take_along_axis(toks, beam_idx[:, :, None], axis=1)
+        new_toks = new_toks.at[:, :, t].set(tok)
 
+        # samples with an empty fringe freeze (reference breaks the loop)
+        keep = any_alive[:, None]
+        cum = jnp.where(keep, -neg_cum, cum)
+        toks = jnp.where(keep[:, :, None], new_toks, toks)
+        alive = jnp.broadcast_to(any_alive[:, None], (batch_size, width))
+        prev = jnp.where(keep, tok, prev_b).reshape(-1)
         state = jax.tree_util.tree_map(
             lambda s: _reindex_state(s, beam_idx, batch_size, width), state)
-        carry = (state, tok_idx.reshape(-1), new_cum.reshape(-1),
-                 new_len.reshape(-1), new_ended.reshape(-1))
-        return carry, (tok_idx, beam_idx)
+        return (state, prev, cum, alive, toks, best_norm, best_tok), ()
 
     prev0 = jnp.full((batch_size * width,), bos, jnp.int32)
-    cum0 = jnp.zeros((batch_size * width,), jnp.float32)
-    len0 = jnp.ones((batch_size * width,), jnp.float32)
-    ended0 = jnp.zeros((batch_size * width,), bool)
-    (state, _, cum, length, _), (toks, parents) = jax.lax.scan(
-        body, (init_state, prev0, cum0, len0, ended0), jnp.arange(max_len))
+    cum0 = jnp.zeros((batch_size, width), jnp.float32)
+    alive0 = jnp.ones((batch_size, width), bool)
+    toks0 = jnp.full((batch_size, width, max_len), pad, jnp.int32)
+    best_norm0 = jnp.full((batch_size,), jnp.inf, jnp.float32)
+    best_tok0 = jnp.full((batch_size, max_len), pad, jnp.int32)
 
-    # backtrack best beam per sample
-    final_norm = (cum / jnp.maximum(length, 1.0)).reshape(batch_size, width)
-    best = jnp.argmin(final_norm, axis=1)
+    (_, prev, cum, alive, toks, best_norm, best_tok), _ = jax.lax.scan(
+        body, (init_state, prev0, cum0, alive0, toks0, best_norm0,
+               best_tok0), jnp.arange(max_len))
 
-    def backtrack(carry, inp):
-        beam = carry
-        tok_t, parent_t = inp  # [B, W]
-        b_ar = jnp.arange(batch_size)
-        tok = tok_t[b_ar, beam]
-        beam = parent_t[b_ar, beam]
-        return beam, tok
-
-    _, rev = jax.lax.scan(backtrack, best, (toks[::-1], parents[::-1]))
-    return rev[::-1].T  # [B, T]
+    # final retirement at l == max_len (beam:139: ``or l == max_len``):
+    # every still-alive beam retires with length max_len + 1
+    norm_f = jnp.where(alive, cum / (max_len + 1.0), inf)
+    best_norm, best_tok = harvest(best_norm, best_tok, norm_f, toks)
+    return best_tok
 
 
 def _reindex_state(s: jnp.ndarray, beam_idx: jnp.ndarray, b: int, w: int):

@@ -194,8 +194,17 @@ def beam_predict(model, params, batch: Dict[str, jnp.ndarray], max_len: int,
     def step(state, prev):
         scores, state = model.apply(params, enc, state, prev,
                                     method=type(model).decode_step)
-        # beam costs need probabilities; normalize if the model emits logits
-        if getattr(type(model), "STEP_EMITS_PROBS", False):
+        # Beam costs are -log(score + 1e-10) on whatever ``generate(...,
+        # softmax=True)`` returns in the reference (Generations.py:158-170).
+        # GTTP/GLKS emit mixture probabilities (STEP_EMITS_PROBS); S2SA's
+        # generate IGNORES the softmax flag (S2SA/Model.py:98-99) so its
+        # reference beam runs on RAW logits — reproduced here for parity
+        # (where a top-width logit is negative the reference raises
+        # ``math domain error``; we clamp to eps-cost instead). TMemNet's
+        # reference beam cannot run (decode arity, SURVEY §4), so it gets
+        # the standard probability-domain cost.
+        if getattr(type(model), "STEP_EMITS_PROBS", False) or \
+                getattr(type(model), "BEAM_RAW_SCORES", False):
             probs = scores
         else:
             probs = jax.nn.softmax(scores, axis=-1)

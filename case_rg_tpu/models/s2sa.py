@@ -23,6 +23,11 @@ from .bbc import BBCCore, BBCEncoders
 class S2SAModel(nn.Module):
     cfg: ModelConfig
 
+    # The reference's generate() ignores its softmax flag and hands RAW
+    # logits to the beam's -log(p + 1e-10) cost (S2SA/Model.py:98-99,
+    # Generations.py:158-170); beam_predict reproduces that quirk.
+    BEAM_RAW_SCORES = True
+
     def setup(self):
         c = self.cfg
         self.encoders = BBCEncoders(c.vocab_size, c.embedding_size,
