@@ -56,6 +56,85 @@ def test_meteor_properties():
     assert single_meteor_score(["running", "fast"], ["runs", "fast"]) > 0.0
 
 
+class _FakeLemma:
+    def __init__(self, name):
+        self._name = name
+
+    def name(self):
+        return self._name
+
+
+class _FakeSynset:
+    def __init__(self, words):
+        self._words = words
+
+    def lemmas(self):
+        return [_FakeLemma(w) for w in self._words]
+
+
+class _FakeWordnet:
+    """Minimal stand-in for nltk.corpus.wordnet: word -> synsets -> lemmas.
+    Includes a multiword lemma ("very_fast") to exercise nltk's '_'-lemma
+    exclusion."""
+
+    GROUPS = [["big", "large", "huge"],
+              ["fast", "quick", "rapid", "very_fast"],
+              ["cat", "feline"],
+              ["run", "sprint"]]
+
+    def synsets(self, word):
+        return [_FakeSynset(g) for g in self.GROUPS if word in g]
+
+
+def _fake_synonyms(word):
+    out = {word}
+    for g in _FakeWordnet.GROUPS:
+        if word in g:
+            out.update(w for w in g if "_" not in w)
+    return out
+
+
+def test_meteor_matches_nltk():
+    """Exact alignment+math parity vs the installed nltk meteor_score,
+    including the WordNet-synonym stage (injected fake corpus) and the
+    reverse-scan latest-position pairing that drives the chunk penalty
+    (ref pins nltk for this metric: evaluation/Eval_Meteor.py:2)."""
+    nltk_meteor = pytest.importorskip("nltk.translate.meteor_score")
+    from case_rg_tpu.evaluation.meteor import meteor_score
+
+    fake_wn = _FakeWordnet()
+    vocab = ["the", "big", "large", "cat", "feline", "ran", "run", "runs",
+             "running", "fast", "quick", "sat", "mat", "dog", "a", "on",
+             "The", "CAT"]  # mixed case exercises preprocess=str.lower
+    rng = np.random.RandomState(7)
+    for _ in range(150):
+        hyp = [vocab[i] for i in rng.randint(0, len(vocab),
+                                             size=rng.randint(1, 12))]
+        refs = [[vocab[i] for i in rng.randint(0, len(vocab),
+                                               size=rng.randint(1, 12))]
+                for _ in range(rng.randint(1, 3))]
+        expected = nltk_meteor.meteor_score(refs, hyp, wordnet=fake_wn)
+        got = meteor_score(refs, hyp, synonyms=_fake_synonyms)
+        assert abs(got - expected) < 1e-12, (hyp, refs)
+
+    # duplicate-word pairing case where forward-first-match pairing would
+    # give a different chunk count than nltk's reverse-latest pairing
+    hyp = ["the", "cat", "the", "mat"]
+    ref = ["the", "mat", "the", "cat"]
+    expected = nltk_meteor.meteor_score([ref], hyp, wordnet=fake_wn)
+    got = meteor_score([ref], hyp, synonyms=_fake_synonyms)
+    assert abs(got - expected) < 1e-12
+
+
+def test_meteor_variant_tag():
+    from case_rg_tpu.evaluation.meteor import METEOR_VARIANT, eval_meteor
+    out = eval_meteor([["the", "big", "cat"]], [[["the", "large", "cat"]]])
+    assert out["METEOR_variant"] == METEOR_VARIANT
+    assert METEOR_VARIANT in ("wordnet", "embedded")
+    # embedded table: "big" ~ "large" must match via the synonym stage
+    assert out["METEOR"] > 90.0
+
+
 def test_trec_metrics():
     run = parse_run(["q1 Q0 d1 1 0.9 x", "q1 Q0 d2 2 0.8 x",
                      "q1 Q0 d3 3 0.7 x", "q2 Q0 d1 1 0.5 x"])
