@@ -562,20 +562,19 @@ def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
         # handler. Deltas are detokenized word fragments (wordpiece joins
         # can differ across a fragment boundary); the final line carries
         # the authoritative full answer + ranking.
-        import numpy as _np
-
         from ..runtime.io import ids_to_words
         detok = vocab.detokenizer()
         last_sent: Dict[int, int] = {}   # item seq -> words streamed
 
-        def stream_cb(st, slots):
-            import jax as _jax
+        def stream_cb(host, slots):
+            # ``host`` carries already-fetched numpy out/trow (one combined
+            # device_get per chunk in the loop — no extra roundtrips here)
             live_s = [(r, s[1]) for r, s in enumerate(slots)
                       if s is not None and "stream_q" in s[1]]
             if not live_s:
                 return
-            out_h = _np.asarray(_jax.device_get(st["out"]))
-            trow_h = _np.asarray(_jax.device_get(st["trow"]))
+            out_h = host["out"]
+            trow_h = host["trow"]
             for r, item in live_s:
                 words = ids_to_words(out_h[r][: int(trow_h[r])], vocab)
                 sent = last_sent.get(item["seq"], 0)

@@ -219,10 +219,12 @@ def run_continuous(source,
     non-donated (double-buffered) state — build the fns with
     ``donate_state=False``. Emitted results are identical.
 
-    ``stream_cb(state, slots)`` is called after every chunk, BEFORE the
-    harvest (token streaming: the callback can fetch ``out``/``trow`` and
-    push per-row token deltas to live clients; ``slots[r]`` is
-    ``(arrival_idx, request, rank)`` or None). A finished row's final
+    ``stream_cb(host, slots)`` is called after every chunk, BEFORE the
+    harvest, with ``host`` = {"out": np [B, max_len], "trow": np [B]} —
+    already-fetched HOST arrays (fetched together with ``done`` in the
+    round's single device_get, so streaming adds zero extra roundtrips).
+    The callback pushes per-row token deltas to live clients; ``slots[r]``
+    is ``(arrival_idx, request, rank)`` or None. A finished row's final
     ``emit`` always follows its last delta on the same thread.
 
     ``refill_min`` coalesces refills: free rows accumulate until at least
@@ -289,7 +291,13 @@ def run_continuous(source,
             stats["refills"] += 1
         # rank rides as a lazy async-copy handle: fetching it here would
         # block a host roundtrip per refill; requests read it chunks
-        # later, when they finish (_LazyRank resolves once per bucket)
+        # later, when they finish (_LazyRank resolves once per bucket).
+        # SAFE ACROSS DONATION: for EncDec models ``rank`` is the same
+        # traced value as state['enc']['ck_attn'] (models/predict.py:108),
+        # and later chunk_fn calls donate the state — jit materializes
+        # duplicated outputs as DISTINCT buffers, so this handle survives
+        # the donation (regression-guarded:
+        # tests/test_continuous.py::test_lazy_rank_survives_donating_chunk)
         lazy = None if rank is None else _LazyRank(rank)
         for i, req in enumerate(newreqs):
             slots[rows[i]] = (arrival, req,
@@ -314,13 +322,18 @@ def run_continuous(source,
         stats["chunks"] += 1
         if on_chunk is not None:
             on_chunk(stats["chunks"])
+        # one combined fetch: done + out (+ trow for streaming) in a single
+        # device_get (the rows are ~KBs; on a relay-attached device the
+        # roundtrip count, not the bytes, is what the loop pays for — the
+        # stream callback gets the already-fetched host arrays instead of
+        # re-fetching out/trow itself)
         if stream_cb is not None:
-            stream_cb(state, slots)
-        # one combined fetch: done + out in a single device_get (the out
-        # rows are ~KBs; on a relay-attached device the roundtrip count,
-        # not the bytes, is what the loop pays for)
-        done, out = (np.asarray(x) for x in
-                     jax.device_get((state["done"], state["out"])))
+            done, out, trow = (np.asarray(x) for x in jax.device_get(
+                (state["done"], state["out"], state["trow"])))
+            stream_cb({"out": out, "trow": trow}, slots)
+        else:
+            done, out = (np.asarray(x) for x in
+                         jax.device_get((state["done"], state["out"])))
         finished = [r for r in range(b) if slots[r] is not None and done[r]]
         if finished:
             for r in finished:
@@ -457,9 +470,13 @@ def run_continuous_multi(source, lanes: List[Lane], route, variables,
             on_chunk(stats["chunks"])
         for lane in active:
             if stream_cb is not None:
-                stream_cb(lane.state, lane.slots)
-            done, out = (np.asarray(x) for x in jax.device_get(
-                (lane.state["done"], lane.state["out"])))
+                done, out, trow = (np.asarray(x) for x in jax.device_get(
+                    (lane.state["done"], lane.state["out"],
+                     lane.state["trow"])))
+                stream_cb({"out": out, "trow": trow}, lane.slots)
+            else:
+                done, out = (np.asarray(x) for x in jax.device_get(
+                    (lane.state["done"], lane.state["out"])))
             hit = [r for r in range(lane.b)
                    if lane.slots[r] is not None and done[r]]
             if hit:

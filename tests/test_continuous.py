@@ -214,6 +214,36 @@ def test_protocol_chunked_matches_run_greedy(name):
     np.testing.assert_array_equal(np.asarray(state["out"]), base)
 
 
+def test_lazy_rank_survives_donating_chunk():
+    """_LazyRank safety contract (runtime/continuous.py fill): for EncDec
+    models the rank returned by init_fn is the same traced value as
+    state['enc']['ck_attn'] (models/predict.py:108), and later chunk_fn
+    calls DONATE the state — jit must materialize duplicated outputs as
+    distinct buffers for the lazy handle to survive. Guards refactors from
+    returning an aliased/donated leaf as rank."""
+    from case_rg_tpu.runtime.continuous import (_LazyRank,
+                                                make_continuous_fns)
+
+    max_len = 8
+    cfg = ModelConfig(name="tmemnet", vocab_size=V, embedding_size=16,
+                      hidden_size=16, num_heads=2, max_dec_len=max_len)
+    model = create_model("tmemnet", cfg)
+    rng = np.random.RandomState(13)
+    batch = _protocol_batch("tmemnet", rng)
+    params = _protocol_init(model, "tmemnet", batch, rng)
+
+    init_fn, chunk_fn, _ = make_continuous_fns(model, max_len,
+                                               chunk_steps=3)  # donating
+    state, rank = init_fn({"params": params}, batch)
+    assert rank is not None
+    expected = np.asarray(jax.device_get(rank))
+    lazy = _LazyRank(rank)
+    state = chunk_fn({"params": params}, state)   # donates its input state
+    state = chunk_fn({"params": params}, state)
+    got = np.stack([lazy.row(i) for i in range(expected.shape[0])])
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_protocol_refill_matches_own_run():
     """TMemNet (per-row t state): rows refilled mid-flight decode exactly
     as in their own one-shot run."""

@@ -4,14 +4,28 @@ Fixed-length batch decode pays max_len steps for every batch; early-exit
 pays the MAX emitted length over the batch; continuous batching pays
 ~the MEAN length (finished rows are refilled mid-flight). The win is
 therefore a function of the answer-length distribution, which random
-weights do not produce (they rarely emit EOS) — so, like the continuous
-equivalence tests, this re-tags the most frequently decoded token as EOS
-(greedy token choice ignores eos_id, so the emitted ids are unchanged;
-only the stop bookkeeping reads it). Mean/percentile lengths are printed
-so the speedup can be read against the distribution.
+weights do not produce. Two ways to get a length mix:
+
+* ``--caps lo-hi`` (recommended at full scale): per-request ``max_tokens``
+  drawn uniformly, riding the decode state as ``response_cap``. Round 8
+  found the EOS retag below degenerates at full scale (greedy decode of
+  full-size random weights collapses to one repeated token, so the retag
+  yields length mean=1); caps give the same economics, controllably.
+* default (kept for ``--small`` smokes): re-tag the most frequently
+  decoded token as EOS (greedy token choice ignores eos_id, so emitted
+  ids are unchanged; only the stop bookkeeping reads it).
+
+Mean/percentile lengths are printed so the speedup can be read against
+the distribution.
 
 Usage: python tools/exp_continuous.py [B] [--n N] [--chunk C] [--refill R]
-       [--lookahead] [--lanes 5,10] [--small]
+       [--caps lo-hi] [--sweep c1,c2,...] [--refill_min M] [--lookahead]
+       [--skip_batch] [--lanes 5,10] [--small]
+
+``--sweep``: chunk-size sweep in one process; ``--skip_batch``: skip the
+fixed/early-exit baselines (their programs never change; they cost ~6 min
+of relay compiles per invocation); ``--refill_min M``: coalesce refills
+until M rows are free.
 
 ``--lanes k1,k2,...``: additionally measure a pool-size-MIXED stream,
 served single-lane at the full pool vs one continuous lane per bucket
@@ -262,8 +276,13 @@ def main(argv):
             def mb(chunkreqs, bs):
                 idx = [r["i"] for r in chunkreqs]
                 idx = idx + [idx[-1]] * (bs - len(idx))
-                return {"query": jnp.asarray(master["query"][idx]),
-                        "passage": jnp.asarray(master["passage"][idx][:, :k])}
+                out = {"query": jnp.asarray(master["query"][idx]),
+                       "passage": jnp.asarray(master["passage"][idx][:, :k])}
+                if caps_arr is not None:  # same per-request caps as the
+                    # single-lane baseline, else the two timed runs decode
+                    # different amounts of work
+                    out["response_cap"] = jnp.asarray(caps_arr[idx])
+                return out
             return mb
 
         # single-lane baseline: the same mixed stream, every request

@@ -43,13 +43,19 @@ def main():
         cont_args = ["--continuous", "--chunk_steps", chunk,
                      "--refill", refill]
         del argv[i:i + 1 + len([x for x in rest if not x.startswith("-")])]
-        if "--lookahead" in argv:
-            cont_args.append("--lookahead")
-            argv.remove("--lookahead")
-        if "--refill_min" in argv:
-            j = argv.index("--refill_min")
-            cont_args += ["--refill_min", argv[j + 1]]
-            del argv[j:j + 2]
+    # strip the continuous-only flags unconditionally: left in argv they
+    # would land in the positional int() parse below
+    if "--lookahead" in argv:
+        if not cont_args:
+            raise SystemExit("--lookahead requires --continuous")
+        cont_args.append("--lookahead")
+        argv.remove("--lookahead")
+    if "--refill_min" in argv:
+        if not cont_args:
+            raise SystemExit("--refill_min requires --continuous")
+        j = argv.index("--refill_min")
+        cont_args += ["--refill_min", argv[j + 1]]
+        del argv[j:j + 2]
     clients = int(argv[0]) if len(argv) > 0 else 4
     per_client = int(argv[1]) if len(argv) > 1 else 4
     bs = 64
