@@ -144,10 +144,16 @@ struct WpVocab {
   int32_t unk_id;
 };
 
-// Python str.isspace() for ASCII code points
+// HF BertTokenizer whitespace for ASCII code points: ' ', \t, \n, \r only
+// (\v, \f, \x1c-\x1f are category Cc -> control -> dropped by clean_text)
 inline bool ascii_space(unsigned char c) {
-  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
-         c == '\f' || (c >= 28 && c <= 31);
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+}
+
+// HF clean_text drops NUL and all other ASCII controls (0x00-0x1f except
+// \t\n\r, plus DEL 0x7f) WITHOUT breaking the word ("a\vb" -> "ab")
+inline bool ascii_dropped(unsigned char c) {
+  return (c < 32 && c != '\t' && c != '\n' && c != '\r') || c == 127;
 }
 
 // data/text._is_punct for ASCII code points (the unicodedata category
@@ -232,6 +238,7 @@ int wp_tokenize(void* h, const char* text, int text_len, int lower,
   };
   for (int i = 0; i < text_len; ++i) {
     unsigned char c = (unsigned char)text[i];
+    if (ascii_dropped(c)) continue;
     if (lower && c >= 'A' && c <= 'Z') c = c - 'A' + 'a';
     if (ascii_space(c)) {
       if (!flush()) return -1;

@@ -38,6 +38,71 @@ def test_split_sentences():
     assert s == ["Dr. Smith works here.", "He is busy!", "Is he?", "Yes."]
 
 
+# ---- raw-text tokenization parity vs the actual HF BertTokenizer --------
+# The reference tokenizes corpus text with BertTokenizer
+# (common/Utils.py:30-37); our self-contained tokenizer must reproduce the
+# ALGORITHM exactly (the vocab is supplied either way). transformers is
+# installed here, so parity is asserted against the real thing across a
+# Unicode gauntlet — CJK isolation, accent stripping, control removal,
+# whitespace classes, special tokens — plus random fuzz.
+
+_GAUNTLET = [
+    "Hello, World! It's 5-fold.",
+    "a\x0bb x\x7fy \x00nul�",            # controls dropped, not split
+    "tab\tand\nnewline\rws",
+    "深度learning模型很好",                    # CJK chars isolated
+    "café naïve Müller café",           # composed + decomposed accents
+    "İstanbul İstanbul",                # Turkish dotted capital I
+    "a b c　d",                      # NBSP / ideographic space (Zs)
+    "left right",                        # Zl: NOT whitespace in HF
+    "hello\U0001f642world",                   # emoji rides inside the word
+    "«quoted» — em-dash … ellipsis ¿que?",
+    "ＡＢＣ full-width １２３",
+    "mixed кириллица and العربية text",
+    "ask [SEP] answer",
+    "a[SEP]b",                                # special token mid-word
+    "[UNK]x [CLS] y [MASK]",
+    "    ",                                   # whitespace only
+    "",                                       # empty
+    "word " * 40 + "x" * 120,                 # >100-char word -> [UNK]
+]
+
+
+def _hf_and_ours(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "hello", "world", "it", "'", "s", "5", "fold", "play",
+             "##ing", "field", "ask", "answer", "a", "b", "x", "y",
+             "tab", "and", "##wline", "ne", "ws", "cafe", "naive",
+             "muller", "istanbul", "learning", "text", "mixed", "c", "d",
+             "left", "right", "word", "full", "width", "que",
+             "深", "度", "模", "型", "很", "好",
+             ",", ".", "!", "?", "-", "«", "»", "—", "…", "¿", "[", "]"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(words) + "\n", encoding="utf-8")
+    hf = transformers.BertTokenizer(str(vocab_file), do_lower_case=True)
+    ours = WordPieceTokenizer({w: i for i, w in enumerate(words)})
+    return hf, ours
+
+
+def test_tokenizer_matches_hf_on_unicode_gauntlet(tmp_path):
+    hf, ours = _hf_and_ours(tmp_path)
+    for text in _GAUNTLET:
+        assert ours(text) == hf.tokenize(text), repr(text)
+
+
+def test_tokenizer_matches_hf_fuzz(tmp_path):
+    hf, ours = _hf_and_ours(tmp_path)
+    import random
+    pool = ("abc ABC éü 深度 ,.!? \t\n  \x0b\x7f�"
+            "кир ال 🙂 [SEP] ## １Ａ…")
+    rng = random.Random(3)
+    for _ in range(300):
+        text = "".join(rng.choice(pool)
+                       for _ in range(rng.randrange(0, 40)))
+        assert ours(text) == hf.tokenize(text), repr(text)
+
+
 def test_case_token_labels_match_reference_math():
     """Re-derive the published label math with torch unfold
     (ref: CaSE/CaSEDataset.py:6-28) and require equality."""

@@ -75,7 +75,10 @@ def test_native_wordpiece_matches_python():
                  for _ in range(rng.randint(1, 25))]
         texts.append(" ".join(words))
     texts += ["The whales. Kinetic energy?", "", "   ", "a" * 200, "...",
-              "\t\n x", "a" * 99 + " b"]
+              "\t\n x", "a" * 99 + " b",
+              # HF control-char semantics: \x0b/\x7f/\x1f are DROPPED
+              # without splitting the word ("a\x0bb" == "ab")
+              "a\x0bb", "wha\x7fle", "x\x1f9", "\x0c\x0b", "a\x00b"]
     for t in texts:
         assert tok(t) == tok_py(t), repr(t[:80])
 
