@@ -113,11 +113,14 @@ def main():
         def loop(w):
             def body(carry, _):
                 comb = fn(carry)
-                # carry dependency on the WHOLE result (a single-column
-                # slice lets XLA slice-fuse dense variants down to one
-                # column — the first sweep's xla_dense number was that
-                # artifact)
-                return carry + (jnp.sum(comb, axis=1) * 1e-9)[:, None], ()
+                # consume comb the way the real decode step does — argmax
+                # over j plus the value at the argmax. (A sum consumer lets
+                # XLA collapse the dense variant into one double reduce
+                # that never materializes comb per-j; a single-column slice
+                # lets it slice-fuse — both understate the real cost.)
+                pos = jnp.argmax(comb, axis=1)
+                val = jnp.take_along_axis(comb, pos[:, None], 1)[:, 0]
+                return carry + (val * 1e-9 + pos * 1e-12)[:, None], ()
             out, _ = jax.lax.scan(body, w, None, length=iters)
             return out[:, 0]
         return loop
