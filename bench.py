@@ -82,20 +82,28 @@ def main():
 
     predict = make_predict_fn(model, cfg, max_len=40)
 
-    # Guard: the measured program must contain the Pallas fast paths that
-    # the headline number depends on (candidate-argmax + fused encoder
-    # attention lower to tpu_custom_call; auto-enabled for bf16 params).
-    # A silent fallback to the dense path would produce a slower but
-    # plausible-looking number — fail loudly instead.
+    # Guard: the measured program must match the shipped serving
+    # configuration. The fused encoder attention Pallas kernel must be
+    # active (>=1 tpu_custom_call), and the candidate-argmax kernel must
+    # NOT be (its auto gate flipped off in round 9: 741 us/step vs 78 us
+    # for the dense compare after this image's XLA update — multimem.
+    # _resolve_fast_argmax, docs/PERF.md round 9). A silent mismatch
+    # would produce a wrong-config but plausible-looking number — fail
+    # loudly instead.
     backend = jax.default_backend()
     if backend == "tpu" or os.environ.get("CASE_RG_BENCH_REQUIRE_PALLAS"):
         hlo = predict.lower(variables, batch).as_text()
         n_custom = hlo.count("tpu_custom_call")
-        if n_custom < 2:
+        if n_custom < 1:
             raise SystemExit(
-                f"bench.py: expected >=2 Pallas tpu_custom_call sites in "
-                f"the lowered predict program (fused encoder attention + "
-                f"candidate argmax), found {n_custom} — fast path inactive")
+                "bench.py: expected the fused encoder attention Pallas "
+                "kernel (tpu_custom_call) in the lowered predict program, "
+                "found none — fast path inactive")
+        if "combine_copy_mass" in hlo:
+            raise SystemExit(
+                "bench.py: the candidate-argmax kernel (combine_copy_mass) "
+                "appears in the lowered program despite its auto gate being "
+                "off (see multimem._resolve_fast_argmax)")
 
     np.asarray(predict(variables, batch)["answer"])  # compile + full sync
     # NOTE: distinct batches per iteration and a real host fetch per result —

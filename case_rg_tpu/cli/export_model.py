@@ -82,7 +82,7 @@ def main(argv=None):
     from ..train.checkpoint import (best_epoch, checkpoint_exists,
                                     latest_epoch, load_checkpoint)
     from ..train.trainer import Trainer
-    from .serve import _chunk_to_batch
+    from ..serving.featurize import chunk_to_batch as _chunk_to_batch
 
     vocab = Vocabulary.load(os.path.join(args.prepared_dir, "vocab.txt"))
     dcfg = DataConfig(query_len=args.query_len, passage_len=args.passage_len,

@@ -65,13 +65,12 @@ def build_parser():
     p.add_argument("--fast_argmax", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="scatter-free decode argmax (candidate-set, Pallas "
-                        "duplicate-combine kernel). Default: auto — for "
-                        "case/masque, on under bf16 inference on a single "
-                        "TPU chip, off for f32 (the parity dtype); for "
-                        "glks/gttp auto stays on the dense scatter (their "
-                        "small GRU steps measure slower with it — "
-                        "docs/PERF.md round 6). True forces the candidate "
-                        "path, --no-fast_argmax the dense scatter")
+                        "duplicate-combine kernel). Default: auto — OFF for "
+                        "every model since round 9: the kernel's round-6 "
+                        "win regressed under this image's XLA update "
+                        "(741 vs 78 us/step; docs/PERF.md round 9). "
+                        "--fast_argmax forces the candidate path, "
+                        "--no-fast_argmax the dense scatter")
     p.add_argument("--rank_only", action="store_true",
                    help="--mode test: write only the .run ranking files, "
                         "skipping answer generation (case/masque/tmemnet; "

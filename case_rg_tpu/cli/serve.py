@@ -8,6 +8,10 @@ the chip is driven with pipelined batch dispatch — all batches submitted
 before results are fetched in order, overlapping the host roundtrip with
 device compute (docs/PERF.md: ~18% throughput on the relay-backed chip).
 
+This module is the CLI entry point (argument surface, checkpoint/export
+loading, serving-mesh setup, warmup); the serving machinery lives in
+``case_rg_tpu/serving/`` (featurize, lanes, http, offline).
+
 Request format (one JSON object per line):
 
     {"id": "r1", "query": "current question",
@@ -69,14 +73,14 @@ lane's chunk is dispatched before any lane's results are fetched, so one
 lane's host roundtrip overlaps the other lanes' device compute.
 
 ``--listen HOST:PORT`` turns the CLI into an HTTP micro-batching server
-(zero dependencies — stdlib http.server): POST JSONL request lines to
-``/``, receive JSONL responses; GET ``/healthz`` for liveness and
-``/varz`` for serving stats (requests, batches, occupancy, batch
-latency, errors). Concurrent
-client requests are coalesced into device batches (``--max_wait_ms``
-window, ``--batch_size`` cap) with pipelined dispatch, composing with
-``--pool_buckets`` (each coalesced batch runs at the smallest static pool
-size that fits its largest request).
+(zero dependencies — stdlib http.server; serving/http.py): POST JSONL
+request lines to ``/``, receive JSONL responses; GET ``/healthz`` for
+liveness and ``/varz`` for serving stats (requests, batches, occupancy,
+batch latency, errors). Concurrent client requests are coalesced into
+device batches (``--max_wait_ms`` window, ``--batch_size`` cap) with
+pipelined dispatch, composing with ``--pool_buckets`` (each coalesced
+batch runs at the smallest static pool size that fits its largest
+request).
 """
 
 from __future__ import annotations
@@ -85,19 +89,28 @@ import argparse
 import json
 import os
 import sys
-import time
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 
 from ..config import DataConfig, ModelConfig, TrainConfig
-from ..data.featurize import featurize
-from ..data.text import split_sentences
 from ..data.vocab import Vocabulary
 from ..models import build_model_cfg, create_model
 from ..runtime.inference import make_predict_fn
 from ..runtime.io import ids_to_sentence, remove_duplicate
+from ..serving.featurize import bucket_for, chunk_to_batch, parse_buckets, \
+    read_chunks, read_requests
+from ..serving.http import serve_http
+from ..serving.offline import run_offline_batched, run_offline_continuous
 from ..train.checkpoint import checkpoint_exists, latest_epoch, load_checkpoint
+
+# Pre-split import compatibility (tests/tools import these from here; the
+# canonical home is case_rg_tpu/serving/featurize.py)
+_bucket_for = bucket_for
+_chunk_to_batch = chunk_to_batch
+_parse_buckets = parse_buckets
+_read_chunks = read_chunks
+_read_requests = read_requests
 
 
 def build_parser():
@@ -144,11 +157,12 @@ def build_parser():
                         "by default for serving; --no-early_exit disables)")
     p.add_argument("--fast_argmax", action=argparse.BooleanOptionalAction,
                    default=None,
-                   help="scatter-free decode argmax (auto: case/masque on "
-                        "for bf16 on a single TPU chip, off for f32; "
-                        "glks/gttp auto keeps the dense scatter — measured "
-                        "faster for them; --no-fast_argmax forces the "
-                        "dense scatter everywhere)")
+                   help="scatter-free decode argmax (auto: OFF for every "
+                        "model since round 9 — the Pallas kernel's win "
+                        "regressed under this image's XLA update, "
+                        "docs/PERF.md round 9; --fast_argmax forces the "
+                        "candidate path, --no-fast_argmax the dense "
+                        "scatter)")
     p.add_argument("--rank_only", action="store_true",
                    help="return passage rankings only, skipping answer "
                         "generation (case/masque/tmemnet). The sequential "
@@ -268,518 +282,6 @@ def build_parser():
                         "cached XLA program per size. Empty = always "
                         "--batch_size")
     return p
-
-
-def featurize_requests(requests: List[dict], model: str, vocab: Vocabulary,
-                       dcfg: DataConfig) -> Dict[str, np.ndarray]:
-    """Requests -> the same fixed-shape arrays the offline pipeline emits
-    (tokenization mirrors data/loaders.load_query/load_passage).
-
-    All texts of the chunk (queries, history turns, passage sentences) are
-    tokenized in ONE native batch call — the per-sentence ctypes crossing
-    dominated the host featurizer at device-rate serving (docs/PERF.md)."""
-    tok = vocab.tokenizer()
-    texts: List[str] = []
-    meta = []   # per request: (query_i, [hist_i], [[sent_i per passage]])
-    for i, req in enumerate(requests):
-        qi = len(texts)
-        texts.append(req.get("query", ""))
-        his = []
-        for h in req.get("history", []):
-            his.append(len(texts))
-            texts.append(h)
-        n_pass = len(req.get("passages", []))
-        if n_pass > dcfg.num_passage:
-            print(f"[serve] warning: request {req.get('id', i)!r} has "
-                  f"{n_pass} passages; only the first {dcfg.num_passage} "
-                  "are scored (raise --num_passage to cover the pool)",
-                  file=sys.stderr)
-        ps = []
-        # passages beyond the pool size are discarded by featurize() —
-        # don't pay to sentence-split/tokenize them (the warning above
-        # already fired)
-        for ptext in req.get("passages", [])[: dcfg.num_passage]:
-            sidx = []
-            for sent in split_sentences(ptext):
-                sidx.append(len(texts))
-                texts.append(sent)
-            ps.append(sidx)
-        meta.append((qi, his, ps))
-    toked = tok.batch(texts)
-
-    query: Dict[str, List[str]] = {}
-    passage: Dict[str, List[str]] = {}
-    samples = []
-    for i, (qi, his, ps) in enumerate(meta):
-        qid = f"q{i}"
-        query[qid] = toked[qi]
-        ctx_ids = []
-        for j, hi in enumerate(his):
-            cid = f"q{i}_h{j}"
-            query[cid] = toked[hi]
-            ctx_ids.append(cid)
-        pool = []
-        for j, sidx in enumerate(ps):
-            pid = f"p{i}_{j}"
-            joined = " [SEP] ".join(" ".join(toked[s]) for s in sidx)
-            passage[pid] = joined.split(" ") if joined else []
-            pool.append(pid)
-        samples.append({"query_id": qid, "context_id": ctx_ids,
-                        "passage_pool_id": pool, "passage_id": [],
-                        "answer": []})
-    arrays = featurize(model, samples, query, passage, vocab, None, dcfg)
-    return arrays
-
-
-def _chunk_to_batch(chunk: List[dict], model: str, vocab: Vocabulary,
-                    dcfg: DataConfig, bs: int) -> Dict[str, np.ndarray]:
-    """Featurize one request chunk into a fixed-size padded batch
-    (pad rows repeat the last request; sample_weight flags them).
-
-    A request's optional ``max_tokens`` becomes the per-row response cap
-    (``response_cap``): the continuous decode ends the row there; the
-    batch paths truncate host-side (greedy/sampled prefixes are
-    unaffected by later steps, so both give the same answer)."""
-    arrays = featurize_requests(chunk, model, vocab, dcfg)
-    real = len(chunk)
-    batch: Dict[str, np.ndarray] = {}
-    for k, v in arrays.items():
-        if k == "passage_labels":
-            continue
-        batch[k] = np.concatenate([v, np.repeat(v[-1:], bs - real, axis=0)]) \
-            if real < bs else v
-    if "passage_labels" in arrays:   # no golds at serving time
-        batch["passage_label"] = np.zeros(bs, np.int32)
-    w = np.zeros(bs, np.float32)
-    w[:real] = 1.0
-    batch["sample_weight"] = w
-    cap = np.full(bs, dcfg.answer_len, np.int32)
-    for i, r in enumerate(chunk):
-        if "max_tokens" in r:
-            cap[i] = max(1, min(int(r["max_tokens"]), dcfg.answer_len))
-    batch["response_cap"] = cap
-    return batch
-
-
-def _read_requests(src):
-    for line in src:
-        if line.strip():
-            yield json.loads(line)
-
-
-def _read_chunks(src, size: int):
-    chunk: List[dict] = []
-    for req in _read_requests(src):
-        chunk.append(req)
-        if len(chunk) == size:
-            yield chunk
-            chunk = []
-    if chunk:
-        yield chunk
-
-
-def _bucket_for(n_passages: int, buckets: List[int]) -> int:
-    """Smallest bucket that fits the pool (over-long pools get the largest
-    bucket and are truncated with the featurizer's warning)."""
-    for b in buckets:
-        if n_passages <= b:
-            return b
-    return buckets[-1]
-
-
-def _make_lanes(cont, bs: int, refill_size: int, wrap=None, key=None):
-    """One continuous-decode Lane per pool bucket + a request router
-    (``--pool_buckets x --continuous``). ``wrap`` optionally wraps each
-    lane's make_batch (HTTP failure isolation); ``key(item) -> n_passages``
-    adapts routing to the source's item shape (the HTTP queue wraps each
-    request dict in a waiter record)."""
-    from ..runtime.continuous import Lane
-    lanes = {}
-    for k in cont["buckets"]:
-        mb = cont["make_batch_for"][k]
-        lanes[k] = Lane(k, mb if wrap is None else wrap(mb), cont["init"],
-                        cont["chunk"], cont["refill"], bs, refill_size,
-                        refill_min=cont.get("refill_min", 1))
-    getn = key or (lambda req: len(req.get("passages", [])))
-
-    def route(item):
-        return lanes[_bucket_for(getn(item), cont["buckets"])]
-    return list(lanes.values()), route
-
-
-def _parse_buckets(spec: str, cap: int,
-                   flag: str = "--pool_buckets") -> List[int]:
-    """Parse a bucket-size list; ``cap`` (num_passage resp. batch_size)
-    always joins as the largest bucket so inputs bigger than every listed
-    bucket still run at the full configured size (not silently truncated)."""
-    buckets = {int(x) for x in spec.split(",") if x}
-    if any(b <= 0 for b in buckets):
-        raise SystemExit(f"{flag} entries must be positive")
-    buckets.add(cap)
-    return sorted(buckets)
-
-
-def _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
-                vocab, bbuckets, server_ready=None, cont=None):
-    """HTTP micro-batching server (``--listen``).
-
-    Handler threads only enqueue requests and wait on per-request events;
-    a single dispatcher thread owns all device work (featurize -> dispatch),
-    and a completer thread fetches results and releases the waiters — the
-    dispatch/fetch split pipelines the host roundtrip exactly like the
-    offline path (docs/PERF.md). Requests arriving within ``--max_wait_ms``
-    of each other coalesce into one device batch (up to ``--batch_size``).
-    With ``--pool_buckets``, each coalesced batch runs at the smallest
-    static pool size that fits its largest request.
-
-    ``cont`` (from ``--continuous``) replaces dispatcher+completer with
-    one worker driving the continuous decode loop: requests join the
-    in-flight batch as rows free up (no coalescing window needed — the
-    decode state IS the batch), and each waiter is released the moment
-    its row finishes (``ordered=False``)."""
-    import dataclasses
-    import queue
-    import threading
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-    bs = args.batch_size
-    buckets = _parse_buckets(args.pool_buckets, dcfg.num_passage) \
-        if args.pool_buckets else []
-    dcfgs = {k: dataclasses.replace(dcfg, num_passage=k) for k in buckets}
-    arrival = iter(range(1 << 62))   # fallback ids = arrival order
-    arrival_lock = threading.Lock()
-    stats = {"requests": 0, "batches": 0, "errors": 0,
-             "batch_rows": 0, "batch_seconds": 0.0}
-    stats_lock = threading.Lock()
-    from collections import deque as _deque
-    latencies: "_deque" = _deque(maxlen=1000)   # last-N request latencies
-
-    def note_done(items):
-        now = time.monotonic()
-        with stats_lock:
-            for p in items:
-                if "t_in" in p:
-                    latencies.append(now - p["t_in"])
-
-    reqq: queue.Queue = queue.Queue()
-    doneq: queue.Queue = queue.Queue(maxsize=max(args.pipeline_depth, 1))
-    stop = object()
-    lane_holder: Dict[str, list] = {}   # multi-lane worker publishes lanes
-
-    def fail_items(items, exc):
-        # a bad request must not kill the serving threads: release its
-        # waiters with an error payload and keep going
-        print(f"[serve] batch failed: {exc!r}", file=sys.stderr)
-        note_done(items)
-        with stats_lock:
-            stats["errors"] += len(items)
-        for p in items:
-            p["resp"] = {"id": p["req"].get("id", p["seq"])
-                         if isinstance(p["req"], dict) else p["seq"],
-                         "error": str(exc)}
-            if "stream_q" in p:   # unblock a streaming handler too
-                p["stream_q"].put(dict(p["resp"], done=True))
-            p["event"].set()
-
-    def dispatcher():
-        while True:
-            item = reqq.get()
-            if item is stop:
-                doneq.put(stop)
-                return
-            items = [item]
-            deadline = time.monotonic() + args.max_wait_ms / 1000.0
-            while len(items) < bs:
-                t = deadline - time.monotonic()
-                if t <= 0:
-                    break
-                try:
-                    nxt = reqq.get(timeout=t)
-                except queue.Empty:
-                    break
-                if nxt is stop:
-                    reqq.put(stop)   # re-queue: stop after this batch
-                    break
-                items.append(nxt)
-            try:
-                chunk = [p["req"] for p in items]
-                if buckets:
-                    k = _bucket_for(max(len(r.get("passages", []))
-                                        for r in chunk), buckets)
-                    dk = dcfgs[k]
-                else:
-                    dk = dcfg
-                batch = _chunk_to_batch(chunk, args.model, vocab, dk,
-                                        _bucket_for(len(chunk), bbuckets))
-                ensure_params(batch)
-                doneq.put((items, run_predict(batch), dk, time.monotonic()))
-            except Exception as e:   # malformed request, featurize error, ...
-                fail_items(items, e)
-
-    def continuous_worker():
-        from ..runtime.continuous import QueueSource, run_continuous_multi
-
-        live = []   # items in slots, for failure cleanup
-
-        def wrap_mb(mb):
-            def make_batch(items, k):
-                try:
-                    batch = mb([p["req"] for p in items], k)
-                    live.extend(items)
-                    return batch
-                except Exception as e:   # malformed request, featurize error
-                    fail_items(items, e)
-                    return None
-            return make_batch
-
-        def emit(item, ids_row, rank_row):
-            try:
-                item["resp"] = responses_for(
-                    [item["req"]], cont["row_out"](ids_row, rank_row), dcfg,
-                    default_ids=[item["seq"]])[0]
-                if "stream_q" in item:   # final authoritative line
-                    item["stream_q"].put(dict(item["resp"], done=True))
-                item["event"].set()
-                note_done([item])
-                with stats_lock:
-                    stats["requests"] += 1
-            except Exception as e:
-                fail_items([item], e)
-            finally:
-                # drop the streaming cursor on BOTH outcomes (seq keys are
-                # never reused, so a missed pop could only leak, not
-                # poison a later stream — but don't leak either)
-                last_sent.pop(item["seq"], None)
-            if item in live:
-                live.remove(item)
-
-        def on_chunk(chunks):
-            with stats_lock:
-                stats["batches"] = chunks
-
-        # token streaming ("stream": true requests): after every chunk,
-        # push the newly decoded words of each live streaming row to its
-        # handler. Deltas are detokenized word fragments (wordpiece joins
-        # can differ across a fragment boundary); the final line carries
-        # the authoritative full answer + ranking.
-        from ..runtime.io import ids_to_words
-        detok = vocab.detokenizer()
-        last_sent: Dict[int, int] = {}   # item seq -> words streamed
-
-        def stream_cb(host, slots):
-            # ``host`` carries already-fetched numpy out/trow (one combined
-            # device_get per chunk in the loop — no extra roundtrips here)
-            live_s = [(r, s[1]) for r, s in enumerate(slots)
-                      if s is not None and "stream_q" in s[1]]
-            if not live_s:
-                return
-            out_h = host["out"]
-            trow_h = host["trow"]
-            for r, item in live_s:
-                words = ids_to_words(out_h[r][: int(trow_h[r])], vocab)
-                sent = last_sent.get(item["seq"], 0)
-                if len(words) > sent:
-                    item["stream_q"].put(
-                        {"id": item["req"].get("id", item["seq"]),
-                         "delta": detok(words[sent:])})
-                    last_sent[item["seq"]] = len(words)
-
-        # the worker owns the device: a compile/device error must not
-        # strand current waiters or future requests behind a dead thread
-        # (the dispatcher/completer pair guards the same way)
-        try:
-            src = QueueSource(reqq, stop)
-            if "buckets" in cont:
-                lanes, route = _make_lanes(
-                    cont, bs, cont["refill_size"], wrap=wrap_mb,
-                    key=lambda p: len(p["req"].get("passages", [])))
-                lane_holder["lanes"] = lanes
-                run_continuous_multi(src, lanes, route, None, emit,
-                                     ordered=False, on_chunk=on_chunk,
-                                     stream_cb=stream_cb)
-            else:
-                cont["run"](src, wrap_mb(cont["make_batch"]), cont["init"],
-                            cont["chunk"], cont["refill"], None, bs,
-                            cont["refill_size"], emit,
-                            args.max_target_length,
-                            ordered=False, on_chunk=on_chunk,
-                            lookahead=cont["lookahead"],
-                            refill_min=cont["refill_min"],
-                            stream_cb=stream_cb)
-        except Exception as e:
-            print(f"[serve] continuous worker failed: {e!r}",
-                  file=sys.stderr)
-            fail_items([p for p in live if not p["event"].is_set()], e)
-            while True:   # keep answering with errors instead of timeouts
-                item = reqq.get()
-                if item is stop:
-                    return
-                fail_items([item], e)
-
-    def completer():
-        while True:
-            got = doneq.get()
-            if got is stop:
-                return
-            items, out, dk, t_dispatch = got
-            try:
-                chunk = [p["req"] for p in items]
-                seqs = [p["seq"] for p in items]
-                resps = responses_for(chunk, out, dk, default_ids=seqs)
-                for p, resp in zip(items, resps):
-                    p["resp"] = resp
-                    p["event"].set()
-                note_done(items)
-                with stats_lock:
-                    stats["requests"] += len(items)
-                    stats["batches"] += 1
-                    stats["batch_rows"] += len(items)
-                    stats["batch_seconds"] += time.monotonic() - t_dispatch
-            except Exception as e:   # device failure must not strand waiters
-                fail_items(items, e)
-
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, fmt, *a):   # keep stderr quiet under load
-            pass
-
-        def _send(self, code, data, ctype="application/jsonl"):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def do_GET(self):
-            if self.path == "/healthz":
-                self._send(200, b"ok\n", "text/plain")
-            elif self.path == "/varz":
-                with stats_lock:
-                    n, b_ = stats["requests"], stats["batches"]
-                    varz = {"requests_served": n, "batches": b_,
-                            "errors": stats["errors"],
-                            "mean_batch_occupancy":
-                                round(stats["batch_rows"] / b_, 2) if b_ else 0,
-                            # dispatch -> completion, INCLUDING time queued
-                            # behind other in-flight batches: pipeline
-                            # residence, not device batch latency (can read
-                            # up to pipeline_depth x the device time under
-                            # sustained load)
-                            "mean_batch_residence_s":
-                                round(stats["batch_seconds"] / b_, 4)
-                                if b_ else 0,
-                            "batch_size": bs, "pool_buckets": buckets,
-                            "batch_buckets": bbuckets,
-                            "max_wait_ms": args.max_wait_ms,
-                            "continuous": cont is not None}
-                    if latencies:
-                        ls = sorted(latencies)
-
-                        def pct(q):
-                            return round(ls[min(len(ls) - 1,
-                                                int(q * len(ls)))], 4)
-                        varz["request_latency_s"] = {
-                            "p50": pct(0.50), "p90": pct(0.90),
-                            "p99": pct(0.99), "n": len(ls)}
-                    if lane_holder:
-                        # racy-but-safe snapshot (GIL list reads) of each
-                        # continuous lane's live occupancy and queue depth
-                        varz["lanes"] = {
-                            str(ln.key): {
-                                "occupied": sum(s is not None
-                                                for s in ln.slots),
-                                "queued": len(ln.queue)}
-                            for ln in lane_holder["lanes"]}
-                self._send(200, (json.dumps(varz) + "\n").encode(),
-                           "application/json")
-            else:
-                self._send(404, b"not found\n", "text/plain")
-
-        def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0) or 0)
-            body = self.rfile.read(length).decode("utf-8")
-            try:
-                reqs = [json.loads(line) for line in body.splitlines()
-                        if line.strip()]
-                if not all(isinstance(r, dict) for r in reqs):
-                    raise ValueError("each line must be a JSON object")
-            except (json.JSONDecodeError, ValueError) as e:
-                self._send(400, f"bad request line: {e}\n".encode(),
-                           "text/plain")
-                return
-            if not reqs:
-                self._send(400, b"empty body\n", "text/plain")
-                return
-            if any(r.get("stream") for r in reqs):
-                # token streaming: JSONL lines flushed as the row decodes —
-                # {"id", "delta"} per chunk, then the authoritative
-                # {"id", "answer", "ranking", "done": true}. HTTP/1.0
-                # close-delimited body (no Content-Length); one streaming
-                # request per POST.
-                if cont is None or len(reqs) != 1:
-                    self._send(400, b"streaming requests need --continuous "
-                               b"serving and exactly one request per POST\n",
-                               "text/plain")
-                    return
-                with arrival_lock:
-                    item = {"req": reqs[0], "resp": None,
-                            "seq": next(arrival), "t_in": time.monotonic(),
-                            "event": threading.Event(),
-                            "stream_q": queue.Queue()}
-                reqq.put(item)
-                self.send_response(200)
-                self.send_header("Content-Type", "application/jsonl")
-                self.end_headers()
-                while True:
-                    try:
-                        msg = item["stream_q"].get(
-                            timeout=args.request_timeout)
-                    except queue.Empty:
-                        msg = {"id": item["req"].get("id", item["seq"]),
-                               "error": "timed out", "done": True}
-                    self.wfile.write((json.dumps(msg) + "\n").encode())
-                    self.wfile.flush()
-                    if msg.get("done"):
-                        return
-            with arrival_lock:
-                pend = [{"req": r, "resp": None, "seq": next(arrival),
-                         "t_in": time.monotonic(),
-                         "event": threading.Event()} for r in reqs]
-            for p in pend:
-                reqq.put(p)
-            ok = all(p["event"].wait(timeout=args.request_timeout)
-                     for p in pend)
-            if not ok:
-                self._send(503, b"timed out\n", "text/plain")
-                return
-            out = "".join(json.dumps(p["resp"]) + "\n" for p in pend)
-            self._send(200, out.encode("utf-8"))
-
-    host, _, port = args.listen.rpartition(":")
-    server = ThreadingHTTPServer((host or "127.0.0.1", int(port)), Handler)
-    if cont is not None:
-        threads = [threading.Thread(target=continuous_worker, daemon=True)]
-    else:
-        threads = [threading.Thread(target=dispatcher, daemon=True),
-                   threading.Thread(target=completer, daemon=True)]
-    for t in threads:
-        t.start()
-    print(f"[serve] listening on http://{server.server_address[0]}:"
-          f"{server.server_address[1]} "
-          + (f"(continuous batch {bs}, chunk {args.chunk_steps}, "
-             f"refill {cont['refill_size']})" if cont is not None else
-             f"(batch {bs}, window {args.max_wait_ms} ms)"),
-          file=sys.stderr)
-    if server_ready is not None:
-        server_ready(server)
-    try:
-        server.serve_forever()
-    except KeyboardInterrupt:
-        pass
-    finally:
-        reqq.put(stop)
-        for t in threads:
-            t.join(timeout=30)
-        server.server_close()
 
 
 def main(argv=None, _server_ready=None):
@@ -926,7 +428,7 @@ def main(argv=None, _server_ready=None):
         except ValueError as e:   # --rank_only on a model without a rank head
             raise SystemExit(str(e))
 
-        bbuckets = _parse_buckets(args.batch_buckets, bs, "--batch_buckets") \
+        bbuckets = parse_buckets(args.batch_buckets, bs, "--batch_buckets") \
             if args.batch_buckets else [bs]
         if args.continuous:
             # the refill bucket is a second batch shape the mesh must divide
@@ -955,7 +457,7 @@ def main(argv=None, _server_ready=None):
         from ..runtime.mesh import local_mesh, replicated, shard_batch
         pool_devices = max(1, args.pool_shard)
         if pool_devices > 1:
-            pools = (_parse_buckets(args.pool_buckets, dcfg.num_passage)
+            pools = (parse_buckets(args.pool_buckets, dcfg.num_passage)
                      if args.pool_buckets else [dcfg.num_passage])
             bad = [k for k in pools if k % pool_devices]
             if bad:
@@ -1032,7 +534,7 @@ def main(argv=None, _server_ready=None):
         # continuous batching: per-row decode progress, finished rows
         # refilled mid-flight (runtime/continuous.py). Answers are
         # bit-identical per request to the batch predict path; throughput
-        # tracks the MEAN answer length instead of the batch max.
+        # tracks the MEAN answer length instead of the max.
         if args.batch_buckets or args.rank_only or args.beam_width > 1:
             raise SystemExit("--continuous composes with none of "
                              "--batch_buckets/--rank_only/--beam_width>1")
@@ -1086,7 +588,7 @@ def main(argv=None, _server_ready=None):
 
         def cont_make_batch_for(dk):
             def mb(chunk, k):
-                batch = _chunk_to_batch(chunk, args.model, vocab, dk, k)
+                batch = chunk_to_batch(chunk, args.model, vocab, dk, k)
                 if args.decoding == "sample":
                     batch["sample_key"] = request_keys(chunk, k)
                     if args.request_controls:
@@ -1116,7 +618,7 @@ def main(argv=None, _server_ready=None):
             # The jitted fns are shared — jit caches one executable per
             # state shape, i.e. per bucket.
             import dataclasses
-            cbuckets = _parse_buckets(args.pool_buckets, dcfg.num_passage)
+            cbuckets = parse_buckets(args.pool_buckets, dcfg.num_passage)
             cont["buckets"] = cbuckets
             cont["make_batch_for"] = {
                 k: cont_make_batch_for(
@@ -1139,7 +641,7 @@ def main(argv=None, _server_ready=None):
                     "seed": 0}
 
         pools = cont["buckets"] if cont is not None and "buckets" in cont \
-            else (_parse_buckets(args.pool_buckets, dcfg.num_passage)
+            else (parse_buckets(args.pool_buckets, dcfg.num_passage)
                   if args.pool_buckets else [dcfg.num_passage])
         if cont is not None:
             mbs = cont["make_batch_for"] if "buckets" in cont else \
@@ -1156,8 +658,8 @@ def main(argv=None, _server_ready=None):
             for k in pools:
                 dk = _dc.replace(dcfg, num_passage=k)
                 for width in bbuckets:
-                    batch = _chunk_to_batch([warm_req(k)], args.model,
-                                            vocab, dk, width)
+                    batch = chunk_to_batch([warm_req(k)], args.model,
+                                           vocab, dk, width)
                     ensure_params(batch)
                     jax.block_until_ready(
                         jax.tree_util.tree_leaves(run_predict(batch))[0])
@@ -1166,8 +668,8 @@ def main(argv=None, _server_ready=None):
               f"in {_time.time()-t0:.0f}s", file=sys.stderr)
 
     if args.listen:
-        _serve_http(args, dcfg, ensure_params, responses_for, run_predict,
-                    vocab, bbuckets, _server_ready, cont=cont)
+        serve_http(args, dcfg, ensure_params, responses_for, run_predict,
+                   vocab, bbuckets, _server_ready, cont=cont)
         return
 
     src = sys.stdin if args.input == "-" else open(args.input,
@@ -1176,44 +678,8 @@ def main(argv=None, _server_ready=None):
                                                       encoding="utf-8")
 
     if cont is not None:
-        def emit(req, ids_row, rank_row):
-            resp = responses_for([req], cont["row_out"](ids_row, rank_row),
-                                 dcfg)[0]
-            sink.write(json.dumps(resp) + "\n")
-            sink.flush()
-
-        # stdin may be a long-lived trickling pipe: a blocking read must
-        # not stall in-flight rows (IterSource docstring), so stream it
-        # through a reader thread + QueueSource; regular files read
-        # without meaningful blocking and keep the plain iterator
-        if src is sys.stdin:
-            import queue as _queue
-            import threading as _threading
-
-            from ..runtime.continuous import QueueSource
-            _q: "_queue.Queue" = _queue.Queue()
-            _stop = object()
-
-            def _reader():
-                for r in _read_requests(src):
-                    _q.put(r)
-                _q.put(_stop)
-
-            _threading.Thread(target=_reader, daemon=True).start()
-            source = QueueSource(_q, _stop)
-        else:
-            source = _read_requests(src)
-
-        if "buckets" in cont:
-            from ..runtime.continuous import run_continuous_multi
-            lanes, route = _make_lanes(cont, bs, args.refill)
-            stats = run_continuous_multi(source, lanes, route, None, emit)
-        else:
-            stats = cont["run"](
-                source, cont["make_batch"], cont["init"],
-                cont["chunk"], cont["refill"], None, bs, args.refill, emit,
-                args.max_target_length, lookahead=cont["lookahead"],
-                refill_min=cont["refill_min"])
+        stats = run_offline_continuous(src, sink, args, dcfg, cont,
+                                       responses_for)
         if src is not sys.stdin:
             src.close()
         if sink is not sys.stdout:
@@ -1227,85 +693,8 @@ def main(argv=None, _server_ready=None):
               file=sys.stderr)
         return
 
-    # streaming loop: consume batch_size chunks as they arrive, keep up to
-    # pipeline_depth batches in flight, flush each chunk's responses as
-    # soon as its result is fetched (pipelined dispatch — docs/PERF.md)
-    from collections import deque
-    inflight: deque = deque()
-
-    if not args.pool_buckets:
-        def write_responses(chunk, out, dcfg_k):
-            for resp in responses_for(chunk, out, dcfg_k):
-                sink.write(json.dumps(resp) + "\n")
-            sink.flush()
-
-        for chunk in _read_chunks(src, bs):
-            batch = _chunk_to_batch(chunk, args.model, vocab, dcfg,
-                                    _bucket_for(len(chunk), bbuckets))
-            ensure_params(batch)
-            inflight.append((chunk, run_predict(batch), dcfg))
-            while len(inflight) >= max(args.pipeline_depth, 1):
-                write_responses(*inflight.popleft())
-        while inflight:
-            write_responses(*inflight.popleft())
-    else:
-        # bucketed pools: per-bucket chunk accumulation, one XLA program
-        # per static pool size (jit caches by shape); input order restored
-        # by a seqno reorder buffer before writing
-        import dataclasses
-        buckets = _parse_buckets(args.pool_buckets, dcfg.num_passage)
-        dcfgs = {k: dataclasses.replace(dcfg, num_passage=k)
-                 for k in buckets}
-        # a part-filled bucket dispatches once flush_after newer requests
-        # have been read past its oldest entry: bounds response latency and
-        # reorder-buffer growth when streaming from a long-lived stdin pipe
-        flush_after = args.bucket_flush_after or 2 * bs
-        accum: Dict[int, List] = {k: [] for k in buckets}  # (seq, req)
-        pending: Dict[int, dict] = {}
-        next_emit = 0
-
-        def emit_ready():
-            nonlocal next_emit
-            wrote = False
-            while next_emit in pending:
-                sink.write(json.dumps(pending.pop(next_emit)) + "\n")
-                next_emit += 1
-                wrote = True
-            if wrote:
-                sink.flush()
-
-        def drain_one():
-            chunk, seqs, out, dcfg_k = inflight.popleft()
-            resps = responses_for(chunk, out, dcfg_k, default_ids=seqs)
-            for s, resp in zip(seqs, resps):
-                pending[s] = resp
-            emit_ready()
-
-        def dispatch(k):
-            entries = accum[k]
-            accum[k] = []
-            seqs = [s for s, _ in entries]
-            chunk = [r for _, r in entries]
-            batch = _chunk_to_batch(chunk, args.model, vocab, dcfgs[k],
-                                    _bucket_for(len(chunk), bbuckets))
-            ensure_params(batch)
-            inflight.append((chunk, seqs, run_predict(batch), dcfgs[k]))
-            while len(inflight) >= max(args.pipeline_depth, 1):
-                drain_one()
-
-        for seq, req in enumerate(_read_requests(src)):
-            k = _bucket_for(len(req.get("passages", [])), buckets)
-            accum[k].append((seq, req))
-            if len(accum[k]) == bs:
-                dispatch(k)
-            for j in buckets:   # age out part-filled buckets
-                if accum[j] and seq - accum[j][0][0] >= flush_after:
-                    dispatch(j)
-        for k in buckets:
-            if accum[k]:
-                dispatch(k)
-        while inflight:
-            drain_one()
+    run_offline_batched(src, sink, args, dcfg, vocab, bbuckets,
+                        run_predict, ensure_params, responses_for)
 
     if src is not sys.stdin:
         src.close()

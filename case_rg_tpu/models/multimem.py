@@ -209,9 +209,15 @@ class MultiMemoryDecoder(nn.Module):
         except Exception:  # pragma: no cover
             pallas_ok = False
         if fast_argmax is None:
-            ls_tot = sum(s.shape[-1] for s in src_ids)
-            fast_argmax = (pallas_ok and dtype != jnp.float32
-                           and ls_tot <= _ca.MAX_FAST_LS)
+            # Auto stays OFF (dense scatter + argmax): the round-6 win for
+            # the Pallas candidate-argmax kernel (92 us/step, case 737->827
+            # qps) did not survive this image's XLA/relay update — re-probed
+            # round 9 with an argmax consumer (tools/exp_copyargmax_tune.py)
+            # the kernel runs 741 us/step vs 78 us for the plain dense
+            # compare, and end-to-end CaSE B=64 bf16 measures 750 qps dense
+            # vs ~600 with the kernel (docs/PERF.md round 9). Explicit
+            # --fast_argmax still opts into the kernel path.
+            fast_argmax = False
         return fast_argmax, fast_argmax and pallas_ok
 
     def _argmax_precompute(self, src_ids, dtype, fast_argmax,
@@ -452,17 +458,16 @@ class MultiMemoryDecoder(nn.Module):
           first-occurrence matrix (182 us/step isolated, but its 145 MB
           operand read each step loses e2e — round 4).
 
-        ``fast_argmax=None`` (auto, the serving default) uses the Pallas
-        combine on TPU when the memories are not f32 and the concat
-        source is within MAX_FAST_LS (the combine carries a
-        custom_partitioning batch rule, so data-parallel sharded predict
-        programs run it per shard); f32 — the parity dtype — keeps the
-        dense scatter + argmax. True forces candidate argmax (Pallas
-        where available, einsum elsewhere), False forces the dense
-        scatter. Exact up to rounding of the duplicate combine and
-        tie-breaks (equivalence tests decode identically to the dense
-        path; probe argmax cross-check on TPU 100% — docs/PERF.md
-        round 6)."""
+        ``fast_argmax=None`` (auto, the serving default) keeps the dense
+        scatter + argmax: the round-6 Pallas-combine win regressed under
+        this image's later XLA/relay update (741 us/step vs 78 us dense —
+        docs/PERF.md round 9), so auto resolves to False for every dtype.
+        True forces candidate argmax (Pallas where available — it carries
+        a custom_partitioning batch rule, so sharded programs run it per
+        shard — einsum elsewhere), False forces the dense scatter. Exact
+        up to rounding of the duplicate combine and tie-breaks
+        (equivalence tests decode identically to the dense path; probe
+        argmax cross-check on TPU 100% — docs/PERF.md round 6)."""
         b = memories[0].shape[0]
         fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
             fast_argmax, src_ids, memories[0].dtype)

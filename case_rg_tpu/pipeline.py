@@ -133,7 +133,7 @@ class Pipeline:
         trainer = Trainer(net, TrainConfig(batch_size=batch_size,
                                            output_path=output_path),
                           total_steps=100)
-        from .cli.serve import _chunk_to_batch
+        from .serving.featurize import chunk_to_batch as _chunk_to_batch
         probe = _chunk_to_batch(
             [{"query": "shape probe",
               "passages": ["shape probe ."] * dcfg.num_passage}],
@@ -220,7 +220,7 @@ class Pipeline:
         input order."""
         import jax
 
-        from .cli.serve import _chunk_to_batch
+        from .serving.featurize import chunk_to_batch as _chunk_to_batch
         from .runtime.io import ids_to_sentence, remove_duplicate
 
         outs: List[dict] = []
