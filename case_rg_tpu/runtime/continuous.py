@@ -200,7 +200,8 @@ def run_continuous(source,
                    on_chunk: Optional[Callable[[int], None]] = None,
                    lookahead: bool = False,
                    stream_cb: Optional[Callable] = None,
-                   refill_min: int = 1) -> Dict[str, int]:
+                   refill_min: int = 1,
+                   async_harvest: bool = False) -> Dict[str, int]:
     """Drive the continuous decode loop over a request source.
 
     ``source`` is an ``IterSource``/``QueueSource`` (a plain iterator is
@@ -234,10 +235,25 @@ def run_continuous(source,
     chunk wastes encode FLOPs and a host roundtrip; coalescing trades a
     little occupancy for refills that arrive ~full. 1 (default) keeps the
     old eager behavior. Free rows are retired either way, so coalescing
-    never deadlocks — rows keep finishing until the threshold is met."""
+    never deadlocks — rows keep finishing until the threshold is met.
+
+    ``async_harvest=True`` (needs ``lookahead``) pipelines the flag fetch
+    itself: each round starts a ``copy_to_host_async`` of the freshly
+    available state's done/out and harvests the PREVIOUS round's copy —
+    which had a full round (device chunk + host featurize) to land, so
+    the blocking read is ~free instead of a relay roundtrip on the
+    critical path. Detection of a finished row lags one extra chunk
+    (occupancy cost), but no roundtrip remains between chunks: the loop
+    is device-bound. Refilled slots are protected by snapshot identity:
+    a row whose slot changed since the flags were copied is skipped (its
+    stale done flag refers to the already-emitted previous request).
+    Emitted results are identical."""
     b = batch_size
     refill = max(1, min(refill, b))
     refill_min = max(1, min(refill_min, refill))
+    if async_harvest and not lookahead:
+        raise ValueError("async_harvest needs lookahead=True (the copy "
+                         "must overlap a dispatched-ahead chunk)")
     if not hasattr(source, "take"):
         source = IterSource(source)
 
@@ -262,6 +278,7 @@ def run_continuous(source,
     stats = {"served": 0, "chunks": 0, "refills": 0}
     state = None     # the state whose done/out the next harvest reads
     pending = None   # lookahead: one chunk already dispatched from `state`
+    inflight = None  # async_harvest: (flag handles, slots snapshot)
 
     def fill(rows: List[int], wait: bool) -> bool:
         """Take up to ``refill`` (or b, at cold start) requests and
@@ -322,19 +339,48 @@ def run_continuous(source,
         stats["chunks"] += 1
         if on_chunk is not None:
             on_chunk(stats["chunks"])
+        if async_harvest:
+            # pipeline the fetch itself: start this round's device->host
+            # copy, harvest LAST round's (landed during a full round of
+            # device compute + host featurize, so the blocking read below
+            # is ~free). Slot identity decides validity: a row refilled
+            # since its flags were copied is someone else's stale done.
+            handles = (state["done"], state["out"]) + (
+                (state["trow"],) if stream_cb is not None else ())
+            for a in handles:
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            ready, inflight = inflight, (handles, list(slots))
+            if ready is None:
+                continue   # first round: nothing landed yet
+            h, snap = ready
+            live = [snap[r] if (snap[r] is not None and snap[r] is slots[r])
+                    else None for r in range(b)]
+            if stream_cb is not None:
+                done, out, trow = (np.asarray(x) for x in jax.device_get(h))
+                stream_cb({"out": out, "trow": trow}, live)
+            else:
+                done, out = (np.asarray(x) for x in jax.device_get(h))
+            finished = [r for r in range(b)
+                        if live[r] is not None and done[r]]
         # one combined fetch: done + out (+ trow for streaming) in a single
         # device_get (the rows are ~KBs; on a relay-attached device the
         # roundtrip count, not the bytes, is what the loop pays for — the
         # stream callback gets the already-fetched host arrays instead of
         # re-fetching out/trow itself)
-        if stream_cb is not None:
+        elif stream_cb is not None:
             done, out, trow = (np.asarray(x) for x in jax.device_get(
                 (state["done"], state["out"], state["trow"])))
             stream_cb({"out": out, "trow": trow}, slots)
+            finished = [r for r in range(b)
+                        if slots[r] is not None and done[r]]
         else:
             done, out = (np.asarray(x) for x in
                          jax.device_get((state["done"], state["out"])))
-        finished = [r for r in range(b) if slots[r] is not None and done[r]]
+            finished = [r for r in range(b)
+                        if slots[r] is not None and done[r]]
         if finished:
             for r in finished:
                 idx, req, rk = slots[r]

@@ -198,6 +198,7 @@ def serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                             ordered=False, on_chunk=on_chunk,
                             lookahead=cont["lookahead"],
                             refill_min=cont["refill_min"],
+                            async_harvest=cont.get("async_harvest", False),
                             stream_cb=stream_cb)
         except Exception as e:
             print(f"[serve] continuous worker failed: {e!r}",

@@ -62,7 +62,8 @@ def run_offline_continuous(src, sink, args, dcfg, cont, responses_for):
         source, cont["make_batch"], cont["init"],
         cont["chunk"], cont["refill"], None, args.batch_size, args.refill,
         emit, args.max_target_length, lookahead=cont["lookahead"],
-        refill_min=cont["refill_min"])
+        refill_min=cont["refill_min"],
+        async_harvest=cont.get("async_harvest", False))
 
 
 def run_offline_batched(src, sink, args, dcfg, vocab, bbuckets,

@@ -20,6 +20,7 @@ the distribution.
 
 Usage: python tools/exp_continuous.py [B] [--n N] [--chunk C] [--refill R]
        [--caps lo-hi] [--sweep c1,c2,...] [--refill_min M] [--lookahead]
+       [--async_harvest]
        [--skip_batch] [--lanes 5,10] [--small]
 
 ``--sweep``: chunk-size sweep in one process; ``--skip_batch``: skip the
@@ -210,6 +211,9 @@ def main(argv):
         return out
 
     lookahead = "--lookahead" in argv
+    async_harvest = "--async_harvest" in argv
+    if async_harvest and not lookahead:
+        raise SystemExit("--async_harvest needs --lookahead")
     refill_min = 1
     if "--refill_min" in argv:
         refill_min = int(argv[argv.index("--refill_min") + 1])
@@ -243,10 +247,12 @@ def main(argv):
         stats = run_continuous(iter(reqs), make_batch, init_fn, chunk_fn,
                                refill_fn, variables, B, refill,
                                emit=_emit, max_len=max_len,
-                               lookahead=lookahead, refill_min=refill_min)
+                               lookahead=lookahead, refill_min=refill_min,
+                               async_harvest=async_harvest)
         dt = time.time() - t0
         print(f"continuous[chunk={cs} refill={refill} min={refill_min} "
-              f"la={int(lookahead)}]: {n_req/dt:.0f} qps "
+              f"la={int(lookahead)} ah={int(async_harvest)}]: "
+              f"{n_req/dt:.0f} qps "
               f"({stats['chunks']} chunks, {stats['refills']} refills; "
               f"emitted len mean={np.mean(out_lens):.1f})", flush=True)
         assert len(got) == n_req
