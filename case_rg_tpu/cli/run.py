@@ -71,6 +71,15 @@ def build_parser():
                         "(741 vs 78 us/step; docs/PERF.md round 9). "
                         "--fast_argmax forces the candidate path, "
                         "--no-fast_argmax the dense scatter")
+    p.add_argument("--fused_stack", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas decoder-stack decode step (folds the "
+                        "cross K/V caches into raw-memory dots; one Mosaic "
+                        "program per stack per step). Default: auto — on "
+                        "for bf16 TPU inference on long-memory stacks "
+                        "(docs/PERF.md round 10). --fused_stack forces it "
+                        "everywhere, --no-fused_stack restores the XLA "
+                        "per-layer chain")
     p.add_argument("--rank_only", action="store_true",
                    help="--mode test: write only the .run ranking files, "
                         "skipping answer generation (case/masque/tmemnet; "
@@ -144,6 +153,12 @@ def build_parser():
     p.add_argument("--lookahead", action="store_true",
                    help="--continuous: keep one chunk dispatched ahead "
                         "(harvest fetch overlaps the next chunk's compute)")
+    p.add_argument("--async_harvest", action="store_true",
+                   help="--continuous: pipeline the done/out flag fetch "
+                        "itself (copy_to_host_async started per round, "
+                        "read one round later — no blocking roundtrip "
+                        "between chunks; detection lags one extra chunk). "
+                        "Needs --lookahead")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="mid-epoch salvage checkpoints every N steps")
     p.add_argument("--bf16_train", action="store_true",
@@ -156,12 +171,15 @@ def build_parser():
                         "axis (pool parallelism: per-passage tower compute "
                         "stays local, collectives only at the cross-passage "
                         "joins; needs --mesh_shape with model>1)")
-    p.add_argument("--fast_rng", action="store_true",
+    p.add_argument("--fast_rng", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="hardware RNG (rbg) for dropout masks: ~14%% faster "
                         "train step (dropout mask generation is ~25%% of the "
-                        "CaSE step with the default threefry — docs/PERF.md)."
-                        " Changes the random stream; off for reproducible "
-                        "comparisons against threefry runs")
+                        "CaSE step with threefry — docs/PERF.md), "
+                        "metric-equivalent on the CAsT-sample smoke train "
+                        "(docs/PERF.md round 10). Default on; "
+                        "--no-fast_rng restores the threefry stream for "
+                        "reproducible comparisons against older runs")
     return p
 
 
@@ -369,7 +387,8 @@ def _predict_continuous(args, model, state, arrays):
                    refill_fn, None, args.batch_size, refill,
                    emit=lambda r, ids, rk: collected.append((r["i"], ids, rk)),
                    max_len=args.max_target_length, lookahead=args.lookahead,
-                   refill_min=max(1, min(args.refill_min, refill)))
+                   refill_min=max(1, min(args.refill_min, refill)),
+                   async_harvest=args.async_harvest)
     for i, ids, rk in collected:
         out = {"answer": ids[None]}
         if rk is not None:
@@ -439,11 +458,15 @@ def average(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     np.random.seed(args.seed)
-    if args.fast_rng:
-        jax.config.update("jax_default_prng_impl", "rbg")
+    # set both ways: main() is called repeatedly in-process by the e2e
+    # suite, so the impl must not leak from one invocation to the next
+    jax.config.update("jax_default_prng_impl",
+                      "rbg" if args.fast_rng else "threefry2x32")
     if args.bf16_scores:
         from ..ops.attention import set_bf16_scores
         set_bf16_scores(True)
+    from ..models.multimem import set_fused_stack
+    set_fused_stack(args.fused_stack)
     if not args.fused_attn:
         from ..ops.attention import set_fused_attention
         set_fused_attention(False)

@@ -236,6 +236,15 @@ def build_parser():
                         "the harvest fetch overlaps the next chunk's "
                         "compute (hides the host roundtrip; refills land "
                         "one chunk later, state is double-buffered)")
+    p.add_argument("--fused_stack", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas decoder-stack decode step; default "
+                        "auto (bf16 TPU, long-memory stacks — docs/PERF.md "
+                        "round 10)")
+    p.add_argument("--async_harvest", action="store_true",
+                   help="--continuous: pipeline the done/out flag fetch "
+                        "(read one round later; no blocking roundtrip "
+                        "between chunks). Needs --lookahead")
     p.add_argument("--refill_min", type=int, default=1,
                    help="--continuous: coalesce refills — wait until this "
                         "many rows are free before a mid-flight refill "
@@ -339,6 +348,8 @@ def main(argv=None, _server_ready=None):
     if not args.fused_attn:
         from ..ops.attention import set_fused_attention
         set_fused_attention(False)
+    from ..models.multimem import set_fused_stack
+    set_fused_stack(args.fused_stack)
 
     cache_dir = os.environ.get("CASE_RG_COMPILE_CACHE",
                                os.path.expanduser("~/.cache/case_rg_tpu_xla"))
@@ -610,7 +621,8 @@ def main(argv=None, _server_ready=None):
                 "refill": refill_fn, "refill_size": args.refill,
                 "run": run_continuous, "row_out": row_out,
                 "lookahead": args.lookahead,
-                "refill_min": args.refill_min}
+                "refill_min": args.refill_min,
+                "async_harvest": args.async_harvest}
         if args.pool_buckets:
             # multi-lane continuous serving: one lane (own decode state +
             # cached XLA programs) per static pool size; requests route to

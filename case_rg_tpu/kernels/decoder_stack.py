@@ -192,6 +192,8 @@ def _kernel(t_ref, x_ref, m_ref, mk_ref, hk_ref, c_ref,
     big_neg = neg_inf(jnp.float32)
     tmax = c_ref.shape[2]
 
+    # caches ride batch-leading [rb, nl, T, 2E] so the same buffers serve
+    # the chunk-decode state (refill_rows scatters on axis 0 = batch)
     mem_valid = mk_ref[...][:, None, :] > 0.5            # [rb, 1, L]
     mem_any = (jnp.max(mk_ref[...], axis=1) > 0.5
                ).astype(jnp.float32)[:, None]            # [rb, 1]
@@ -218,8 +220,8 @@ def _kernel(t_ref, x_ref, m_ref, mk_ref, hk_ref, c_ref,
                ).astype(x.dtype)                       # [rb, 3e]
         q = qkv[:, :e]
         kv = qkv[:, e:]
-        cache = jnp.where(write_here, kv[:, None, :], c_ref[l])
-        co_ref[l] = cache
+        cache = jnp.where(write_here, kv[:, None, :], c_ref[:, l])
+        co_ref[:, l] = cache
         k = cache[:, :, :e]
         v = cache[:, :, e:]
         qs = (q * jnp.asarray(scale, q.dtype))[:, None, :]  # [rb, 1, e]
@@ -271,7 +273,7 @@ def _kernel(t_ref, x_ref, m_ref, mk_ref, hk_ref, c_ref,
 
 def _stack_core(t, x, m, mk, hk, caches, *weights,
                 num_heads: int, rows_per_block: int, interpret: bool):
-    nl, b, tmax, e2 = caches.shape
+    b, nl, tmax, e2 = caches.shape
     _, l, e = m.shape
     rb = rows_per_block
     while b % rb:
@@ -291,13 +293,13 @@ def _stack_core(t, x, m, mk, hk, caches, *weights,
         bspec((rb, l, e), row3),         # m
         bspec((rb, l), row2),            # mem keep
         bspec((rb, tmax), row2),         # hist keep
-        bspec((nl, rb, tmax, e2), lambda i: (0, i, 0, 0)),   # caches
+        bspec((rb, nl, tmax, e2), lambda i: (i, 0, 0, 0)),   # caches
     ]
     for w in weights:
         in_specs.append(bspec(w.shape, const(w.ndim)))
     out_specs = [
         bspec((rb, e), row2),
-        bspec((nl, rb, tmax, e2), lambda i: (0, i, 0, 0)),
+        bspec((rb, nl, tmax, e2), lambda i: (i, 0, 0, 0)),
     ]
     return pl.pallas_call(
         kern,
@@ -320,9 +322,10 @@ def stack_step(x: jnp.ndarray, t, caches: jnp.ndarray, m: jnp.ndarray,
 
     x: [B, E] current hidden; t: scalar or [B] step indices (per-row for
     continuous batching; out-of-range rows skip their cache write);
-    caches: [n_layers, B, T, 2E] packed K|V; m: [B, L, E] raw encoder
-    memory; mem_keep/hist_keep: [B, L]/[B, T] bool; folded: output of
-    ``fold_stack_weights``. Returns (x_out [B, E], new caches).
+    caches: [B, n_layers, T, 2E] packed K|V (batch-leading so the SAME
+    buffers ride the refillable chunk-decode state); m: [B, L, E] raw
+    encoder memory; mem_keep/hist_keep: [B, L]/[B, T] bool; folded:
+    output of ``fold_stack_weights``. Returns (x_out [B, E], new caches).
 
     ``layers_per_call`` trades VMEM for HBM traffic: each Mosaic call
     holds its layers' folded weights (~2.9 MB/layer at E=256) plus one
@@ -333,7 +336,7 @@ def stack_step(x: jnp.ndarray, t, caches: jnp.ndarray, m: jnp.ndarray,
     if interpret is None:
         interpret = _FORCE_INTERPRET
     b, e = x.shape
-    nl = caches.shape[0]
+    nl = caches.shape[1]
     t = jnp.asarray(t, jnp.int32)
     t = jnp.broadcast_to(t.reshape(-1, 1) if t.ndim else t[None, None],
                          (b, 1))
@@ -345,13 +348,13 @@ def stack_step(x: jnp.ndarray, t, caches: jnp.ndarray, m: jnp.ndarray,
     new_caches = []
     for l0 in range(0, nl, lc):
         weights = [folded[k][l0:l0 + lc] for k in WEIGHT_KEYS]
-        x, cs = _stack_core(t, x, m, mk, hk, caches[l0:l0 + lc], *weights,
-                            num_heads=num_heads,
+        x, cs = _stack_core(t, x, m, mk, hk, caches[:, l0:l0 + lc],
+                            *weights, num_heads=num_heads,
                             rows_per_block=rows_per_block,
                             interpret=interpret)
         new_caches.append(cs)
     return x, (new_caches[0] if len(new_caches) == 1
-               else jnp.concatenate(new_caches, axis=0))
+               else jnp.concatenate(new_caches, axis=1))
 
 
 def pallas_available() -> bool:

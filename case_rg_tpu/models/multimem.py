@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -33,6 +35,23 @@ from ..ops.positional import PositionalEmbedding
 from ..ops.transformer import Decoder
 
 _LN_EPS = 1e-5
+
+# Fused decoder-stack decode step (kernels/decoder_stack.py): one Mosaic
+# program per stack per step instead of the ~60-op per-layer XLA chain,
+# with the cross K/V caches folded away (the raw memory is read once per
+# layer-group). None = auto (bf16 + TPU + long memory), set via
+# set_fused_stack / --fused_stack.
+_FUSED_STACK = None
+# auto threshold: the kernel wins on long memories and loses on short
+# ones (L=1000: 226 vs 386 us/step; L=60: 126 vs 24 — docs/PERF.md
+# round 10), so auto only fuses stacks whose memory is at least this long
+_FUSED_MIN_L = 512
+
+
+def set_fused_stack(on) -> None:
+    """True=force, False=off, None=auto (measured default)."""
+    global _FUSED_STACK
+    _FUSED_STACK = on
 
 
 class MultiMemoryDecoder(nn.Module):
@@ -146,10 +165,41 @@ class MultiMemoryDecoder(nn.Module):
 
     # ---- shared per-step machinery for greedy/sample/beam decoding ----
 
+    def _fused_stack(self, memory) -> bool:
+        """Whether this memory's stack decodes through the fused Pallas
+        kernel (kernels/decoder_stack.py). Shape/dtype/global-driven, so
+        chunk_init and chunk_step resolve identically for one state."""
+        try:
+            from ..kernels import decoder_stack as _ds
+        except Exception:  # pragma: no cover
+            return False
+        if not _ds.pallas_available() or _FUSED_STACK is False:
+            return False
+        if _FUSED_STACK:   # forced (tests force via interpret hook)
+            return True
+        # auto: bf16 TPU inference, long-memory stacks only
+        if memory.dtype != jnp.bfloat16:
+            return False
+        if not _ds._FORCE_INTERPRET and jax.default_backend() != "tpu":
+            return False
+        return memory.shape[1] >= _FUSED_MIN_L
+
+    def _folded(self, i, dtype):
+        """Folded fused-stack operands for stack ``i`` ([n_layers, ...]
+        arrays — params-derived, request-independent: recomputed per jit
+        call OUTSIDE the step scan, never stored in refillable state)."""
+        from ..kernels.decoder_stack import fold_stack_weights
+        return fold_stack_weights(self.decs[i].variables["params"],
+                                  self.num_layers, self.num_heads, dtype)
+
     def _decode_precompute(self, memories, feature):
-        """Per-sequence precomputes: cross K/V, copy-attention key
-        projections, and the (normed, dropout-off) feature vector."""
-        cross = [self.decs[i].precompute_memory(memories[i])
+        """Per-sequence precomputes: per-stack cross K/V (or, for fused
+        stacks, the folded weight dict — the kernel reads the raw memory
+        instead of per-layer K/V caches), copy-attention key projections,
+        and the (normed, dropout-off) feature vector."""
+        cross = [self._folded(i, memories[i].dtype)
+                 if self._fused_stack(memories[i])
+                 else self.decs[i].precompute_memory(memories[i])
                  for i in range(self.num_memories)]
         key_projs = [self.attns[i].key_proj(memories[i])
                      for i in range(self.num_memories)]
@@ -157,6 +207,16 @@ class MultiMemoryDecoder(nn.Module):
         if self.use_feature:
             feat = self.norm2(feature)[:, None, :]   # [B, 1, D]; dropout off
         return cross, key_projs, feat
+
+    def _init_caches(self, b, max_len, memories):
+        """Per-stack KV caches: per-layer [B, T, 2E] lists for the XLA
+        chain, one stacked batch-leading [B, n_layers, T, 2E] array for
+        fused stacks (refill_rows scatters on axis 0 either way)."""
+        return [jnp.zeros((b, self.num_layers, max_len,
+                           2 * self.hidden_size), m.dtype)
+                if self._fused_stack(m)
+                else self.decs[i].init_cache(b, max_len, m.dtype)
+                for i, m in enumerate(memories)]
 
     def _step_core(self, caches, prev, hist, t, cross, key_projs, feat,
                    memories, mem_keeps, weights):
@@ -177,8 +237,15 @@ class MultiMemoryDecoder(nn.Module):
         new_caches, ctxs, ps = [], [], []
         tgt_keep_t = (prev != 0)[:, None]
         for i in range(self.num_memories):
-            x, c = self.decs[i].step(x, t, caches[i], cross[i], hist,
-                                     mem_keeps[i])
+            if isinstance(cross[i], dict):   # fused stack: folded weights
+                from ..kernels.decoder_stack import stack_step
+                y, c = stack_step(x[:, 0], t, caches[i], memories[i],
+                                  mem_keeps[i], hist, cross[i],
+                                  self.num_heads)
+                x = y[:, None, :]
+            else:
+                x, c = self.decs[i].step(x, t, caches[i], cross[i], hist,
+                                         mem_keeps[i])
             ctx, p = self._memory_attend(i, x, feat, memories[i],
                                          mem_keeps[i], weights[i],
                                          tgt_keep_t, uh=key_projs[i])
@@ -326,8 +393,13 @@ class MultiMemoryDecoder(nn.Module):
         fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
             fast_argmax, src_ids, memories[0].dtype)
         cross, key_projs, feat = self._decode_precompute(memories, feature)
-        caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
-                  for i in range(self.num_memories)]
+        # fused stacks: the folded weights are [n_layers, ...] (NOT
+        # batch-leading) and params-derived — they must not ride the
+        # refillable state (refill_rows scatters axis 0). Store an empty
+        # placeholder; chunk_step re-folds per call (cheap, outside the
+        # step scan).
+        cross = [[] if isinstance(c, dict) else c for c in cross]
+        caches = self._init_caches(b, max_len, memories)
         ids_cat, extras = self._argmax_precompute(
             src_ids, memories[0].dtype, fast_argmax, use_pallas_comb)
         state = {
@@ -374,6 +446,12 @@ class MultiMemoryDecoder(nn.Module):
         b = state["out"].shape[0]
         cross, key_projs, feat = (state["cross"], state["key_projs"],
                                   state["feat"])
+        # fused stacks ride as empty cross placeholders (chunk_init):
+        # re-fold the kernel operands here, OUTSIDE the step scan
+        cross = [self._folded(i, state["memories"][i].dtype)
+                 if (isinstance(c, (list, tuple)) and len(c) == 0
+                     and self._fused_stack(state["memories"][i]))
+                 else c for i, c in enumerate(cross)]
         memories, mem_keeps, weights, src_ids = (
             state["memories"], state["mem_keeps"], state["weights"],
             state["src_ids"])
@@ -383,7 +461,11 @@ class MultiMemoryDecoder(nn.Module):
         if sampling:
             from ..decode.loops import (sampling_controls,
                                         sampling_controls_rows)
-            row_keys = jax.vmap(jax.random.wrap_key_data)(state["keys"])
+            # pin the impl: row keys are threefry key data regardless of
+            # the global default (see models/predict.py)
+            wrap = functools.partial(jax.random.wrap_key_data,
+                                     impl="threefry2x32")
+            row_keys = jax.vmap(wrap)(state["keys"])
             ctl = state.get("ctl")
 
         def body(carry, _):
@@ -472,8 +554,7 @@ class MultiMemoryDecoder(nn.Module):
         fast_argmax, use_pallas_comb = self._resolve_fast_argmax(
             fast_argmax, src_ids, memories[0].dtype)
         cross, key_projs, feat = self._decode_precompute(memories, feature)
-        caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
-                  for i in range(self.num_memories)]
+        caches = self._init_caches(b, max_len, memories)
         ids_cat, extras = self._argmax_precompute(
             src_ids, memories[0].dtype, fast_argmax, use_pallas_comb)
 
@@ -531,8 +612,7 @@ class MultiMemoryDecoder(nn.Module):
         from ..decode.loops import sampling_controls
         b = memories[0].shape[0]
         cross, key_projs, feat = self._decode_precompute(memories, feature)
-        caches = [self.decs[i].init_cache(b, max_len, memories[i].dtype)
-                  for i in range(self.num_memories)]
+        caches = self._init_caches(b, max_len, memories)
 
         def body(carry, inp):
             t, key = inp
@@ -577,8 +657,7 @@ class MultiMemoryDecoder(nn.Module):
         cross, key_projs, feat = self._decode_precompute(memories, feature_t)
 
         state0 = {
-            "caches": [self.decs[i].init_cache(bw, max_len, memories[i].dtype)
-                       for i in range(self.num_memories)],
+            "caches": self._init_caches(bw, max_len, memories),
             "hist": jnp.zeros((bw, max_len), bool),
             "t": jnp.zeros((bw, 1), jnp.int32),
         }

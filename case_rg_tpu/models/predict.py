@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Dict
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -135,7 +137,12 @@ def continuous_decode_chunk(model, state, *, n_steps: int, fast_argmax=None,
     if sampling:
         from ..decode.loops import sampling_controls, sampling_controls_rows
         controlled = temperature != 1.0 or top_k > 0 or top_p < 1.0
-        row_keys = jax.vmap(jax.random.wrap_key_data)(state["keys"])
+        # per-row keys are ALWAYS threefry key data ([B, 2] uint32): pin
+        # the impl so the per-request reproducibility contract survives a
+        # different global default (e.g. --fast_rng's rbg dropout stream)
+        wrap = functools.partial(jax.random.wrap_key_data,
+                                 impl="threefry2x32")
+        row_keys = jax.vmap(wrap)(state["keys"])
         ctl = state.get("ctl")
 
     def body(carry, _):

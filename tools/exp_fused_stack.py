@@ -65,7 +65,7 @@ def run_check(b=8, l=96):
         caches = dec.apply({"params": params}, b, T, dtype,
                            method=Decoder.init_cache)
         folded = ds.fold_stack_weights(params, NL, H, dtype)
-        cstack = jnp.stack(caches)
+        cstack = jnp.stack(caches, axis=1)
         hist = jnp.zeros((b, T), bool)
         xc = xk = x
         worst = 0.0
@@ -84,8 +84,9 @@ def run_check(b=8, l=96):
                   f"rel={diff / scale_:.3e}", flush=True)
             # feed each path its own output (accumulates its own rounding)
             xc, xk = y_ref, y_k[:, None, :]
-        cd = float(jnp.max(jnp.abs(jnp.stack(caches).astype(jnp.float32)
-                                   - cstack.astype(jnp.float32))))
+        cd = float(jnp.max(jnp.abs(
+            jnp.stack(caches, axis=1).astype(jnp.float32)
+            - cstack.astype(jnp.float32))))
         print(f"  {np.dtype(dtype).name}: cache max|d|={cd:.3e} "
               f"worst rel={worst:.3e} tol={tol}", flush=True)
         assert worst < tol, f"{np.dtype(dtype).name} mismatch: {worst}"
@@ -129,7 +130,7 @@ def run_time(b=64, l=1000, iters=200):
     caches = dec.apply({"params": params}, b, T, dtype,
                        method=Decoder.init_cache)
     folded = ds.fold_stack_weights(params, NL, H, dtype)
-    cstack = jnp.stack(caches)
+    cstack = jnp.stack(caches, axis=1)
     hist = jnp.ones((b, T), bool)
     print(f"devices={jax.devices()} B={b} L={l} iters={iters}", flush=True)
     rt = calibrate()
