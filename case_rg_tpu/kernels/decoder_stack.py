@@ -271,8 +271,12 @@ def _kernel(t_ref, x_ref, m_ref, mk_ref, hk_ref, c_ref,
     xo_ref[...] = x
 
 
-def _stack_core(t, x, m, mk, hk, caches, *weights,
-                num_heads: int, rows_per_block: int, interpret: bool):
+def _stack_core(t, x, m, mk, hk, caches, *weights_and_statics):
+    """Positional dispatch (custom_partitioning needs positional statics):
+    operands = 6 batch-leading arrays + the 18 stacked weight arrays
+    (replicated under SPMD), then (num_heads, rows_per_block, interpret)."""
+    weights = weights_and_statics[:-3]
+    num_heads, rows_per_block, interpret = weights_and_statics[-3:]
     b, nl, tmax, e2 = caches.shape
     _, l, e = m.shape
     rb = rows_per_block
@@ -312,6 +316,85 @@ def _stack_core(t, x, m, mk, hk, caches, *weights,
     )(t, x, m, mk, hk, caches, *weights)
 
 
+# --- SPMD partitioning: batch-parallel over rows. The 6 leading operands
+# (t, x, m, mk, hk, caches) and both results share the batch factor; the
+# 18 stacked weight operands are params-derived and stay REPLICATED per
+# shard (kernels/spmd.py's single-result scaffolding shards every
+# operand's leading dim, which would wrongly split the weights' n_layers
+# axis — hence this kernel-specific rule). Keeps the auto fused-stack
+# gate usable inside data-parallel predict programs (runtime/mesh.py).
+
+_N_BATCH_ARGS = 6
+_BATCH_RANKS = (2, 2, 3, 2, 2, 4)                      # t x m mk hk caches
+_WEIGHT_RANKS = (2, 2, 3, 2, 3, 2,                     # ln1g..bos
+                 2, 2, 4, 3, 4, 2,                     # ln2g..bout
+                 2, 2, 3, 2, 3, 2)                     # ln3g..b2
+
+
+def _stack_rule() -> str:
+    c = [0]
+
+    def dims(rank, batch):
+        out = ["b"] if batch else []
+        for _ in range(rank - (1 if batch else 0)):
+            out.append(f"f{c[0]}")
+            c[0] += 1
+        return " ".join(out)
+
+    ins = ([dims(r, True) for r in _BATCH_RANKS]
+           + [dims(r, False) for r in _WEIGHT_RANKS])
+    outs = [dims(2, True), dims(4, True)]
+    return ", ".join(ins) + " -> " + ", ".join(outs)
+
+
+if HAVE_PALLAS:
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _batch_axis(arg_infos):
+        s = arg_infos[0].sharding
+        spec = s.spec if s is not None else PartitionSpec()
+        return spec[0] if len(spec) else None
+
+    def _result_shardings(mesh, arg_infos, result_infos):
+        b = _batch_axis(arg_infos)
+        return tuple(
+            NamedSharding(mesh, PartitionSpec(b, *([None] * (len(r.shape)
+                                                            - 1))))
+            for r in result_infos)
+
+    def _infer(*cb_args):   # (*statics, mesh, arg_infos, result_infos)
+        mesh, arg_infos, result_infos = cb_args[-3:]
+        return _result_shardings(mesh, arg_infos, result_infos)
+
+    def _partition(*cb_args):
+        statics = cb_args[:-3]
+        mesh, arg_infos, result_infos = cb_args[-3:]
+        rs = _result_shardings(mesh, arg_infos, result_infos)
+        b = rs[0].spec[0]
+        arg_sh = tuple(
+            NamedSharding(mesh, PartitionSpec(b, *([None] * (len(a.shape)
+                                                             - 1))))
+            if i < _N_BATCH_ARGS else
+            NamedSharding(mesh, PartitionSpec())
+            for i, a in enumerate(arg_infos))
+
+        def lower(*operands):
+            return _stack_core(*operands, *statics)
+
+        return mesh, lower, rs, arg_sh
+
+    _stack_cp = custom_partitioning(
+        _stack_core, static_argnums=(_N_BATCH_ARGS + len(_WEIGHT_RANKS),
+                                     _N_BATCH_ARGS + len(_WEIGHT_RANKS) + 1,
+                                     _N_BATCH_ARGS + len(_WEIGHT_RANKS) + 2))
+    _stack_cp.def_partition(infer_sharding_from_operands=_infer,
+                            partition=_partition,
+                            sharding_rule=_stack_rule())
+else:  # pragma: no cover
+    _stack_cp = _stack_core
+
+
 def stack_step(x: jnp.ndarray, t, caches: jnp.ndarray, m: jnp.ndarray,
                mem_keep: jnp.ndarray, hist_keep: jnp.ndarray,
                folded: Dict[str, jnp.ndarray], num_heads: int,
@@ -348,10 +431,9 @@ def stack_step(x: jnp.ndarray, t, caches: jnp.ndarray, m: jnp.ndarray,
     new_caches = []
     for l0 in range(0, nl, lc):
         weights = [folded[k][l0:l0 + lc] for k in WEIGHT_KEYS]
-        x, cs = _stack_core(t, x, m, mk, hk, caches[:, l0:l0 + lc],
-                            *weights, num_heads=num_heads,
-                            rows_per_block=rows_per_block,
-                            interpret=interpret)
+        x, cs = _stack_cp(t, x, m, mk, hk, caches[:, l0:l0 + lc],
+                          *weights, num_heads, rows_per_block,
+                          bool(interpret))
         new_caches.append(cs)
     return x, (new_caches[0] if len(new_caches) == 1
                else jnp.concatenate(new_caches, axis=1))

@@ -86,6 +86,45 @@ def test_stack_step_per_row_t_skips_done_rows():
     assert not np.array_equal(c[2, :, 2], c0[2, :, 2])
 
 
+def test_stack_step_batch_sharded():
+    """The kernel's custom_partitioning rule: a batch-sharded jitted call
+    on the 8-device mesh must equal the unsharded call, with the weight
+    operands replicated per shard (the rule the data-parallel predict
+    programs rely on — runtime/mesh.py)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    devs = np.array(jax.devices())
+    if devs.size < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(devs.reshape(devs.size), ("data",))
+    e, h, nl, t_max, l = 32, 4, 2, 6, 24
+    b = 2 * devs.size
+    dec = Decoder(nl, e, h, d_ff=e, dropout=0.0, activation="gelu")
+    k = jax.random.PRNGKey(5)
+    m = jax.random.normal(k, (b, l, e), jnp.float32)
+    x = jax.random.normal(jax.random.fold_in(k, 1), (b, e), jnp.float32)
+    params = dec.init(k, x[:, None], m, None, None,
+                      deterministic=True)["params"]
+    folded = ds.fold_stack_weights(params, nl, h, jnp.float32)
+    caches = jnp.zeros((b, nl, t_max, 2 * e), jnp.float32)
+    hist = jnp.zeros((b, t_max), bool).at[:, 0].set(True)
+    mem_keep = jnp.ones((b, l), bool)
+
+    def run(xx, cc, mm, mk, hk):
+        return ds.stack_step(xx, jnp.int32(0), cc, mm, mk, hk, folded, h,
+                             rows_per_block=2, interpret=True)
+    y_ref, c_ref = jax.jit(run)(x, caches, m, mem_keep, hist)
+    sh2 = NamedSharding(mesh, P("data", None))
+    put = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1)))))
+    y_sh, c_sh = jax.jit(run)(put(x), put(caches), put(m), put(mem_keep),
+                              put(hist))
+    assert y_sh.sharding.is_equivalent_to(sh2, 2)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_ref),
+                               rtol=0, atol=1e-5)
+
+
 @pytest.mark.parametrize("name", ["case", "masque"])
 def test_fused_decode_matches_xla_chain(name, force_fused):
     """Whole-model greedy decode with the fused stacks forced on
