@@ -57,6 +57,14 @@ def main():
     if "--no_fast_argmax" in argv:
         fast_argmax = False
         argv.remove("--no_fast_argmax")
+    if "--no_fused_stack" in argv:
+        from case_rg_tpu.models.multimem import set_fused_stack
+        set_fused_stack(False)
+        argv.remove("--no_fused_stack")
+    if "--fused_stack" in argv:
+        from case_rg_tpu.models.multimem import set_fused_stack
+        set_fused_stack(True)
+        argv.remove("--fused_stack")
     if "--bf16_scores" in argv:
         argv.remove("--bf16_scores")
         from case_rg_tpu.ops.attention import set_bf16_scores
