@@ -104,6 +104,13 @@ def main():
                 "bench.py: the candidate-argmax kernel (combine_copy_mass) "
                 "appears in the lowered program despite its auto gate being "
                 "off (see multimem._resolve_fast_argmax)")
+        if backend == "tpu" and "_decoder_stack_kernel" not in hlo:
+            raise SystemExit(
+                "bench.py: the fused decoder-stack kernel "
+                "(_decoder_stack_kernel) is missing from the lowered "
+                "predict program — the round-10 auto gate (bf16 TPU, "
+                "long-memory stacks) should have enabled it "
+                "(multimem._fused_stack; case 735 -> 818 qps)")
 
     np.asarray(predict(variables, batch)["answer"])  # compile + full sync
     # NOTE: distinct batches per iteration and a real host fetch per result —

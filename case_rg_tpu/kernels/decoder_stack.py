@@ -177,7 +177,7 @@ def _layernorm(x, g, b):
     return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
 
 
-def _kernel(t_ref, x_ref, m_ref, mk_ref, hk_ref, c_ref,
+def _decoder_stack_kernel(t_ref, x_ref, m_ref, mk_ref, hk_ref, c_ref,
             ln1g, ln1b, wqkv, bqkv, wos, bos,
             ln2g, ln2b, aq, u, wvo, bout,
             ln3g, ln3b, w1, b1, w2, b2,
@@ -283,7 +283,7 @@ def _stack_core(t, x, m, mk, hk, caches, *weights_and_statics):
     while b % rb:
         rb -= 1
     grid = (b // rb,)
-    kern = functools.partial(_kernel, num_heads=num_heads, num_layers=nl)
+    kern = functools.partial(_decoder_stack_kernel, num_heads=num_heads, num_layers=nl)
 
     def bspec(shape, index):
         return pl.BlockSpec(shape, index)

@@ -210,6 +210,10 @@ def main(argv):
             out["response_cap"] = jnp.asarray(caps_arr[idx])
         return out
 
+    if "--no_fused_stack" in argv:
+        from case_rg_tpu.models.multimem import set_fused_stack
+        set_fused_stack(False)
+        argv.remove("--no_fused_stack")
     lookahead = "--lookahead" in argv
     async_harvest = "--async_harvest" in argv
     if async_harvest and not lookahead:
@@ -236,12 +240,25 @@ def main(argv):
         # compile ALL programs before timing — init (both widths), chunk,
         # and the refill scatter (its first-call compile otherwise lands
         # inside the first timed refill)
+        # (real host fetches, not block_until_ready: through the relay
+        # block_until_ready can return BEFORE remote completion — CLAUDE.md
+        # — which used to leak the chunk compile into the first timed entry)
         st, _ = init_fn(variables, make_batch(reqs[:B], B))
-        jax.block_until_ready(chunk_fn(variables, st))
-        sw, _ = init_fn(variables, make_batch(reqs[:B], B))
+        st = chunk_fn(variables, st)
+        np.asarray(jax.device_get(st["done"]))
         sw2, _ = init_fn(variables, make_batch(reqs[:1], refill))
-        jax.block_until_ready(jax.tree_util.tree_leaves(
-            refill_fn(sw, sw2, jnp.arange(refill, dtype=jnp.int32)))[0])
+        sw3 = refill_fn(st, sw2, jnp.arange(refill, dtype=jnp.int32))
+        np.asarray(jax.device_get(sw3["done"]))
+        del st, sw2, sw3
+        # throwaway mini-loop: exercises the exact driver path (lookahead
+        # double-buffering, async harvest, emit) end to end before timing
+        warm = []
+        run_continuous(iter(reqs[:2 * B]), make_batch, init_fn, chunk_fn,
+                       refill_fn, variables, B, refill,
+                       emit=lambda r, ids, rk: warm.append(r["i"]),
+                       max_len=max_len, lookahead=lookahead,
+                       refill_min=refill_min, async_harvest=async_harvest)
+        assert len(warm) == 2 * B
         got, out_lens = [], []
         t0 = time.time()
         stats = run_continuous(iter(reqs), make_batch, init_fn, chunk_fn,
