@@ -154,11 +154,12 @@ def build_parser():
                    help="--continuous: keep one chunk dispatched ahead "
                         "(harvest fetch overlaps the next chunk's compute)")
     p.add_argument("--async_harvest", action="store_true",
-                   help="--continuous: pipeline the done/out flag fetch "
-                        "itself (copy_to_host_async started per round, "
-                        "read one round later — no blocking roundtrip "
-                        "between chunks; detection lags one extra chunk). "
-                        "Needs --lookahead")
+                   help="--continuous: harvest-first pipelined rounds — "
+                        "the done/out flags ride a copy_to_host_async "
+                        "read one round later, freed slots refill BEFORE "
+                        "the next chunk, and the host never blocks on "
+                        "the device between chunks. Supersedes "
+                        "--lookahead (ignored with this flag)")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="mid-epoch salvage checkpoints every N steps")
     p.add_argument("--bf16_train", action="store_true",

@@ -242,9 +242,10 @@ def build_parser():
                         "auto (bf16 TPU, long-memory stacks — docs/PERF.md "
                         "round 10)")
     p.add_argument("--async_harvest", action="store_true",
-                   help="--continuous: pipeline the done/out flag fetch "
-                        "(read one round later; no blocking roundtrip "
-                        "between chunks). Needs --lookahead")
+                   help="--continuous: harvest-first pipelined rounds "
+                        "(flags ride an async copy read one round later; "
+                        "no blocking roundtrip between chunks). "
+                        "Supersedes --lookahead")
     p.add_argument("--refill_min", type=int, default=1,
                    help="--continuous: coalesce refills — wait until this "
                         "many rows are free before a mid-flight refill "

@@ -237,23 +237,28 @@ def run_continuous(source,
     old eager behavior. Free rows are retired either way, so coalescing
     never deadlocks — rows keep finishing until the threshold is met.
 
-    ``async_harvest=True`` (needs ``lookahead``) pipelines the flag fetch
-    itself: each round starts a ``copy_to_host_async`` of the freshly
-    available state's done/out and harvests the PREVIOUS round's copy —
-    which had a full round (device chunk + host featurize) to land, so
-    the blocking read is ~free instead of a relay roundtrip on the
-    critical path. Detection of a finished row lags one extra chunk
-    (occupancy cost), but no roundtrip remains between chunks: the loop
-    is device-bound. Refilled slots are protected by snapshot identity:
-    a row whose slot changed since the flags were copied is skipped (its
+    ``async_harvest=True`` pipelines the flag fetch itself and reorders
+    the round to harvest FIRST: each round (1) reads the previous
+    round's async flag copy — landed during a full round of device
+    compute, so the read is ~free; (2) refills freed slots into the
+    CURRENT state (before its next chunk — zero refill lag); (3)
+    dispatches the chunk; (4) starts ``copy_to_host_async`` on the new
+    flags. The host never blocks on the device between chunks, and a
+    finished row's slot is reusable one chunk after its flags land
+    (vs 2-3 chunks for lookahead+fetch-lag orderings). Supersedes
+    ``lookahead`` (ignored in this mode); donation-safe with the default
+    donating fns — every buffer is read (harvest) before the refill/chunk
+    that consumes it. Refilled slots are protected by snapshot identity:
+    a row whose slot changed since its flags were copied is skipped (the
     stale done flag refers to the already-emitted previous request).
     Emitted results are identical."""
     b = batch_size
     refill = max(1, min(refill, b))
     refill_min = max(1, min(refill_min, refill))
-    if async_harvest and not lookahead:
-        raise ValueError("async_harvest needs lookahead=True (the copy "
-                         "must overlap a dispatched-ahead chunk)")
+    if async_harvest:
+        lookahead = False   # superseded: the ah round order keeps the
+        # pipeline full on its own (docstring); a dispatched-ahead chunk
+        # would only add detection lag
     if not hasattr(source, "take"):
         source = IterSource(source)
 
@@ -322,6 +327,53 @@ def run_continuous(source,
             arrival += 1
         return True
 
+    if async_harvest:
+        # harvest-first round order: read last round's landed flag copy,
+        # refill the freed slots into the CURRENT state, dispatch, start
+        # the next flag copy. No blocking device wait anywhere in the
+        # round; finished slots are reusable one chunk after their flags
+        # land.
+        while True:
+            if inflight is not None:
+                h, snap = inflight
+                inflight = None
+                fetched = tuple(np.asarray(x) for x in jax.device_get(h))
+                done, out = fetched[0], fetched[1]
+                live = [snap[r] if (snap[r] is not None
+                                    and snap[r] is slots[r]) else None
+                        for r in range(b)]
+                if stream_cb is not None:
+                    stream_cb({"out": out, "trow": fetched[2]}, live)
+                for r in range(b):
+                    if live[r] is not None and done[r]:
+                        idx, req, rk = slots[r]
+                        finish(idx, req, out[r],
+                               None if rk is None else rk[0].row(rk[1]))
+                        slots[r] = None
+                        stats["served"] += 1
+            if not any(s is not None for s in slots):
+                if source.finished():
+                    break
+                if not fill(list(range(b)), wait=True):
+                    continue   # stream may have ended; loop re-checks
+            else:
+                free = [r for r in range(b) if slots[r] is None]
+                if len(free) >= refill_min and not source.finished():
+                    fill(free, wait=False)
+            state = chunk_fn(variables, state)
+            stats["chunks"] += 1
+            if on_chunk is not None:
+                on_chunk(stats["chunks"])
+            handles = (state["done"], state["out"]) + (
+                (state["trow"],) if stream_cb is not None else ())
+            for a in handles:
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            inflight = (handles, list(slots))
+        return stats
+
     while True:
         occupied = [r for r in range(b) if slots[r] is not None]
         if not occupied:
@@ -339,38 +391,12 @@ def run_continuous(source,
         stats["chunks"] += 1
         if on_chunk is not None:
             on_chunk(stats["chunks"])
-        if async_harvest:
-            # pipeline the fetch itself: start this round's device->host
-            # copy, harvest LAST round's (landed during a full round of
-            # device compute + host featurize, so the blocking read below
-            # is ~free). Slot identity decides validity: a row refilled
-            # since its flags were copied is someone else's stale done.
-            handles = (state["done"], state["out"]) + (
-                (state["trow"],) if stream_cb is not None else ())
-            for a in handles:
-                try:
-                    a.copy_to_host_async()
-                except (AttributeError, NotImplementedError):
-                    pass
-            ready, inflight = inflight, (handles, list(slots))
-            if ready is None:
-                continue   # first round: nothing landed yet
-            h, snap = ready
-            live = [snap[r] if (snap[r] is not None and snap[r] is slots[r])
-                    else None for r in range(b)]
-            if stream_cb is not None:
-                done, out, trow = (np.asarray(x) for x in jax.device_get(h))
-                stream_cb({"out": out, "trow": trow}, live)
-            else:
-                done, out = (np.asarray(x) for x in jax.device_get(h))
-            finished = [r for r in range(b)
-                        if live[r] is not None and done[r]]
         # one combined fetch: done + out (+ trow for streaming) in a single
         # device_get (the rows are ~KBs; on a relay-attached device the
         # roundtrip count, not the bytes, is what the loop pays for — the
         # stream callback gets the already-fetched host arrays instead of
         # re-fetching out/trow itself)
-        elif stream_cb is not None:
+        if stream_cb is not None:
             done, out, trow = (np.asarray(x) for x in jax.device_get(
                 (state["done"], state["out"], state["trow"])))
             stream_cb({"out": out, "trow": trow}, slots)

@@ -399,27 +399,31 @@ def test_run_continuous_end_to_end():
                                       err_msg=f"lookahead request {i}")
         np.testing.assert_allclose(rk2, rk, rtol=0, atol=0)
 
-    # async_harvest (pipelined flag fetch: copy started per round, read a
-    # round later; refilled slots protected by snapshot identity):
-    # identical emissions, detection just lags one extra chunk
+    # async_harvest (harvest-first pipelined rounds: flags ride an async
+    # copy read one round later; freed slots refill before the next
+    # chunk; refilled slots protected by snapshot identity): identical
+    # emissions. Runs with the DEFAULT donating fns — every buffer is
+    # harvested before the refill/chunk that consumes it.
     got_ah = []
-    stats_ah = run_continuous(iter(requests), make_batch, *la_fns,
-                              {"params": params}, 4, 2,
+    stats_ah = run_continuous(iter(requests), make_batch, init_fn, chunk_fn,
+                              refill_fn, {"params": params}, 4, 2,
                               emit=lambda r, ids, rk:
                               got_ah.append((r["i"], ids.copy(), rk.copy())),
-                              max_len=max_len, lookahead=True,
-                              async_harvest=True)
+                              max_len=max_len, async_harvest=True)
     assert stats_ah["served"] == n
     assert [g[0] for g in got_ah] == [g[0] for g in got]
     for (i, ids, rk), (ia, idsa, rka) in zip(got, got_ah):
         np.testing.assert_array_equal(_trim(idsa, eos), _trim(ids, eos),
                                       err_msg=f"async_harvest request {i}")
         np.testing.assert_allclose(rka, rk, rtol=0, atol=0)
-    import pytest
-    with pytest.raises(ValueError, match="lookahead"):
-        run_continuous(iter([]), make_batch, *la_fns, {"params": params},
-                       4, 2, emit=lambda *a: None, max_len=max_len,
-                       async_harvest=True)
+    # lookahead flag composes (ignored in ah mode) — same emissions
+    got_ah2 = []
+    run_continuous(iter(requests), make_batch, *la_fns,
+                   {"params": params}, 4, 2,
+                   emit=lambda r, ids, rk:
+                   got_ah2.append((r["i"], ids.copy(), rk.copy())),
+                   max_len=max_len, lookahead=True, async_harvest=True)
+    assert [g[0] for g in got_ah2] == [g[0] for g in got]
 
     # coalesced refills (refill_min=refill width): identical per-request
     # answers; every mid-flight refill waits for a full refill bucket, so

@@ -216,8 +216,6 @@ def main(argv):
         argv.remove("--no_fused_stack")
     lookahead = "--lookahead" in argv
     async_harvest = "--async_harvest" in argv
-    if async_harvest and not lookahead:
-        raise SystemExit("--async_harvest needs --lookahead")
     refill_min = 1
     if "--refill_min" in argv:
         refill_min = int(argv[argv.index("--refill_min") + 1])
