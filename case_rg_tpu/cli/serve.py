@@ -242,10 +242,10 @@ def build_parser():
                         "auto (bf16 TPU, long-memory stacks — docs/PERF.md "
                         "round 10)")
     p.add_argument("--async_harvest", action="store_true",
-                   help="--continuous: harvest-first pipelined rounds "
-                        "(flags ride an async copy read one round later; "
-                        "no blocking roundtrip between chunks). "
-                        "Supersedes --lookahead")
+                   help="--continuous: pipelined flag fetch (no blocking "
+                        "roundtrip between chunks). With --lookahead: "
+                        "dispatch-first order (relay-attached chips); "
+                        "without: harvest-first (sub-ms RTT chips)")
     p.add_argument("--refill_min", type=int, default=1,
                    help="--continuous: coalesce refills — wait until this "
                         "many rows are free before a mid-flight refill "

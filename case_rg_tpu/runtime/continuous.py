@@ -237,28 +237,29 @@ def run_continuous(source,
     old eager behavior. Free rows are retired either way, so coalescing
     never deadlocks — rows keep finishing until the threshold is met.
 
-    ``async_harvest=True`` pipelines the flag fetch itself and reorders
-    the round to harvest FIRST: each round (1) reads the previous
-    round's async flag copy — landed during a full round of device
-    compute, so the read is ~free; (2) refills freed slots into the
-    CURRENT state (before its next chunk — zero refill lag); (3)
-    dispatches the chunk; (4) starts ``copy_to_host_async`` on the new
-    flags. The host never blocks on the device between chunks, and a
-    finished row's slot is reusable one chunk after its flags land
-    (vs 2-3 chunks for lookahead+fetch-lag orderings). Supersedes
-    ``lookahead`` (ignored in this mode); donation-safe with the default
-    donating fns — every buffer is read (harvest) before the refill/chunk
-    that consumes it. Refilled slots are protected by snapshot identity:
-    a row whose slot changed since its flags were copied is skipped (the
-    stale done flag refers to the already-emitted previous request).
-    Emitted results are identical."""
+    ``async_harvest=True`` pipelines the flag fetch itself: flags ride a
+    ``copy_to_host_async`` started when their chunk is dispatched and are
+    read one round later (landed during a full round of device compute,
+    so the read is ~free — no blocking roundtrip between chunks).
+    Refilled slots are protected by snapshot identity: a row whose slot
+    changed since its flags were copied is skipped (the stale done flag
+    refers to the already-emitted previous request). Emitted results are
+    identical either way. Two round orders, picked by ``lookahead``:
+
+    * ``lookahead=True`` — dispatch-first: the next chunk is dispatched
+      BEFORE harvesting, so the device computes through the host's
+      harvest + featurize + refill work (refills land in the dispatched-
+      ahead state). Finish->reuse lag is 2-3 chunks, but on a high-RTT
+      relay-attached chip the overlap dominates (measured 591 vs 316 qps
+      at chunk=8 — docs/PERF.md round 10). Needs non-donating fns.
+    * ``lookahead=False`` — harvest-first: read the landed flags, refill
+      freed slots into the CURRENT state, then dispatch. One-chunk lag
+      and donation-safe (every buffer is read before the refill/chunk
+      that consumes it), but the device idles during host refill work —
+      the right order on a locally-attached (sub-ms RTT) chip."""
     b = batch_size
     refill = max(1, min(refill, b))
     refill_min = max(1, min(refill_min, refill))
-    if async_harvest:
-        lookahead = False   # superseded: the ah round order keeps the
-        # pipeline full on its own (docstring); a dispatched-ahead chunk
-        # would only add detection lag
     if not hasattr(source, "take"):
         source = IterSource(source)
 
@@ -327,12 +328,13 @@ def run_continuous(source,
             arrival += 1
         return True
 
-    if async_harvest:
+    if async_harvest and not lookahead:
         # harvest-first round order: read last round's landed flag copy,
         # refill the freed slots into the CURRENT state, dispatch, start
         # the next flag copy. No blocking device wait anywhere in the
         # round; finished slots are reusable one chunk after their flags
-        # land.
+        # land. (The dispatch-first order for relay-attached chips is the
+        # lookahead branch below.)
         while True:
             if inflight is not None:
                 h, snap = inflight
@@ -391,12 +393,36 @@ def run_continuous(source,
         stats["chunks"] += 1
         if on_chunk is not None:
             on_chunk(stats["chunks"])
+        if async_harvest:
+            # dispatch-first + pipelined flag fetch: start this round's
+            # copy, harvest LAST round's (landed during a full round of
+            # device compute + host featurize — the read is ~free)
+            handles = (state["done"], state["out"]) + (
+                (state["trow"],) if stream_cb is not None else ())
+            for a in handles:
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            ready, inflight = inflight, (handles, list(slots))
+            if ready is None:
+                continue   # first round: nothing landed yet
+            h, snap = ready
+            live = [snap[r] if (snap[r] is not None and snap[r] is slots[r])
+                    else None for r in range(b)]
+            if stream_cb is not None:
+                done, out, trow = (np.asarray(x) for x in jax.device_get(h))
+                stream_cb({"out": out, "trow": trow}, live)
+            else:
+                done, out = (np.asarray(x) for x in jax.device_get(h))
+            finished = [r for r in range(b)
+                        if live[r] is not None and done[r]]
         # one combined fetch: done + out (+ trow for streaming) in a single
         # device_get (the rows are ~KBs; on a relay-attached device the
         # roundtrip count, not the bytes, is what the loop pays for — the
         # stream callback gets the already-fetched host arrays instead of
         # re-fetching out/trow itself)
-        if stream_cb is not None:
+        elif stream_cb is not None:
             done, out, trow = (np.asarray(x) for x in jax.device_get(
                 (state["done"], state["out"], state["trow"])))
             stream_cb({"out": out, "trow": trow}, slots)
