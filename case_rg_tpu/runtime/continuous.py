@@ -466,6 +466,7 @@ class Lane:
         self.state = None
         self.slots: List[Optional[tuple]] = [None] * batch_size
         self.queue: List[tuple] = []   # routed (arrival_idx, req) FIFO
+        self.inflight = None  # async_harvest: (flag handles, slots snapshot)
 
     def occupied(self) -> bool:
         return any(s is not None for s in self.slots)
@@ -508,7 +509,8 @@ def run_continuous_multi(source, lanes: List[Lane], route, variables,
                          emit: Callable[[dict, np.ndarray, np.ndarray], None],
                          ordered: bool = True,
                          on_chunk: Optional[Callable[[int], None]] = None,
-                         stream_cb: Optional[Callable] = None
+                         stream_cb: Optional[Callable] = None,
+                         async_harvest: bool = False
                          ) -> Dict[str, int]:
     """Drive several continuous lanes over one request source.
 
@@ -517,7 +519,18 @@ def run_continuous_multi(source, lanes: List[Lane], route, variables,
     chunk is DISPATCHED before any lane's flags are fetched, so one
     lane's harvest roundtrip overlaps the other lanes' device compute.
     Emission order/semantics match ``run_continuous`` (global
-    arrival-order reorder buffer when ``ordered``)."""
+    arrival-order reorder buffer when ``ordered``).
+
+    ``async_harvest=True`` is the multi-lane analogue of the single-lane
+    harvest-first pipelined order (see ``run_continuous``): each lane's
+    done/out flags ride a ``copy_to_host_async`` started at dispatch and
+    are read one round later, already landed — zero blocking roundtrips
+    between rounds instead of one per active lane. Finished rows are
+    detected one chunk late (same lag/throughput tradeoff as the
+    single-lane mode; pays at small chunk_steps); refilled slots are
+    protected by snapshot identity. Emitted results are identical.
+    Donation-safe: a lane's landed copy is always read before the lane's
+    next (donating) chunk dispatch."""
     if not hasattr(source, "take"):
         source = IterSource(source)
     next_emit = 0
@@ -546,7 +559,34 @@ def run_continuous_multi(source, lanes: List[Lane], route, variables,
             lane.queue.append((arrival, req))
             arrival += 1
 
+    def harvest_landed(lane: Lane) -> None:
+        """Read a lane's landed flag copy (started at its last dispatch)
+        and finish the rows it marks done. Snapshot identity skips slots
+        refilled since the copy was taken (their stale done flag refers
+        to the already-emitted previous request)."""
+        if lane.inflight is None:
+            return
+        h, snap = lane.inflight
+        lane.inflight = None
+        fetched = tuple(np.asarray(x) for x in jax.device_get(h))
+        done, out = fetched[0], fetched[1]
+        live = [snap[r] if (snap[r] is not None
+                            and snap[r] is lane.slots[r]) else None
+                for r in range(lane.b)]
+        if stream_cb is not None:
+            stream_cb({"out": out, "trow": fetched[2]}, live)
+        for r in range(lane.b):
+            if live[r] is not None and done[r]:
+                aidx, req, rk = lane.slots[r]
+                finish(aidx, req, out[r],
+                       None if rk is None else rk[0].row(rk[1]))
+                lane.slots[r] = None
+                stats["served"] += 1
+
     while True:
+        if async_harvest:
+            for lane in lanes:
+                harvest_landed(lane)
         busy = [ln for ln in lanes if ln.occupied()]
         queued = any(ln.queue for ln in lanes)
         if not busy and not queued:
@@ -566,6 +606,21 @@ def run_continuous_multi(source, lanes: List[Lane], route, variables,
             stats["chunks"] += 1
         if on_chunk is not None:
             on_chunk(stats["chunks"])
+        if async_harvest:
+            # start this round's flag copies; they land during the next
+            # round's device compute and are read (for ~free) at its top
+            for lane in active:
+                handles = (lane.state["done"], lane.state["out"]) + (
+                    (lane.state["trow"],) if stream_cb is not None else ())
+                for a in handles:
+                    try:
+                        a.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        pass
+                lane.inflight = (handles, list(lane.slots))
+            if not source.finished():
+                pump(wait=False)
+            continue
         for lane in active:
             if stream_cb is not None:
                 done, out, trow = (np.asarray(x) for x in jax.device_get(

@@ -189,7 +189,9 @@ def serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                 lane_holder["lanes"] = lanes
                 run_continuous_multi(src, lanes, route, None, emit,
                                      ordered=False, on_chunk=on_chunk,
-                                     stream_cb=stream_cb)
+                                     stream_cb=stream_cb,
+                                     async_harvest=cont.get(
+                                         "async_harvest", False))
             else:
                 cont["run"](src, wrap_mb(cont["make_batch"]), cont["init"],
                             cont["chunk"], cont["refill"], None, bs,

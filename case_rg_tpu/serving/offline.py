@@ -57,7 +57,9 @@ def run_offline_continuous(src, sink, args, dcfg, cont, responses_for):
     if "buckets" in cont:
         from ..runtime.continuous import run_continuous_multi
         lanes, route = make_lanes(cont, args.batch_size, args.refill)
-        return run_continuous_multi(source, lanes, route, None, emit)
+        return run_continuous_multi(
+            source, lanes, route, None, emit,
+            async_harvest=cont.get("async_harvest", False))
     return cont["run"](
         source, cont["make_batch"], cont["init"],
         cont["chunk"], cont["refill"], None, args.batch_size, args.refill,

@@ -493,6 +493,27 @@ def test_run_continuous_multi_lanes():
                                       err_msg=f"request {i} lane {k}")
         np.testing.assert_allclose(rk, rank[i], rtol=1e-6, atol=1e-7)
 
+    # async_harvest analogue (harvest-first pipelined rounds per lane:
+    # flags ride a copy_to_host_async read one round later, snapshot
+    # identity protects refilled slots): identical emissions with the
+    # same DONATING fns — each lane's landed copy is read before the
+    # lane's next refill/chunk dispatch
+    lanes_ah = {k: Lane(k, mb_for(k), init_fn, chunk_fn, refill_fn,
+                        batch_size=2, refill=1) for k in (2, 3)}
+    got_ah = []
+    stats_ah = run_continuous_multi(
+        iter(requests), list(lanes_ah.values()), lambda r: lanes_ah[r["k"]],
+        {"params": params},
+        emit=lambda r, ids, rk: got_ah.append((r["i"], r["k"], ids.copy(),
+                                               rk.copy())),
+        async_harvest=True)
+    assert stats_ah["served"] == n
+    assert [(g[0], g[1]) for g in got_ah] == [(g[0], g[1]) for g in got]
+    for (i, k, ids, rk), (ia, ka, idsa, rka) in zip(got, got_ah):
+        np.testing.assert_array_equal(_trim(idsa, eos), _trim(ids, eos),
+                                      err_msg=f"ah request {i} lane {k}")
+        np.testing.assert_allclose(rka, rk, rtol=0, atol=0)
+
 
 def _row_keys(n, seed=5):
     return np.stack([np.random.SeedSequence([seed, i]).generate_state(

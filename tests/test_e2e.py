@@ -405,6 +405,18 @@ def test_serve_cli(workspace, tmp_path):
     assert [json.loads(l) for l in open(contb_path)] == \
         [json.loads(l) for l in open(bucket3_path)]
 
+    # multi-lane + --async_harvest: per-lane pipelined flag fetch (flags
+    # ride a copy_to_host_async read one round later) must not change a
+    # byte of the emitted stream
+    contab_path = str(tmp_path / "resp_cont_bucket_ah.jsonl")
+    serve_main(common + ["--input", req3_path, "--output", contab_path,
+                         "--num_passage", "4", "--pool_buckets", "2,4",
+                         "--continuous", "--batch_size", "2",
+                         "--chunk_steps", "2", "--refill", "1",
+                         "--async_harvest"])
+    assert [json.loads(l) for l in open(contab_path)] == \
+        [json.loads(l) for l in open(bucket3_path)]
+
 
 def test_serve_http(workspace, tmp_path):
     """--listen: HTTP micro-batching server — health check, concurrent
