@@ -21,7 +21,7 @@ the distribution.
 Usage: python tools/exp_continuous.py [B] [--n N] [--chunk C] [--refill R]
        [--caps lo-hi] [--sweep c1,c2,...] [--refill_min M] [--lookahead]
        [--async_harvest]
-       [--skip_batch] [--lanes 5,10] [--small]
+       [--skip_batch] [--lanes 5,10] [--pingpong P] [--small]
 
 ``--sweep``: chunk-size sweep in one process; ``--skip_batch``: skip the
 fixed/early-exit baselines (their programs never change; they cost ~6 min
@@ -272,6 +272,50 @@ def main(argv):
               f"emitted len mean={np.mean(out_lens):.1f})", flush=True)
         assert len(got) == n_req
 
+    # ---- ping-pong (--pingpong P): split B into P same-pool lanes of
+    #      width B/P, driven by run_continuous_multi (+ async_harvest if
+    #      set). Tests the occupancy hypothesis: each lane harvests and
+    #      refills while the OTHER lanes' chunks compute, so slot
+    #      turnaround lag (detection + refill, 2-3 chunks on a ~22-step
+    #      row lifetime — docs/PERF.md round 10) hides behind device work
+    #      instead of idling rows ----
+    if "--pingpong" in argv:
+        from case_rg_tpu.runtime.continuous import (Lane,
+                                                    run_continuous_multi)
+        P = int(argv[argv.index("--pingpong") + 1])
+        bl = max(1, B // P)
+        rl = min(refill, bl)
+        lanes_pp = [Lane(j, make_batch, init_fn, chunk_fn, refill_fn,
+                         bl, rl, refill_min=min(refill_min, rl))
+                    for j in range(P)]
+        ctr = {"n": -1}
+
+        def rr(req):   # round-robin arrival routing
+            ctr["n"] += 1
+            return lanes_pp[ctr["n"] % P]
+
+        # compile the lane-width programs (init at bl and rl, chunk)
+        stw, _ = init_fn(variables, make_batch(reqs[:1], bl))
+        np.asarray(jax.device_get(chunk_fn(variables, stw)["done"]))
+        if rl != bl:
+            sw2, _ = init_fn(variables, make_batch(reqs[:1], rl))
+            sw3 = refill_fn(stw, sw2, jnp.arange(rl, dtype=jnp.int32))
+            np.asarray(jax.device_get(sw3["done"]))
+            del sw2, sw3
+        del stw
+        got = []
+        t0 = time.time()
+        stats = run_continuous_multi(
+            iter(reqs), lanes_pp, rr, variables,
+            emit=lambda r, ids, rk: got.append(r["i"]),
+            async_harvest=async_harvest)
+        dt = time.time() - t0
+        print(f"pingpong P={P} (lane B={bl} refill={rl} "
+              f"ah={int(async_harvest)}): {n_req/dt:.0f} qps "
+              f"({stats['chunks']} chunks, {stats['refills']} refills)",
+              flush=True)
+        assert sorted(got) == list(range(n_req))
+
     # ---- multi-lane (--lanes 5,10): pool-size-mixed request stream,
     #      served single-lane at the full pool vs one continuous lane per
     #      bucket (Lane/run_continuous_multi). The compact lanes stream a
@@ -313,7 +357,9 @@ def main(argv):
         stats = run_continuous(iter(reqs_mix), make_batch, init_fn,
                                chunk_fn, refill_fn, variables, B, refill,
                                emit=lambda r, ids, rk: got.append(r["i"]),
-                               max_len=max_len)
+                               max_len=max_len, lookahead=lookahead,
+                               refill_min=refill_min,
+                               async_harvest=async_harvest)
         dt = time.time() - t0
         print(f"mixed single-lane (pool {np_pool}): {n_req/dt:.0f} qps "
               f"({stats['chunks']} chunks)", flush=True)
@@ -332,9 +378,11 @@ def main(argv):
         stats = run_continuous_multi(
             iter(reqs_mix), list(lanes.values()),
             lambda r: lanes[r["k"]], variables,
-            emit=lambda r, ids, rk: got.append(r["i"]))
+            emit=lambda r, ids, rk: got.append(r["i"]),
+            async_harvest=async_harvest)
         dt = time.time() - t0
-        print(f"mixed multi-lane {lane_sizes}: {n_req/dt:.0f} qps "
+        print(f"mixed multi-lane {lane_sizes} ah={int(async_harvest)}: "
+              f"{n_req/dt:.0f} qps "
               f"({stats['chunks']} chunks, {stats['refills']} refills)",
               flush=True)
         assert sorted(got) == list(range(n_req))
