@@ -112,6 +112,22 @@ def main():
                 "long-memory stacks) should have enabled it "
                 "(multimem._fused_stack; case 735 -> 818 qps)")
 
+    # Analytic FLOP accounting for MFU/roofline reporting: XLA's own cost
+    # model over the compiled predict program (counts every dot/conv at
+    # static shapes, scans multiplied by trip count). v5e peak: 197 TFLOPS
+    # bf16, 819 GB/s HBM (public spec). MFU here is hardware-relative —
+    # the answer to "what fraction of the chip does a query use", vs the
+    # CPU-relative vs_baseline field.
+    flops_per_batch = bytes_per_batch = None
+    try:
+        ca = predict.lower(variables, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_batch = float(ca.get("flops", 0.0)) or None
+        bytes_per_batch = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass
+
     np.asarray(predict(variables, batch)["answer"])  # compile + full sync
     # NOTE: distinct batches per iteration and a real host fetch per result —
     # on this image's relay-backed TPU backend, block_until_ready can return
@@ -147,7 +163,7 @@ def main():
 
     baseline = _read_baseline()
     vs = qps / baseline if baseline else 0.0
-    print(json.dumps({
+    out = {
         "metric": "case_rank_decode_qps_per_chip",
         "value": round(qps, 2), "unit": "queries/sec/chip",
         "vs_baseline": round(vs, 2),
@@ -155,7 +171,21 @@ def main():
         "baseline_note": ("PyTorch reference CaSE do_test on this host's "
                           "CPU (no GPU present; see BASELINE.md) — NOT a "
                           "GPU-vs-TPU comparison"),
-    }))
+    }
+    if flops_per_batch:
+        # achieved TFLOPS at the measured qps; MFU vs v5e bf16 peak
+        # (197 TFLOPS). The wall measurement includes host dispatch and
+        # relay overheads, so this is a deployment-honest (lower-bound)
+        # utilization number; docs/PERF.md carries the roofline analysis.
+        tflops = flops_per_batch * qps / b / 1e12
+        out["gflop_per_query"] = round(flops_per_batch / b / 1e9, 2)
+        out["tflops"] = round(tflops, 2)
+        out["mfu"] = round(tflops / 197.0, 4)
+        if bytes_per_batch:
+            out["hbm_gb_per_query"] = round(bytes_per_batch / b / 1e9, 3)
+            out["hbm_util"] = round(
+                bytes_per_batch * qps / b / 819e9, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

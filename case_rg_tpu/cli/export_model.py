@@ -54,8 +54,8 @@ def build_parser():
                    default=False,
                    help="early-exit greedy decode (data-dependent loop "
                         "trip count; default off for a fixed-cost artifact)")
-    p.add_argument("--fast_argmax", action=argparse.BooleanOptionalAction,
-                   default=None)
+    from .flags import add_fast_argmax_flag
+    add_fast_argmax_flag(p)
     p.add_argument("--rank_only", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--ema", action="store_true")

@@ -62,15 +62,8 @@ def build_parser():
     p.add_argument("--ckpt_backend", type=str, default="msgpack",
                    choices=["msgpack", "orbax"],
                    help="orbax: async + sharded checkpoints")
-    p.add_argument("--fast_argmax", action=argparse.BooleanOptionalAction,
-                   default=None,
-                   help="scatter-free decode argmax (candidate-set, Pallas "
-                        "duplicate-combine kernel). Default: auto — OFF for "
-                        "every model since round 9: the kernel's round-6 "
-                        "win regressed under this image's XLA update "
-                        "(741 vs 78 us/step; docs/PERF.md round 9). "
-                        "--fast_argmax forces the candidate path, "
-                        "--no-fast_argmax the dense scatter")
+    from .flags import add_fast_argmax_flag
+    add_fast_argmax_flag(p)
     p.add_argument("--fused_stack", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="fused Pallas decoder-stack decode step (folds the "

@@ -155,14 +155,8 @@ def build_parser():
                         "has emitted EOS (sentence-identical to the fixed "
                         "40-step loop — opt-in for offline parity runs, ON "
                         "by default for serving; --no-early_exit disables)")
-    p.add_argument("--fast_argmax", action=argparse.BooleanOptionalAction,
-                   default=None,
-                   help="scatter-free decode argmax (auto: OFF for every "
-                        "model since round 9 — the Pallas kernel's win "
-                        "regressed under this image's XLA update, "
-                        "docs/PERF.md round 9; --fast_argmax forces the "
-                        "candidate path, --no-fast_argmax the dense "
-                        "scatter)")
+    from .flags import add_fast_argmax_flag
+    add_fast_argmax_flag(p)
     p.add_argument("--rank_only", action="store_true",
                    help="return passage rankings only, skipping answer "
                         "generation (case/masque/tmemnet). The sequential "

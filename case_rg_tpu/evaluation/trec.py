@@ -6,8 +6,9 @@ over queries). Definitions follow trec_eval:
 
 * documents are ranked by (score desc, docid desc) — trec_eval's tie-break;
 * map: average precision over all relevant docs (missing docs count 0);
-* ndcg: exponential-gain DCG with log2(rank+1) discount over the full
-  ranking, normalized by the ideal DCG;
+* ndcg: LINEAR-gain DCG (gain = rel, trec_eval m_ndcg.c — not the
+  exponential 2^rel-1 variant) with Jarvelin discount 1/log2(max(rank, 2))
+  over the full ranking, normalized by the ideal DCG;
 * recall_k for the standard cutoff set {5, 10, 15, 20, 30, 100, 200, 500,
   1000}.
 """

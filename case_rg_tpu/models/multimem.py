@@ -269,21 +269,44 @@ class MultiMemoryDecoder(nn.Module):
     def _resolve_fast_argmax(self, fast_argmax, src_ids, dtype):
         """(fast_argmax, use_pallas_comb) — the auto gate documented on
         ``decode``. Must resolve identically wherever the same decode
-        configuration is rebuilt (scan decode, chunk_init, chunk_step)."""
+        configuration is rebuilt (scan decode, chunk_init, chunk_step).
+
+        Accepted modes (``--fast_argmax``):
+        * ``None``/"auto" — measured default (currently dense; see below).
+        * ``False``/"dense" — the [B, V] copy scatter + argmax.
+        * "mxu" — candidate argmax; duplicate-id copy mass combined by one
+          MXU matvec against the hoisted first-occurrence matrix.
+        * "pallas" — candidate argmax via the ``combine_copy_mass`` Mosaic
+          kernel (regressed 8x under this image's XLA — docs/PERF.md
+          round 9; kept reachable for re-probes). Falls back to "mxu"
+          where Pallas is unavailable.
+        * ``True`` — back-compat alias for "pallas".
+        """
         try:
             from ..kernels import copy_argmax as _ca
             pallas_ok = _ca.pallas_available()
         except Exception:  # pragma: no cover
             pallas_ok = False
+        if isinstance(fast_argmax, str):
+            mode = fast_argmax.lower()
+            if mode not in ("auto", "dense", "mxu", "pallas"):
+                raise ValueError(f"fast_argmax mode {fast_argmax!r} not in "
+                                 "(auto, dense, mxu, pallas)")
+            if mode == "auto":
+                fast_argmax = None
+            elif mode == "dense":
+                fast_argmax = False
+            elif mode == "mxu":
+                return True, False
+            else:  # pallas (falls back to mxu off-TPU)
+                return True, pallas_ok
         if fast_argmax is None:
-            # Auto stays OFF (dense scatter + argmax): the round-6 win for
-            # the Pallas candidate-argmax kernel (92 us/step, case 737->827
-            # qps) did not survive this image's XLA/relay update — re-probed
-            # round 9 with an argmax consumer (tools/exp_copyargmax_tune.py)
-            # the kernel runs 741 us/step vs 78 us for the plain dense
-            # compare, and end-to-end CaSE B=64 bf16 measures 750 qps dense
-            # vs ~600 with the kernel (docs/PERF.md round 9). Explicit
-            # --fast_argmax still opts into the kernel path.
+            # Auto stays dense until the MXU combine proves itself e2e:
+            # the round-9 re-probe killed the Pallas kernel (741 us/step vs
+            # 78 dense), and the round-4 e2e refutation of the MXU einsum
+            # combine (133 vs 114 ms/batch) predates the fused decoder
+            # stack that since freed the cross-K/V HBM streams — remeasure
+            # before flipping (tools/exp_all_models_qps.py --fast_argmax).
             fast_argmax = False
         return fast_argmax, fast_argmax and pallas_ok
 

@@ -524,13 +524,14 @@ def run_continuous_multi(source, lanes: List[Lane], route, variables,
     ``async_harvest=True`` is the multi-lane analogue of the single-lane
     harvest-first pipelined order (see ``run_continuous``): each lane's
     done/out flags ride a ``copy_to_host_async`` started at dispatch and
-    are read one round later, already landed — zero blocking roundtrips
-    between rounds instead of one per active lane. Finished rows are
-    detected one chunk late (same lag/throughput tradeoff as the
-    single-lane mode; pays at small chunk_steps); refilled slots are
-    protected by snapshot identity. Emitted results are identical.
-    Donation-safe: a lane's landed copy is always read before the lane's
-    next (donating) chunk dispatch."""
+    are read at the TOP of the next round — already landed, so zero
+    blocking roundtrips between rounds instead of one per active lane.
+    Because the landed copy is read BEFORE that round's fill/dispatch,
+    slot turnaround matches the synchronous path (no extra chunk of
+    detection lag); only ``stream_cb`` deltas arrive one round later.
+    Refilled slots are protected by snapshot identity. Emitted results
+    are identical. Donation-safe: a lane's landed copy is always read
+    before the lane's next (donating) chunk dispatch."""
     if not hasattr(source, "take"):
         source = IterSource(source)
     next_emit = 0

@@ -204,6 +204,68 @@ def test_fast_argmax_decode_agrees_with_scatter():
     assert agreement >= 0.99, (agreement, slow, fast)
 
 
+def test_fast_argmax_mode_strings():
+    """The three-way --fast_argmax gate: "mxu" must force the matvec-combine
+    candidate path even where the Pallas kernel is available (it used to be
+    reachable only when Pallas was NOT), "pallas" must select the kernel,
+    "dense"/"auto" the scatter; all decode identically (up to ties)."""
+    import case_rg_tpu.kernels.copy_argmax as ca
+    from case_rg_tpu.models.multimem import MultiMemoryDecoder
+
+    rng = np.random.RandomState(29)
+    batch = _case_batch(rng)
+    model = create_model("case", _cfg("case"))
+    params = _init(model, batch)
+
+    dec = MultiMemoryDecoder(vocab_size=V, hidden_size=8, num_heads=2,
+                             num_layers=1)
+    ca._FORCE_INTERPRET = True
+    try:
+        # resolution: (fast_argmax bool, use_pallas_comb)
+        assert dec._resolve_fast_argmax("mxu", None, jnp.float32) == \
+            (True, False)
+        assert dec._resolve_fast_argmax("pallas", None, jnp.float32) == \
+            (True, True)
+        assert dec._resolve_fast_argmax("dense", None, jnp.float32) == \
+            (False, False)
+        assert dec._resolve_fast_argmax("auto", None, jnp.float32) == \
+            (False, False)
+        assert dec._resolve_fast_argmax(True, None, jnp.float32) == \
+            (True, True)
+        with pytest.raises(ValueError):
+            dec._resolve_fast_argmax("bogus", None, jnp.float32)
+
+        dense = np.asarray(model.apply(params, batch, max_len=T,
+                                       fast_argmax="dense",
+                                       method=type(model).predict)["answer"])
+        mxu = np.asarray(model.apply(params, batch, max_len=T,
+                                     fast_argmax="mxu",
+                                     method=type(model).predict)["answer"])
+        pal = np.asarray(model.apply(params, batch, max_len=T,
+                                     fast_argmax="pallas",
+                                     method=type(model).predict)["answer"])
+    finally:
+        ca._FORCE_INTERPRET = False
+    assert (dense == mxu).mean() >= 0.99, (dense, mxu)
+    assert (dense == pal).mean() >= 0.99, (dense, pal)
+
+
+def test_fast_argmax_flag_parser():
+    """CLI --fast_argmax mode strings map onto the decoder gate values."""
+    import argparse
+
+    from case_rg_tpu.cli.flags import add_fast_argmax_flag
+    p = argparse.ArgumentParser()
+    add_fast_argmax_flag(p)
+    assert p.parse_args([]).fast_argmax is None
+    assert p.parse_args(["--fast_argmax"]).fast_argmax is True
+    assert p.parse_args(["--fast_argmax", "mxu"]).fast_argmax == "mxu"
+    assert p.parse_args(["--fast_argmax", "pallas"]).fast_argmax == "pallas"
+    assert p.parse_args(["--fast_argmax", "dense"]).fast_argmax is False
+    assert p.parse_args(["--fast_argmax", "auto"]).fast_argmax is None
+    assert p.parse_args(["--no-fast_argmax"]).fast_argmax is False
+
+
 @pytest.mark.parametrize("name", ["masque", "case"])
 def test_multimem_beam_decode(name):
     """Beam search for the multi-memory decoders (capability beyond the

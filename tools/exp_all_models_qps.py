@@ -51,9 +51,16 @@ def main():
     rank_only = "--rank_only" in argv
     if rank_only:
         argv.remove("--rank_only")
-    fast_argmax = True if "--fast_argmax" in argv else None  # None = auto
-    if fast_argmax:
-        argv.remove("--fast_argmax")
+    fast_argmax = None  # auto
+    if "--fast_argmax" in argv:  # bare flag = legacy pallas opt-in
+        i = argv.index("--fast_argmax")
+        argv.pop(i)
+        if i < len(argv) and argv[i] in ("auto", "dense", "mxu", "pallas"):
+            fast_argmax = {"auto": None, "dense": False}.get(
+                argv[i], argv[i])
+            argv.pop(i)
+        else:
+            fast_argmax = True
     if "--no_fast_argmax" in argv:
         fast_argmax = False
         argv.remove("--no_fast_argmax")

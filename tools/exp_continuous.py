@@ -294,15 +294,20 @@ def main(argv):
             ctr["n"] += 1
             return lanes_pp[ctr["n"] % P]
 
-        # compile the lane-width programs (init at bl and rl, chunk)
+        # compile the lane-width programs (init at bl and rl, chunk, and
+        # the rl-wide refill scatter). chunk_fn donates its input state
+        # when --lookahead is absent, so warm the refill against the CHUNK
+        # OUTPUT — refilling the donated stw raises 'Array has been
+        # deleted' on TPU whenever rl < bl (advisor round 2). The refill
+        # program is warmed unconditionally: at rl == bl it otherwise
+        # compiled inside the timed region and skewed the pingpong qps.
         stw, _ = init_fn(variables, make_batch(reqs[:1], bl))
-        np.asarray(jax.device_get(chunk_fn(variables, stw)["done"]))
-        if rl != bl:
-            sw2, _ = init_fn(variables, make_batch(reqs[:1], rl))
-            sw3 = refill_fn(stw, sw2, jnp.arange(rl, dtype=jnp.int32))
-            np.asarray(jax.device_get(sw3["done"]))
-            del sw2, sw3
-        del stw
+        st2 = chunk_fn(variables, stw)
+        np.asarray(jax.device_get(st2["done"]))
+        sw2, _ = init_fn(variables, make_batch(reqs[:1], rl))
+        sw3 = refill_fn(st2, sw2, jnp.arange(rl, dtype=jnp.int32))
+        np.asarray(jax.device_get(sw3["done"]))
+        del stw, st2, sw2, sw3
         got = []
         t0 = time.time()
         stats = run_continuous_multi(
