@@ -20,17 +20,20 @@ downloaded tokenizer assets, so the framework ships its own implementations:
   (corpus-built) vocabulary it degrades gracefully to word-level lookup
   with UNK fallback;
 * ``bert_detokenize`` — ' '.join + '##' merge (common/Utils.py:39-42);
-* ``split_sentences`` — rule-based stand-in for nltk.sent_tokenize used when
-  chunking passages (Prepare_dataset.py:78). nltk's punkt model is a
-  trained pickle unavailable offline, so sentence-boundary parity with the
-  reference prep is approximate by construction (documented deviation).
+* ``split_sentences`` — sentence splitter used when chunking passages
+  (Prepare_dataset.py:78). Uses nltk punkt directly when its data is
+  installed (exact reference parity); otherwise a curated rule-based
+  splitter stands in — punkt is a trained pickle unavailable offline, so
+  boundary parity on data-less hosts is approximate by construction
+  (gold-case corpus in tests/test_data_pipeline.py; divergence runner in
+  tools/exp_sentence_split.py).
 """
 
 from __future__ import annotations
 
 import re
 import unicodedata
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 BERT_SPECIAL_TOKENS = ("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]")
 
@@ -254,28 +257,104 @@ def bert_detokenize(tokens: Iterable[str]) -> str:
     return " ".join(tokens).replace(" ##", "").strip()
 
 
+# Sentence boundary candidates. '!' and '?' are unambiguous terminators
+# (punkt treats them as sentence-final regardless of the next token's
+# case); '.' is a candidate only before a capitalized/numeric next token
+# (approximating punkt's orthographic heuristic — a lowercase follower
+# almost always means an abbreviation or mid-sentence period).
 _SENT_BOUNDARY = re.compile(
-    r"(?<=[.!?])[\"')\]]*\s+(?=[\"'(\[]?[A-Z0-9])")
-_ABBREV = {"mr.", "mrs.", "ms.", "dr.", "prof.", "sr.", "jr.", "st.", "vs.",
-           "e.g.", "i.e.", "etc.", "u.s.", "u.k."}
+    r"(?<=[!?])([\"')\]]*)\s+"
+    r"|(?<=\.)([\"')\]]*)\s+(?=[\"'(\[]?[A-Z0-9])")
+# Period-final tokens that are (almost) never sentence-final: honorifics,
+# ranks, months, and reference/measure shorthands. Mirrors the known-
+# abbreviation behavior of nltk punkt's pretrained English parameters
+# (this environment cannot ship the punkt pickle — zero egress — so the
+# list is curated; tools/exp_sentence_split.py measures the divergence).
+_ABBREV = {
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "sr.", "jr.", "st.", "vs.",
+    "mt.", "ft.", "gen.", "col.", "sgt.", "capt.", "lt.", "cmdr.", "rev.",
+    "hon.", "gov.", "sen.", "rep.", "pres.", "supt.", "det.", "messrs.",
+    "mme.", "approx.", "dept.", "est.", "cf.", "ca.", "resp.",
+    "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.",
+    "sept.", "oct.", "nov.", "dec.",
+}
+# Reference shorthands that are abbreviations only when a number follows
+# ("Fig. 3", "no. 5", "pp. 10-12"); sentence-final otherwise ("He said
+# no. Then he left.").
+_NUM_ABBREV = {"no.", "vol.", "fig.", "figs.", "pp.", "p.", "pg.", "sec.",
+               "ch.", "art.", "op.", "nos."}
+# Dotted acronyms / initialisms ("u.s.", "e.g.", "a.m.", "u.s.a.", "j.r.")
+# — every letter followed by a dot.
+_ACRONYM = re.compile(r"^(?:[a-z0-9]\.){2,}$")
 
 
 def split_sentences(text: str) -> List[str]:
-    """Rule-based sentence splitter (stand-in for nltk.sent_tokenize)."""
+    """Sentence splitter for raw passage text (replaces the reference's
+    nltk ``sent_tokenize``, Prepare_dataset.py:78).
+
+    When nltk's pretrained punkt data is installed, that tokenizer is used
+    directly (exact reference parity). On data-less hosts (this image has
+    nltk but no corpora) a rule-based splitter stands in: terminator
+    regex + abbreviation re-merge, curated against punkt's documented
+    behavior (tests/test_data_pipeline.py gold corpus;
+    tools/exp_sentence_split.py reports divergence when punkt data IS
+    available)."""
     text = text.strip()
     if not text:
         return []
-    raw = _SENT_BOUNDARY.split(text)
-    # re-merge splits caused by common abbreviations
+    punkt = _punkt_tokenizer()
+    if punkt is not None:
+        return [s.strip() for s in punkt(text) if s.strip()]
+    # manual split via finditer: trailing close-quotes/brackets belong to
+    # the PRECEDING sentence ('He said, "Go!"' keeps its quote — punkt
+    # behavior), which re.split would swallow as separator text
+    raw: List[str] = []
+    last = 0
+    for m in _SENT_BOUNDARY.finditer(text):
+        quotes = m.group(1) if m.group(1) is not None else m.group(2)
+        raw.append(text[last:m.start()] + quotes)
+        last = m.end()
+    raw.append(text[last:])
+    # re-merge splits caused by abbreviations
     sents: List[str] = []
     for part in raw:
         part = part.strip()
         if not part:
             continue
-        if sents:
-            last_word = sents[-1].rsplit(None, 1)[-1].lower() if sents[-1].split() else ""
-            if last_word in _ABBREV or (len(last_word) == 2 and last_word.endswith(".")):
+        if sents and sents[-1][-1:] == ".":
+            words = sents[-1].rsplit(None, 1)
+            last_word = words[-1].lower() if words else ""
+            merge = (
+                last_word in _ABBREV
+                or _ACRONYM.match(last_word) is not None
+                # single initials: "J. K. Rowling", "George W. Bush"
+                or (len(last_word) == 2 and last_word[0].isalpha())
+                # "Fig. 3", "no. 5": numeric follower (skip open quotes
+                # and brackets)
+                or (last_word in _NUM_ABBREV
+                    and part.lstrip("\"'([")[0:1].isdigit())
+            )
+            if merge:
                 sents[-1] = sents[-1] + " " + part
                 continue
         sents.append(part)
     return sents
+
+
+_PUNKT_CACHE: List[Optional[object]] = []
+
+
+def _punkt_tokenizer():
+    """nltk punkt ``sent_tokenize`` when its data is installed, else None
+    (cached; the lookup costs a filesystem scan)."""
+    if not _PUNKT_CACHE:
+        tok = None
+        try:
+            import nltk
+            nltk.data.find("tokenizers/punkt")
+            from nltk.tokenize import sent_tokenize
+            tok = sent_tokenize
+        except Exception:
+            tok = None
+        _PUNKT_CACHE.append(tok)
+    return _PUNKT_CACHE[0]

@@ -301,12 +301,18 @@ class MultiMemoryDecoder(nn.Module):
             else:  # pallas (falls back to mxu off-TPU)
                 return True, pallas_ok
         if fast_argmax is None:
-            # Auto stays dense until the MXU combine proves itself e2e:
-            # the round-9 re-probe killed the Pallas kernel (741 us/step vs
-            # 78 dense), and the round-4 e2e refutation of the MXU einsum
-            # combine (133 vs 114 ms/batch) predates the fused decoder
-            # stack that since freed the cross-K/V HBM streams — remeasure
-            # before flipping (tools/exp_all_models_qps.py --fast_argmax).
+            # Auto stays dense — settled by the round-11 same-session e2e
+            # sweep (tools/exp_all_models_qps.py --argmax_modes, B=64 bf16,
+            # fused stack on): case dense 812 / mxu 681 / pallas 682 qps,
+            # masque 1011 / 793 / 806. The scatter-variants probe's 2.5x
+            # per-op win (220 vs 555 us) does not survive composition: the
+            # hoisted comb_m is [B, Ls, Ls] bf16 = 144 MB at B=64, Ls=1060
+            # — >=176 us/step of HBM traffic at the 819 GB/s roofline just
+            # to read it, while the e2e dense scatter+argmax epilogue
+            # measures ~78 us/step fused into the step program (docs/
+            # PERF.md rounds 9 and 11). The MXU variant cannot win at
+            # these shapes; it stays reachable for other (small-Ls)
+            # deployments via --fast_argmax mxu.
             fast_argmax = False
         return fast_argmax, fast_argmax and pallas_ok
 

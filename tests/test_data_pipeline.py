@@ -38,6 +38,75 @@ def test_split_sentences():
     assert s == ["Dr. Smith works here.", "He is busy!", "Is he?", "Yes."]
 
 
+# Hard-case gold corpus for the rule-based splitter (the punkt stand-in,
+# data/text.py split_sentences). Gold boundaries follow nltk punkt's
+# pretrained-English behavior on the unambiguous cases: known
+# abbreviations/honorifics/initials/months don't end sentences, '!'/'?'
+# always do (regardless of following case), '.' before a lowercase
+# follower doesn't, trailing close-quotes stay with their sentence,
+# decimals/ordinals never split. When punkt data IS installed,
+# tools/exp_sentence_split.py verifies these same cases against the real
+# sent_tokenize (VERDICT r2 item 6).
+SENT_GOLD = [
+    ("The U.S. economy grew last year. In the U.K. it shrank.",
+     ["The U.S. economy grew last year.", "In the U.K. it shrank."]),
+    ("It costs $3.50 per unit. Salaries start from $78,230 and go up to "
+     "$142,820.",
+     ["It costs $3.50 per unit.",
+      "Salaries start from $78,230 and go up to $142,820."]),
+    ("what is that? the answer is here! really",
+     ["what is that?", "the answer is here!", "really"]),
+    ("J. K. Rowling wrote it. George W. Bush was president.",
+     ["J. K. Rowling wrote it.", "George W. Bush was president."]),
+    ("In Jan. 2020 it began. The end came in Dec. 2021.",
+     ["In Jan. 2020 it began.", "The end came in Dec. 2021."]),
+    ("Energy, i.e. the capacity to do work, is conserved. It never "
+     "vanishes.",
+     ["Energy, i.e. the capacity to do work, is conserved.",
+      "It never vanishes."]),
+    ("He arrived at 3 p.m. on Tuesday. Then he left at 9 a.m. sharp.",
+     ["He arrived at 3 p.m. on Tuesday.", "Then he left at 9 a.m. sharp."]),
+    ('He said, "Go home!" Then he left.',
+     ['He said, "Go home!"', "Then he left."]),
+    ("Wait... What happened?", ["Wait...", "What happened?"]),
+    ("See Fig. 3 for details. Volume is in vol. 2, page pp. 10-12.",
+     ["See Fig. 3 for details.", "Volume is in vol. 2, page pp. 10-12."]),
+    ("He said no. Then he left.", ["He said no.", "Then he left."]),
+    ("Mt. Everest is 8,848.86 m tall. St. Louis is not.",
+     ["Mt. Everest is 8,848.86 m tall.", "St. Louis is not."]),
+    ("Prof. Li and Gen. Smith met Gov. Brown. All three agreed.",
+     ["Prof. Li and Gen. Smith met Gov. Brown.", "All three agreed."]),
+    ("(It works.) [Really.] Yes.", ["(It works.)", "[Really.]", "Yes."]),
+    ("", []),
+    ("   ", []),
+    ("One sentence only", ["One sentence only"]),
+]
+
+
+def test_split_sentences_gold_corpus():
+    for text, want in SENT_GOLD:
+        assert split_sentences(text) == want, f"text: {text!r}"
+
+
+def test_split_sentences_reference_passages():
+    """The splitter over the reference's in-repo CAsT passages (the only
+    real corpus text available here): boundaries must land exactly where
+    plain prose dictates — these passages contain no hard cases, so any
+    divergence is a splitter bug (measured per VERDICT r2 item 6)."""
+    text = ("In the physical sciences, mechanical energy is the sum of "
+            "potential energy and kinetic energy. It is the energy "
+            "associated with the motion and position of an object. The "
+            "principle of conservation of mechanical energy states that "
+            "in an isolated system that is only subject to conservative "
+            "forces the mechanical energy is constant.")
+    got = split_sentences(text)
+    assert len(got) == 3
+    assert got[0].endswith("kinetic energy.")
+    assert got[1] == ("It is the energy associated with the motion and "
+                      "position of an object.")
+    assert " ".join(got) == text
+
+
 # ---- raw-text tokenization parity vs the actual HF BertTokenizer --------
 # The reference tokenizes corpus text with BertTokenizer
 # (common/Utils.py:30-37); our self-contained tokenizer must reproduce the

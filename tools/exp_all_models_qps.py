@@ -14,6 +14,11 @@ Usage: python tools/exp_all_models_qps.py [--rank_only] [B] [iters] [model ...]
 
 --rank_only times make_predict_fn(rank_only=True) (pool scores without the
 sequential decode) for the rank-head models case/masque/tmemnet.
+
+--argmax_modes dense,mxu,pallas sweeps the decode-argmax epilogue modes
+within ONE process (same relay session — the only comparison this host's
+±30% session variance permits; VERDICT r2 weak-4), re-building the predict
+fn per mode over fresh batches.
 """
 
 import os
@@ -64,6 +69,12 @@ def main():
     if "--no_fast_argmax" in argv:
         fast_argmax = False
         argv.remove("--no_fast_argmax")
+    argmax_modes = None
+    if "--argmax_modes" in argv:
+        i = argv.index("--argmax_modes")
+        argmax_modes = [{"auto": None, "dense": False}.get(m, m)
+                        for m in argv[i + 1].split(",")]
+        del argv[i:i + 2]
     if "--no_fused_stack" in argv:
         from case_rg_tpu.models.multimem import set_fused_stack
         set_fused_stack(False)
@@ -128,9 +139,6 @@ def main():
                 nrng.standard_normal(s.shape).astype(np.float32) * 0.02),
             shapes)
         variables = cast_params(variables)
-        predict = make_predict_fn(model, mcfg, max_len=40,
-                                  rank_only=rank_only,
-                                  fast_argmax=fast_argmax)
         out_key = "rank" if rank_only else "answer"
 
         pred_keys = {"case": ("query", "passage"),
@@ -145,21 +153,28 @@ def main():
             arr = featurize(name, s, q, p, vocab, {}, dcfg)
             return {k: jnp.asarray(arr[k]) for k in pred_keys}
 
-        # warm up on a batch that is NOT re-timed below: the relay serves
-        # byte-identical calls from a cache (CLAUDE.md), which would
-        # inflate qps by one near-free iteration
-        warm = fresh(999_999)
-        batches = [fresh(i) for i in range(iters)]
-        t0 = time.time()
-        np.asarray(predict(variables, warm)[out_key])
-        compile_s = time.time() - t0
-        t0 = time.time()
-        outs = [predict(variables, bt)[out_key] for bt in batches]
-        for o in outs:
-            np.asarray(o)
-        dt = (time.time() - t0) / iters
-        print(f"{name:>8}: {dt*1e3:7.1f} ms/batch  {B/dt:6.0f} qps  "
-              f"(compile {compile_s:.0f}s)", flush=True)
+        for mi, mode in enumerate(argmax_modes or [fast_argmax]):
+            predict = make_predict_fn(model, mcfg, max_len=40,
+                                      rank_only=rank_only,
+                                      fast_argmax=mode)
+            tag = ("" if argmax_modes is None else
+                   f"[{dict([(False, 'dense'), (None, 'auto'), (True, 'pallas')]).get(mode, mode)}]")
+            # warm up on a batch that is NOT re-timed below: the relay
+            # serves byte-identical calls from a cache (CLAUDE.md), which
+            # would inflate qps by one near-free iteration
+            warm = fresh(999_999 - mi)
+            batches = [fresh(1000 * mi + i) for i in range(iters)]
+            t0 = time.time()
+            np.asarray(predict(variables, warm)[out_key])
+            compile_s = time.time() - t0
+            t0 = time.time()
+            outs = [predict(variables, bt)[out_key] for bt in batches]
+            for o in outs:
+                np.asarray(o)
+            dt = (time.time() - t0) / iters
+            print(f"{name:>8}{tag:>8}: {dt*1e3:7.1f} ms/batch  "
+                  f"{B/dt:6.0f} qps  (compile {compile_s:.0f}s)",
+                  flush=True)
 
 
 if __name__ == "__main__":
