@@ -272,6 +272,74 @@ def main(argv):
               f"emitted len mean={np.mean(out_lens):.1f})", flush=True)
         assert len(got) == n_req
 
+    # ---- device-resident loop (--device_loop [K]): K chunks per
+    #      dispatch with in-jit harvest + refills from a pre-staged
+    #      device ring (runtime/continuous/device_loop). Slot dead time
+    #      drops to <= one in-device chunk; the host pays one roundtrip
+    #      per K chunks. --stage S sets the ring size (default 2x
+    #      refill). Prints qps + true occupancy (served row-steps over
+    #      dispatched batch-steps) ----
+    if "--device_loop" in argv:
+        from case_rg_tpu.runtime.continuous.device_loop import (
+            make_device_loop_fns, run_continuous_device)
+        di = argv.index("--device_loop")
+        n_chunks = (int(argv[di + 1]) if di + 1 < len(argv)
+                    and not argv[di + 1].startswith("-") else 8)
+        stage_rows = 2 * refill
+        if "--stage" in argv:
+            stage_rows = int(argv[argv.index("--stage") + 1])
+        dl_look = "--dl_lookahead" in argv
+        dl_sweep = sweep   # device-loop wants SHORT chunks (in-device
+        # refill every cs steps); --dl_sweep decouples it from the
+        # chunk-loop control's sweep. Ring sizing rule: rows consumed
+        # per mega ~ B*K*cs/mean_len must fit in stage_rows.
+        if "--dl_sweep" in argv:
+            dl_sweep = [int(x) for x in
+                        argv[argv.index("--dl_sweep") + 1].split(",")]
+        for cs in dl_sweep:
+            dfns = make_device_loop_fns(model, max_len, chunk_steps=cs,
+                                        n_chunks=n_chunks,
+                                        stage_rows=stage_rows)
+            # compile every program off the clock: init at both widths,
+            # wrap, stage seed, push, and the mega itself (real host
+            # fetches — relay block_until_ready lies, CLAUDE.md)
+            stw, _ = dfns.init_fn(variables, make_batch(reqs[:B], B))
+            uidw = np.arange(B, dtype=np.int64)
+            wrapw = dfns.wrap_fn(stw, uidw, uidw >= 0)
+            bkt, _ = dfns.init_fn(variables, make_batch(reqs[:1], refill))
+            stgw = dfns.stage_fn(bkt, jnp.arange(refill, dtype=jnp.int32))
+            stgw = dfns.push_fn(stgw, {"m": bkt, "uid": jnp.arange(
+                refill, dtype=jnp.int32)}, jnp.arange(refill,
+                                                      dtype=jnp.int32))
+            wrapw, hv = dfns.mega_fn(variables, wrapw, stgw,
+                                     np.int32(refill))
+            np.asarray(jax.device_get(hv["count"]))
+            del stw, wrapw, bkt, stgw, hv
+            # throwaway mini-loop: the exact driver path end to end
+            warm = []
+            run_continuous_device(iter(reqs[:2 * B]), make_batch, dfns,
+                                  variables, B, refill,
+                                  emit=lambda r, ids, rk:
+                                  warm.append(r["i"]), max_len=max_len,
+                                  lookahead=dl_look)
+            assert len(warm) == 2 * B
+            got, out_lens = [], []
+            t0 = time.time()
+            stats = run_continuous_device(iter(reqs), make_batch, dfns,
+                                          variables, B, refill,
+                                          emit=_emit, max_len=max_len,
+                                          lookahead=dl_look)
+            dt = time.time() - t0
+            occ = (stats["steps_served"]
+                   / max(stats["chunks"] * cs * B, 1))
+            print(f"device_loop[chunk={cs} K={n_chunks} refill={refill} "
+                  f"stage={stage_rows} la={int(dl_look)}]: "
+                  f"{n_req/dt:.0f} qps "
+                  f"({stats['megas']} megas, {stats['chunks']} chunks, "
+                  f"{stats['refills']} pushes; occupancy {occ:.2f}; "
+                  f"emitted len mean={np.mean(out_lens):.1f})", flush=True)
+            assert len(got) == n_req
+
     # ---- ping-pong (--pingpong P): split B into P same-pool lanes of
     #      width B/P, driven by run_continuous_multi (+ async_harvest if
     #      set). Tests the occupancy hypothesis: each lane harvests and
