@@ -146,6 +146,19 @@ def build_parser():
     p.add_argument("--lookahead", action="store_true",
                    help="--continuous: keep one chunk dispatched ahead "
                         "(harvest fetch overlaps the next chunk's compute)")
+    p.add_argument("--device_loop", type=int, default=0, metavar="K",
+                   help="--continuous: device-resident loop — K chunks "
+                        "per dispatch with in-jit harvest + refills from "
+                        "a pre-staged on-device ring (runtime/continuous/"
+                        "device_loop; beats the fixed path where the "
+                        "per-chunk loop loses — docs/PERF.md round 11). "
+                        "Composes with --lookahead (double-dispatch). "
+                        "0 = the per-chunk host loop")
+    p.add_argument("--stage_rows", type=int, default=0,
+                   help="--device_loop: on-device ring size in rows "
+                        "(0 = auto: ~batch*K*chunk_steps/10 — two megas' "
+                        "expected consumption, covering the lookahead "
+                        "harvest lag)")
     p.add_argument("--async_harvest", action="store_true",
                    help="--continuous: pipelined flag fetch — done/out "
                         "ride a copy_to_host_async read one round later; "
@@ -356,9 +369,6 @@ def _predict_continuous(args, model, state, arrays):
         raise SystemExit("--continuous is greedy full predict; it composes "
                          "with none of --rank_only/--beam_width>1/"
                          "--decoding sample")
-    init_fn, chunk_fn, refill_fn = make_continuous_fns(
-        model, args.max_target_length, args.chunk_steps,
-        fast_argmax=args.fast_argmax, donate_state=not args.lookahead)
     refill = args.refill or max(args.batch_size // 4, 1)
     if not 1 <= refill <= args.batch_size or args.chunk_steps < 1:
         raise SystemExit(f"--refill must be in [1, batch_size] and "
@@ -377,14 +387,35 @@ def _predict_continuous(args, model, state, arrays):
         return {kk: jnp.asarray(vv[sel]) for kk, vv in feed.items()}
 
     collected = []
-    run_continuous(({"i": int(i)} for i in idx_all), make_batch,
-                   lambda _, bt: init_fn(variables, bt),
-                   lambda _, st: chunk_fn(variables, st),
-                   refill_fn, None, args.batch_size, refill,
-                   emit=lambda r, ids, rk: collected.append((r["i"], ids, rk)),
-                   max_len=args.max_target_length, lookahead=args.lookahead,
-                   refill_min=max(1, min(args.refill_min, refill)),
-                   async_harvest=args.async_harvest)
+    if args.device_loop:
+        from ..runtime.continuous.device_loop import (make_device_loop_fns,
+                                                      run_continuous_device)
+        stage = args.stage_rows or max(
+            refill, args.batch_size * args.device_loop
+            * args.chunk_steps // 10)
+        dfns = make_device_loop_fns(
+            model, args.max_target_length, args.chunk_steps,
+            n_chunks=args.device_loop, stage_rows=stage,
+            refill_bound=refill, fast_argmax=args.fast_argmax)
+        run_continuous_device(
+            ({"i": int(i)} for i in idx_all), make_batch, dfns, variables,
+            args.batch_size, refill,
+            emit=lambda r, ids, rk: collected.append((r["i"], ids, rk)),
+            max_len=args.max_target_length, lookahead=args.lookahead)
+    else:
+        init_fn, chunk_fn, refill_fn = make_continuous_fns(
+            model, args.max_target_length, args.chunk_steps,
+            fast_argmax=args.fast_argmax, donate_state=not args.lookahead)
+        run_continuous(({"i": int(i)} for i in idx_all), make_batch,
+                       lambda _, bt: init_fn(variables, bt),
+                       lambda _, st: chunk_fn(variables, st),
+                       refill_fn, None, args.batch_size, refill,
+                       emit=lambda r, ids, rk:
+                       collected.append((r["i"], ids, rk)),
+                       max_len=args.max_target_length,
+                       lookahead=args.lookahead,
+                       refill_min=max(1, min(args.refill_min, refill)),
+                       async_harvest=args.async_harvest)
     for i, ids, rk in collected:
         out = {"answer": ids[None]}
         if rk is not None:

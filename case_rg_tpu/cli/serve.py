@@ -230,6 +230,18 @@ def build_parser():
                         "the harvest fetch overlaps the next chunk's "
                         "compute (hides the host roundtrip; refills land "
                         "one chunk later, state is double-buffered)")
+    p.add_argument("--device_loop", type=int, default=0, metavar="K",
+                   help="--continuous: device-resident loop — K chunks "
+                        "per dispatch, in-jit harvest + refills from a "
+                        "pre-staged on-device ring (runtime/continuous/"
+                        "device_loop; beats the fixed path where the "
+                        "per-chunk loop loses — docs/PERF.md round 11). "
+                        "Single-lane only; streaming requests get the "
+                        "final line without per-chunk deltas. Composes "
+                        "with --lookahead (double-dispatch)")
+    p.add_argument("--stage_rows", type=int, default=0,
+                   help="--device_loop: on-device ring size in rows (0 = "
+                        "auto: ~batch*K*chunk_steps/10)")
     p.add_argument("--fused_stack", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="fused Pallas decoder-stack decode step; default "
@@ -618,6 +630,32 @@ def main(argv=None, _server_ready=None):
                 "lookahead": args.lookahead,
                 "refill_min": args.refill_min,
                 "async_harvest": args.async_harvest}
+        if args.device_loop:
+            if args.pool_buckets:
+                raise SystemExit("--device_loop is single-lane; it does "
+                                 "not compose with --pool_buckets")
+            from ..runtime.continuous.device_loop import \
+                make_device_loop_fns
+            stage = args.stage_rows or max(
+                args.refill, args.batch_size * args.device_loop
+                * args.chunk_steps // 10)
+            dfns = make_device_loop_fns(
+                model, args.max_target_length, args.chunk_steps,
+                n_chunks=args.device_loop, stage_rows=stage,
+                refill_bound=args.refill, fast_argmax=args.fast_argmax,
+                decoding=args.decoding, temperature=args.temperature,
+                top_k=args.top_k, top_p=args.top_p)
+            # params restore is lazy (ensure_params runs inside
+            # make_batch, which the driver always calls before the first
+            # encode) — bind them at call time, like the chunk-loop
+            # lambdas above, not at cont-build time
+            _init, _mega = dfns.init_fn, dfns.mega_fn
+            dfns.init_fn = lambda _vs, batch: _init({"params": params},
+                                                    batch)
+            dfns.mega_fn = lambda _vs, wrap, stg, wr: _mega(
+                {"params": params}, wrap, stg, wr)
+            cont["device_fns"] = dfns
+            cont["variables"] = None
         if args.pool_buckets:
             # multi-lane continuous serving: one lane (own decode state +
             # cached XLA programs) per static pool size; requests route to

@@ -128,12 +128,21 @@ def fold_stack_weights(stack_params: Dict, num_layers: int, num_heads: int,
         bq_h = bq.reshape(h, d)
         wo_h = wo.reshape(h, d, e)
         del bk  # b_k only feeds softmax-invariant score terms (see above)
-        # aq[h] = s * W_q,h @ W_k,h^T  -> [h, e, e]
-        out["aq"].append(scale * jnp.einsum("ehd,fhd->hef", wq_h, wk_h))
-        # u[h] = s * W_k,h @ b_q,h    -> [h, e]
-        out["u"].append(scale * jnp.einsum("ehd,hd->he", wk_h, bq_h))
-        # wvo[h] = W_v,h @ W_o,h      -> [h, e, e]
-        out["wvo"].append(jnp.einsum("ehd,hdf->hef", wv_h, wo_h))
+        # Per-head folds, stored HEAD-BATCHED along the minor axes so the
+        # kernel runs ONE wide dot per layer instead of h small ones (the
+        # per-head [rb,e]x[e,e] loop serialized the MXU and made the
+        # kernel lose at short L — VERDICT r2 weak-3 / docs/PERF.md
+        # round 11):
+        # aq[:, hh*e:(hh+1)*e] = s * W_q,h @ W_k,h^T  -> [e, h*e]
+        out["aq"].append(
+            (scale * jnp.einsum("ehd,fhd->ehf", wq_h, wk_h)
+             ).reshape(e, h * e))
+        # u[hh*e:(hh+1)*e] = s * W_k,h @ b_q,h        -> [h*e]
+        out["u"].append(
+            (scale * jnp.einsum("ehd,hd->he", wk_h, bq_h)).reshape(h * e))
+        # wvo[hh*e:(hh+1)*e, :] = W_v,h @ W_o,h       -> [h*e, e]
+        out["wvo"].append(
+            jnp.einsum("ehd,hdf->hef", wv_h, wo_h).reshape(h * e, e))
         # bout = b_v @ W_o + b_o      -> [e]
         out["bout"].append(bv @ wo + bo)
 
@@ -243,9 +252,12 @@ def _decoder_stack_kernel(t_ref, x_ref, m_ref, mk_ref, hk_ref, c_ref,
         #      softmax-invariant score terms are dropped — module
         #      docstring) ----
         xn = _layernorm(x, ln2g[l:l + 1], ln2b[l:l + 1])
-        qf = jnp.concatenate(
-            [(mm(xn, aq[l][hh]) + u[l, hh:hh + 1].astype(jnp.float32)
-              )[:, None, :] for hh in range(h)], axis=1)  # [rb, h, e]
+        # one wide dot for ALL heads' folded queries ([rb, e] x [e, h*e]),
+        # then head-major reshape for the batched score/context dots —
+        # h separate [rb,e]x[e,e] dots serialized the MXU and lost to the
+        # XLA chain at short L (docs/PERF.md round 11)
+        qf = (mm(xn, aq[l]) + u[l:l + 1].astype(jnp.float32)
+              ).reshape(rb, h, e)                      # [rb, h, e] f32
         s = bc(qf.astype(x.dtype), m, 2, 2)            # [rb, h, L] f32
         s = jnp.where(mem_valid, s, big_neg)
         p = jax.nn.softmax(s, axis=-1)
@@ -253,10 +265,7 @@ def _decoder_stack_kernel(t_ref, x_ref, m_ref, mk_ref, hk_ref, c_ref,
         # with empty memories never occur: every memory starts [CLS])
         p = p * mem_any[:, :, None]
         cf = bc(p.astype(m.dtype), m, 2, 1)            # [rb, h, e] f32
-        cfh = cf.astype(x.dtype)
-        ctx = jnp.zeros((rb, e), jnp.float32)
-        for hh in range(h):
-            ctx = ctx + mm(cfh[:, hh, :], wvo[l][hh])
+        ctx = mm(cf.astype(x.dtype).reshape(rb, h * e), wvo[l])
         ctx = ctx + bout[l:l + 1].astype(jnp.float32)
         x = xn + ctx.astype(x.dtype)
 
@@ -327,7 +336,7 @@ def _stack_core(t, x, m, mk, hk, caches, *weights_and_statics):
 _N_BATCH_ARGS = 6
 _BATCH_RANKS = (2, 2, 3, 2, 2, 4)                      # t x m mk hk caches
 _WEIGHT_RANKS = (2, 2, 3, 2, 3, 2,                     # ln1g..bos
-                 2, 2, 4, 3, 4, 2,                     # ln2g..bout
+                 2, 2, 3, 2, 3, 2,                     # ln2g..bout
                  2, 2, 3, 2, 3, 2)                     # ln3g..b2
 
 

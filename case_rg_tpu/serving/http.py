@@ -192,6 +192,18 @@ def serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                                      stream_cb=stream_cb,
                                      async_harvest=cont.get(
                                          "async_harvest", False))
+            elif cont.get("device_fns") is not None:
+                # device-resident loop: harvest+refill run in-jit between
+                # chunks (runtime/continuous/device_loop). No per-chunk
+                # stream deltas — streaming clients get the final
+                # authoritative line only (emit pushes it to stream_q)
+                from ..runtime.continuous.device_loop import \
+                    run_continuous_device
+                run_continuous_device(
+                    src, wrap_mb(cont["make_batch"]), cont["device_fns"],
+                    cont["variables"], bs, cont["refill_size"], emit,
+                    args.max_target_length, ordered=False,
+                    on_mega=on_chunk, lookahead=cont["lookahead"])
             else:
                 cont["run"](src, wrap_mb(cont["make_batch"]), cont["init"],
                             cont["chunk"], cont["refill"], None, bs,

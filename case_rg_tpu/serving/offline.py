@@ -60,6 +60,12 @@ def run_offline_continuous(src, sink, args, dcfg, cont, responses_for):
         return run_continuous_multi(
             source, lanes, route, None, emit,
             async_harvest=cont.get("async_harvest", False))
+    if cont.get("device_fns") is not None:
+        from ..runtime.continuous.device_loop import run_continuous_device
+        return run_continuous_device(
+            source, cont["make_batch"], cont["device_fns"],
+            cont["variables"], args.batch_size, args.refill, emit,
+            args.max_target_length, lookahead=cont["lookahead"])
     return cont["run"](
         source, cont["make_batch"], cont["init"],
         cont["chunk"], cont["refill"], None, args.batch_size, args.refill,

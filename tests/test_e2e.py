@@ -201,6 +201,28 @@ def test_case_full_pipeline(workspace, tmp_path):
                 np.testing.assert_allclose(float(b[4]), float(a[4]),
                                            rtol=1e-5, atol=1e-6)
 
+    # device-resident loop (--device_loop): same contract as the chunk
+    # loop — answers byte-identical, rank order identical, scores within
+    # fusion ulp of the plain path
+    shutil.rmtree(rd)
+    run_main(_run_args(root, out, "case", "test",
+                       ["--epoch", "1", "--continuous", "--chunk_steps",
+                        "3", "--refill", "2", "--device_loop", "2",
+                        "--stage_rows", "4", "--lookahead"]))
+    dev = {f: open(os.path.join(rd, f)).read()
+           for f in sorted(os.listdir(rd)) if shard.search(f)}
+    assert set(dev) == set(plain)
+    for f in plain:
+        if f.endswith(".answer"):
+            assert dev[f] == plain[f], f"device-loop answers differ in {f}"
+        else:
+            pl = [l.split() for l in plain[f].splitlines()]
+            cl = [l.split() for l in dev[f].splitlines()]
+            assert [l[:4] for l in pl] == [l[:4] for l in cl], f
+            for a, b in zip(pl, cl):
+                np.testing.assert_allclose(float(b[4]), float(a[4]),
+                                           rtol=1e-5, atol=1e-6)
+
 
 def test_serve_cli(workspace, tmp_path):
     """Online serving: JSONL requests -> answers (+ ranking for case),
@@ -339,6 +361,22 @@ def test_serve_cli(workspace, tmp_path):
                          "--refill", "1"])
     assert [json.loads(l) for l in open(cont_path)] == \
         [json.loads(l) for l in open(plain3_path)]
+
+    # --device_loop: the device-resident loop through the same serving
+    # surface — identical responses in input order
+    dev_path = str(tmp_path / "resp_dev.jsonl")
+    serve_main(common + ["--input", req3_path, "--output", dev_path,
+                         "--num_passage", "4", "--continuous",
+                         "--batch_size", "2", "--chunk_steps", "2",
+                         "--refill", "1", "--device_loop", "2",
+                         "--stage_rows", "3"])
+    assert [json.loads(l) for l in open(dev_path)] == \
+        [json.loads(l) for l in open(plain3_path)]
+    # it refuses the multi-lane composition
+    with pytest.raises(SystemExit):
+        serve_main(common + ["--input", req3_path, "--output", os.devnull,
+                             "--num_passage", "4", "--continuous",
+                             "--pool_buckets", "2,4", "--device_loop", "2"])
 
     # per-request max_tokens: plain (host truncation) and continuous
     # (row stops at its cap) agree; capped answer is a prefix

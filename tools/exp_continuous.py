@@ -299,7 +299,8 @@ def main(argv):
         for cs in dl_sweep:
             dfns = make_device_loop_fns(model, max_len, chunk_steps=cs,
                                         n_chunks=n_chunks,
-                                        stage_rows=stage_rows)
+                                        stage_rows=stage_rows,
+                                        refill_bound=refill)
             # compile every program off the clock: init at both widths,
             # wrap, stage seed, push, and the mega itself (real host
             # fetches — relay block_until_ready lies, CLAUDE.md)

@@ -1,0 +1,130 @@
+"""CaSE training throughput on the shipped trainer path (VERDICT r2
+item 5: BENCH/BASELINE carried only inference numbers).
+
+Measures ``Trainer.train_step`` — the exact jit'd program cli/run trains
+with (donated state, fast-RNG dropout default, optax clip->adam->
+schedule, EMA) — at CAsT shapes, reporting steps/s, samples/s,
+target-tokens/s, and MFU from XLA's compiled cost analysis (v5e peak:
+197 TFLOPS bf16 / 394 int8; f32 runs on the MXU as bf16 passes).
+
+Timing is pipelined like the real epoch loop (train_epoch dispatches
+steps back to back and only fetches losses every 100 steps): K steps
+are dispatched with distinct per-step RNG and rolled batches, then one
+scalar fetch syncs. Identical calls can be served from a relay cache
+(CLAUDE.md), so every step gets distinct inputs.
+
+Usage: python tools/exp_train_bench.py [K] [--b 16,64] [--dtypes f32,bf16]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.expanduser("~/.cache/case_rg_tpu_xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from case_rg_tpu.config import ModelConfig, TrainConfig
+    from case_rg_tpu.models import create_model
+    from case_rg_tpu.train.trainer import Trainer
+
+    K = int(argv[0]) if argv and not argv[0].startswith("-") else 16
+    bs = [int(x) for x in (argv[argv.index("--b") + 1].split(",")
+                           if "--b" in argv else ("16", "64"))]
+    dtypes = (argv[argv.index("--dtypes") + 1].split(",")
+              if "--dtypes" in argv else ["f32", "bf16"])
+
+    small = "--small" in argv   # CPU correctness smoke, same code path
+    v = 512 if small else 30522
+    lq, lp, npass, la = (10, 12, 3, 8) if small else (60, 100, 10, 40)
+    cfg = ModelConfig(name="case", vocab_size=v,
+                      embedding_size=16 if small else 256,
+                      hidden_size=16 if small else 256,
+                      num_heads=2 if small else 8,
+                      enc_layers=1 if small else 3,
+                      dec_layers=1 if small else 4,
+                      max_dec_len=la, max_target_length=la)
+    model = create_model("case", cfg)
+    print(f"devices={jax.devices()} K={K}")
+
+    for b in bs:
+        rng = np.random.RandomState(0)
+        batch = {
+            "query": jnp.asarray(rng.randint(4, v, size=(b, 1, lq)),
+                                 jnp.int32),
+            "passage": jnp.asarray(rng.randint(4, v, size=(b, npass, lp)),
+                                   jnp.int32),
+            "response": jnp.asarray(rng.randint(4, v, size=(b, la)),
+                                    jnp.int32),
+            "passage_label": jnp.zeros((b,), jnp.int32),
+            "token_label": jnp.zeros((b, npass, lp), jnp.float32),
+            "token_weight": jnp.ones((b, npass, lp), jnp.float32),
+        }
+        for dt in dtypes:
+            tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
+                             warmup_steps=2000,
+                             compute_dtype="bfloat16" if dt == "bf16"
+                             else "float32")
+            trainer = Trainer(model, tc, total_steps=10000)
+            state = trainer.init_state(jax.random.PRNGKey(0), batch)
+            key = jax.random.PRNGKey(7)
+
+            def batches(i0, n):
+                # distinct inputs per step: roll the token axes
+                return [{k: (jnp.roll(x, i, axis=-1)
+                             if x.dtype == jnp.int32 and x.ndim > 1 else x)
+                         for k, x in batch.items()} for i in range(i0,
+                                                                   i0 + n)]
+
+            # compile + warmup (also builds trainer._train_step)
+            key, sub = jax.random.split(key)
+            t0 = time.time()
+            state, losses = trainer.train_step(state, batch, sub)
+            float(losses["total"])
+            compile_s = time.time() - t0
+
+            flops = None
+            try:
+                ca = trainer._train_step.lower(
+                    state, batch, sub).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops = float(ca.get("flops", 0.0)) or None
+            except Exception:
+                pass
+
+            reps = []
+            for r in range(3):
+                bl = batches(100 * r + 1, K)
+                t0 = time.time()
+                for bt in bl:
+                    key, sub = jax.random.split(key)
+                    state, losses = trainer.train_step(state, bt, sub)
+                float(losses["total"])   # one sync for the whole window
+                reps.append(time.time() - t0)
+            dt_s = float(np.median(reps)) / K
+            line = (f"B={b:3d} {dt:>4}: {dt_s*1e3:7.1f} ms/step "
+                    f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
+                    f"{b*40/dt_s:9.0f} tgt-tok/s")
+            if flops:
+                tf = flops / dt_s / 1e12
+                line += f"  {tf:6.2f} TFLOPS ({tf/197*100:4.1f}% MFU)"
+            line += f"  (compile {compile_s:.0f}s)"
+            line += f"  loss {float(losses['total']):.3f}"
+            assert np.isfinite(float(losses["total"]))
+            print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
