@@ -19,7 +19,15 @@ def load_reference():
         tr = types.ModuleType("transformers")
         tr.torch = torch
         tr.__all__ = ["torch"]
-        sys.modules.setdefault("transformers", tr)
+        # FORCE the stub even when the real transformers is already
+        # imported (test_data_pipeline's HF-parity tests run earlier in
+        # the suite): the reference's ``from transformers import *``
+        # (common/Utils.py:11) would otherwise resolve the real
+        # package's ENTIRE lazy-import surface, which explodes on this
+        # image (models.smolvlm fails to import). No test after the
+        # parity files needs the real package; already-bound names from
+        # earlier tests keep their references.
+        sys.modules["transformers"] = tr
         sys.path.insert(0, REFERENCE_PATH)
     import importlib
     return importlib
