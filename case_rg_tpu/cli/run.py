@@ -172,6 +172,14 @@ def build_parser():
                    help="mid-epoch salvage checkpoints every N steps")
     p.add_argument("--bf16_train", action="store_true",
                    help="mixed-precision training (bf16 compute, f32 master)")
+    p.add_argument("--remat", type=str, default="",
+                   choices=["", "dots", "dots_batch", "nothing"],
+                   help="rematerialize the forward in the backward pass: "
+                        "'dots' keeps only matmul outputs (elementwise "
+                        "chains recomputed — an HBM-traffic lever on the "
+                        "bandwidth-bound train step, docs/PERF.md r11), "
+                        "'nothing' recomputes everything (minimum memory). "
+                        "Gradients are bitwise-identical either way")
     p.add_argument("--mesh_shape", type=str, default="",
                    help="device mesh as 'data,model' (e.g. 4,2); default: "
                         "all local devices on the data axis")
@@ -229,6 +237,7 @@ def train(args):
                      checkpoint_every_steps=args.checkpoint_every_steps,
                      ckpt_backend=args.ckpt_backend,
                      compute_dtype="bfloat16" if args.bf16_train else "float32",
+                     remat=args.remat,
                      mesh_shape=tuple(int(x) for x in
                                       args.mesh_shape.split(",") if x),
                      pool_shard=args.pool_shard)

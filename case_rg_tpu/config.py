@@ -81,6 +81,12 @@ class TrainConfig:
     grad_clip: float = 1.0
     ema_decay: float = 0.995
     compute_dtype: str = "float32"   # "bfloat16": f32 master params, bf16 fwd/bwd
+    remat: str = ""                  # rematerialize the forward in backward:
+                                     # "" (save all residuals), "dots"
+                                     # (save matmul outputs only — recompute
+                                     # elementwise chains), "nothing" (full
+                                     # recompute). Numerics-identical; a
+                                     # HBM-traffic lever (docs/PERF.md r11)
     seed: int = 123456
     log_every: int = 100
     checkpoint_every_steps: int = 0   # 0 = epoch-end only

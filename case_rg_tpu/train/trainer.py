@@ -132,6 +132,20 @@ class Trainer:
 
         bf16 = tc.compute_dtype == "bfloat16"
 
+        # Remat policy (TrainConfig.remat): which forward residuals survive
+        # to the backward pass. "dots" keeps only matmul outputs (elementwise
+        # chains — LN, softmax, gelu, dropout masks — are recomputed in bwd
+        # instead of round-tripping through HBM); "nothing" recomputes the
+        # whole forward. The step is bandwidth-bound with ~6% MXU busy
+        # (docs/PERF.md round 2), so recompute FLOPs are nearly free —
+        # gradients are bitwise the same either way.
+        remat_policy = {
+            "": None,
+            "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            "dots_batch": jax.checkpoint_policies.dots_saveable,
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+        }[tc.remat]
+
         def step_fn(state: TrainState, batch, rng):
             def loss_fn(params):
                 if bf16:  # mixed precision: f32 master, bf16 compute
@@ -145,6 +159,8 @@ class Trainer:
                 losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
                 return sum(losses.values()), losses
 
+            if tc.remat:
+                loss_fn = jax.checkpoint(loss_fn, policy=remat_policy)
             (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)

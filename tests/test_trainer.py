@@ -316,3 +316,34 @@ def test_fit_early_stop_and_best_json(tmp_path):
                 eval_arrays=arrays)
     assert checkpoint_exists(out2, 3)
     assert best_epoch(out2) == 3
+
+
+@pytest.mark.parametrize("policy", ["dots", "nothing"])
+def test_remat_policies_match_baseline(policy):
+    """TrainConfig.remat changes WHICH forward residuals reach the backward
+    pass (HBM-traffic lever, docs/PERF.md round 11) — never the math. Same
+    seeds, same batches: losses and updated params must match the no-remat
+    step to f32 tolerance over several steps."""
+    model = create_model("s2sa", _cfg())
+    rng = np.random.RandomState(3)
+    batch = _batch(rng)
+
+    def run(remat):
+        tc = TrainConfig(batch_size=8, learning_rate=1e-2, warmup_steps=1,
+                         remat=remat)
+        trainer = Trainer(model, tc, total_steps=100)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            state, out = trainer.train_step(state, dict(batch), k)
+            losses.append(float(out["total"]))
+        return losses, jax.device_get(state.params)
+
+    base_losses, base_params = run("")
+    rem_losses, rem_params = run(policy)
+    np.testing.assert_allclose(rem_losses, base_losses, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        base_params, rem_params)

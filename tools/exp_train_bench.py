@@ -14,6 +14,7 @@ scalar fetch syncs. Identical calls can be served from a relay cache
 (CLAUDE.md), so every step gets distinct inputs.
 
 Usage: python tools/exp_train_bench.py [K] [--b 16,64] [--dtypes f32,bf16]
+           [--remat ,dots,nothing]   (sweep remat policies same-session)
 """
 
 import sys
@@ -44,6 +45,8 @@ def main(argv):
                            if "--b" in argv else ("16", "64"))]
     dtypes = (argv[argv.index("--dtypes") + 1].split(",")
               if "--dtypes" in argv else ["f32", "bf16"])
+    remats = (argv[argv.index("--remat") + 1].split(",")
+              if "--remat" in argv else [""])
 
     small = "--small" in argv   # CPU correctness smoke, same code path
     v = 512 if small else 30522
@@ -72,8 +75,9 @@ def main(argv):
             "token_weight": jnp.ones((b, npass, lp), jnp.float32),
         }
         for dt in dtypes:
+          for rm in remats:
             tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
-                             warmup_steps=2000,
+                             warmup_steps=2000, remat=rm,
                              compute_dtype="bfloat16" if dt == "bf16"
                              else "float32")
             trainer = Trainer(model, tc, total_steps=10000)
@@ -114,7 +118,8 @@ def main(argv):
                 float(losses["total"])   # one sync for the whole window
                 reps.append(time.time() - t0)
             dt_s = float(np.median(reps)) / K
-            line = (f"B={b:3d} {dt:>4}: {dt_s*1e3:7.1f} ms/step "
+            tag = f" remat={rm}" if rm else ""
+            line = (f"B={b:3d} {dt:>4}{tag}: {dt_s*1e3:7.1f} ms/step "
                     f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
                     f"{b*40/dt_s:9.0f} tgt-tok/s")
             if flops:
