@@ -171,6 +171,13 @@ def main():
         "baseline_note": ("PyTorch reference CaSE do_test on this host's "
                           "CPU (no GPU present; see BASELINE.md) — NOT a "
                           "GPU-vs-TPU comparison"),
+        # The relay-attached chip's throughput varies BETWEEN sessions far
+        # more than within one (same program measured 629-836 qps across
+        # rounds; windows above spread <4%). Round-over-round deltas within
+        # this band are weather, not regressions — compare same-session
+        # controls (docs/PERF.md round 8/11 methodology).
+        "session_variance_note": "cross-session spread observed up to ±15%; "
+                                 "within-session window spread <4%",
     }
     if flops_per_batch:
         # achieved TFLOPS at the measured qps; MFU vs v5e bf16 peak

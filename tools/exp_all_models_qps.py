@@ -87,10 +87,16 @@ def main():
         argv.remove("--bf16_scores")
         from case_rg_tpu.ops.attention import set_bf16_scores
         set_bf16_scores(True)
+    b_sweep = None
+    if "--b_sweep" in argv:   # serving batch-size knee: same-process sweep
+        i = argv.index("--b_sweep")
+        b_sweep = [int(x) for x in argv[i + 1].split(",")]
+        del argv[i:i + 2]
     B = int(argv[0]) if len(argv) > 0 else 64
     iters = int(argv[1]) if len(argv) > 1 else 8
     models = argv[2:] or (("case", "masque", "tmemnet") if rank_only
                           else MODELS)
+    bs = b_sweep or [B]
 
     cache_dir = os.path.expanduser("~/.cache/case_rg_tpu_xla")
     import jax
@@ -117,6 +123,7 @@ def main():
     print(f"devices={jax.devices()} B={B} iters={iters}")
 
     for name in models:
+      for B in bs:
         mcfg = build_model_cfg(base, name, vocab)
         model = create_model(name, mcfg)
         samples, query, passage = synth_samples(B, rng)
@@ -172,7 +179,8 @@ def main():
             for o in outs:
                 np.asarray(o)
             dt = (time.time() - t0) / iters
-            print(f"{name:>8}{tag:>8}: {dt*1e3:7.1f} ms/batch  "
+            btag = f" B={B:<3d}" if len(bs) > 1 else ""
+            print(f"{name:>8}{tag:>8}{btag}: {dt*1e3:7.1f} ms/batch  "
                   f"{B/dt:6.0f} qps  (compile {compile_s:.0f}s)",
                   flush=True)
 
