@@ -70,85 +70,13 @@ def _load_wordnet() -> Optional[SynonymFn]:
     return synonyms
 
 
-# Compact fallback synonym groups (symmetric), biased toward conversational
-# QA/answer vocabulary. Deliberately small and high-precision: embedded-table
-# METEOR must only *loosen* matching toward WordNet, never invent matches a
-# human would dispute.
-_SYN_GROUPS: List[Set[str]] = [set(g.split()) for g in [
-    "big large huge enormous",
-    "small little tiny",
-    "fast quick rapid speedy",
-    "slow sluggish",
-    "begin start commence",
-    "end finish conclude terminate",
-    "buy purchase",
-    "sell vend",
-    "answer reply response respond",
-    "question query inquiry",
-    "help assist aid",
-    "show display exhibit",
-    "make create produce build construct",
-    "use utilize employ",
-    "need require",
-    "want desire wish",
-    "get obtain acquire receive",
-    "give provide supply",
-    "find locate discover",
-    "tell inform notify",
-    "say state mention",
-    "think believe consider",
-    "know understand comprehend",
-    "see view observe watch",
-    "important significant crucial vital",
-    "correct right accurate",
-    "wrong incorrect erroneous",
-    "good great excellent fine",
-    "bad poor terrible awful",
-    "happy glad pleased",
-    "sad unhappy",
-    "hard difficult tough",
-    "easy simple",
-    "many numerous several",
-    "few scarce",
-    "often frequently",
-    "rarely seldom",
-    "maybe perhaps possibly",
-    "certainly definitely surely",
-    "famous renowned celebrated",
-    "old ancient aged",
-    "new novel recent modern",
-    "cause reason",
-    "result outcome consequence effect",
-    "part portion section segment",
-    "whole entire complete total",
-    "increase rise grow",
-    "decrease decline drop fall reduce",
-    "illness disease sickness ailment",
-    "doctor physician",
-    "medicine medication drug",
-    "car automobile vehicle",
-    "movie film",
-    "town city",
-    "nation country state",
-    "world globe earth",
-    "kid child youngster",
-    "man gentleman male",
-    "woman lady female",
-    "job occupation profession work",
-    "money cash currency funds",
-    "house home residence dwelling",
-    "talk speak converse chat",
-    "walk stroll",
-    "run sprint jog",
-    "eat consume",
-    "beautiful pretty lovely attractive",
-    "smart intelligent clever bright",
-    "stupid dumb foolish",
-    "angry mad furious",
-    "afraid scared frightened fearful",
-    "also too additionally",
-    "but however though although",
-]]
+# Fallback synonym groups (symmetric), curated in evaluation/synonyms.py —
+# ~550 groups biased toward conversational QA/answer vocabulary. Deliberately
+# high-precision: embedded-table METEOR must only *loosen* matching toward
+# WordNet, never invent matches a human would dispute.
+from .synonyms import build_groups
+
+_SYN_GROUPS: List[Set[str]] = build_groups()
 
 _SYN_INDEX: Dict[str, Set[str]] = {}
 for _g in _SYN_GROUPS:

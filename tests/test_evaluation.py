@@ -213,3 +213,43 @@ def test_ids_to_sentence_eos_and_empty():
                        {i: w for i, w in enumerate(words)})
     assert ids_to_sentence([1, 7, 3, 7], vocab) == ["tok"]   # BOS tok EOS ...
     assert ids_to_sentence([0, 0], vocab) == ["[UNK]"]
+
+
+def test_embedded_synonym_table_properties():
+    """The grown table (evaluation/synonyms.py, ~550 groups) must stay
+    symmetric, stem-indexed, and high-precision: it may only LOOSEN
+    matching toward WordNet, never join words a reader would dispute."""
+    from case_rg_tpu.evaluation.meteor import (_embedded_synonyms,
+                                               _SYN_GROUPS, _SYN_INDEX,
+                                               _stem)
+    # symmetry: w2 in syn(w1) => w1 in syn(w2)
+    for grp in _SYN_GROUPS:
+        for w in grp:
+            syn = _embedded_synonyms(w)
+            assert grp <= syn, (w, grp - syn)
+            for v in grp:
+                assert w in _embedded_synonyms(v)
+    # stem indexing: the synonym stage runs on Porter stems
+    assert "purchase" in _embedded_synonyms(_stem("buying")) or \
+           "purchas" in _embedded_synonyms(_stem("buying"))
+    # precision spot checks: pairs WordNet would NOT equate in running text
+    for a, b in [("man", "woman"), ("buy", "sell"),
+                 ("hot", "cold"), ("good", "bad"), ("big", "small")]:
+        assert b not in _embedded_synonyms(a), (a, b)
+    # scale: the grown table really is in the thousands of keys
+    assert len(_SYN_INDEX) > 2500
+
+
+def test_embedded_synonyms_loosen_meteor():
+    """A paraphrase via table synonyms scores strictly higher than with the
+    synonym stage disabled, and exact matches are unaffected."""
+    from case_rg_tpu.evaluation.meteor import meteor_score
+
+    ref = "the doctor said the illness was serious".split()
+    hyp = "the physician said the disease was grave".split()
+    with_syn = meteor_score([ref], hyp)
+    no_syn = meteor_score([ref], hyp, use_default_synonyms=False)
+    assert with_syn > no_syn
+    exact = "the doctor said the illness was serious".split()
+    assert meteor_score([ref], exact) == meteor_score(
+        [ref], exact, use_default_synonyms=False)
