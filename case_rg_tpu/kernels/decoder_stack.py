@@ -78,6 +78,13 @@ _FORCE_INTERPRET = False
 
 _LN_EPS = 1e-5
 
+# Upper bound for one stack_step call's [B, lc, T, 2E] cache slice: XLA
+# promotes it to scoped VMEM (16 MiB hard limit on v5e) when it is a
+# while-loop carried custom-call output; 12 MiB leaves headroom for the
+# co-resident [B, E] hidden output. stack_step shrinks layers_per_call
+# until the slice fits (B=128 CaSE shapes stay at lc=2, B=256 drops to 1).
+_VMEM_CACHE_BYTES = 12 * 2 ** 20
+
 
 def fold_stack_weights(stack_params: Dict, num_layers: int, num_heads: int,
                        dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
@@ -437,6 +444,18 @@ def stack_step(x: jnp.ndarray, t, caches: jnp.ndarray, m: jnp.ndarray,
     lc = min(layers_per_call, nl)
     while nl % lc:
         lc -= 1
+    # XLA's buffer assignment promotes the loop-carried cache slice (a
+    # custom-call output) into scoped VMEM; at large B the [B, lc, T, 2E]
+    # slice blows the 16 MiB scoped limit at compile time (observed:
+    # B=256, lc=2, T=40, 2E=512 bf16 -> "Ran out of memory in memory
+    # space vmem ... 18.24M and limit 16.00M"). Shrink the layer chunk —
+    # trading memory re-reads for VMEM — until the slice fits.
+    slice_bytes = (b * caches.shape[2] * caches.shape[3]
+                   * caches.dtype.itemsize)
+    while lc > 1 and slice_bytes * lc > _VMEM_CACHE_BYTES:
+        lc -= 1
+        while nl % lc:
+            lc -= 1
     new_caches = []
     for l0 in range(0, nl, lc):
         weights = [folded[k][l0:l0 + lc] for k in WEIGHT_KEYS]

@@ -86,6 +86,35 @@ def test_stack_step_per_row_t_skips_done_rows():
     assert not np.array_equal(c[2, :, 2], c0[2, :, 2])
 
 
+def test_stack_step_vmem_adaptive_layer_chunk(monkeypatch):
+    """When the per-call [B, lc, T, 2E] cache slice would exceed the
+    scoped-VMEM bound, stack_step shrinks layers_per_call rather than
+    letting XLA's VMEM promotion OOM at compile time (observed live at
+    B=256 CaSE shapes). Forcing the shrink via a tiny bound must be
+    numerically identical to the default layer chunking."""
+    e, h, nl, t_max, b, l = 32, 4, 4, 6, 4, 24
+    dec = Decoder(nl, e, h, d_ff=e, dropout=0.0, activation="gelu")
+    k = jax.random.PRNGKey(7)
+    m = jax.random.normal(k, (b, l, e), jnp.float32)
+    x = jax.random.normal(jax.random.fold_in(k, 1), (b, e), jnp.float32)
+    params = dec.init(k, x[:, None], m, None, None,
+                      deterministic=True)["params"]
+    folded = ds.fold_stack_weights(params, nl, h, jnp.float32)
+    caches0 = jnp.zeros((b, nl, t_max, 2 * e), jnp.float32)
+    hist = jnp.zeros((b, t_max), bool).at[:, 0].set(True)
+    mem_keep = jnp.ones((b, l), bool)
+    args = (x, jnp.int32(0), caches0, m, mem_keep, hist, folded, h)
+    y2, c2 = ds.stack_step(*args, rows_per_block=2, layers_per_call=2,
+                           interpret=True)
+    monkeypatch.setattr(ds, "_VMEM_CACHE_BYTES", 1)   # force lc -> 1
+    y1, c1 = ds.stack_step(*args, rows_per_block=2, layers_per_call=2,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=0, atol=1e-5)
+
+
 def test_stack_step_batch_sharded():
     """The kernel's custom_partitioning rule: a batch-sharded jitted call
     on the 8-device mesh must equal the unsharded call, with the weight
