@@ -143,7 +143,11 @@ def build_parser():
                         "averaged checkpoint (run --mode avg)")
     p.add_argument("--input", type=str, default="-")
     p.add_argument("--output", type=str, default="-")
-    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="device batch width (default 64; 128 for "
+                        "--rank_only — the no-decode program scales to "
+                        "the B=128 knee, +53%% qps for CaSE: docs/PERF.md "
+                        "round 12)")
     p.add_argument("--embedding_size", type=int, default=256)
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--num_heads", type=int, default=8)
@@ -300,6 +304,17 @@ def build_parser():
     return p
 
 
+def resolve_batch_size(batch_size, rank_only):
+    """Serving batch-size knee defaults (docs/PERF.md round 12): full
+    predict peaks only +4-5% at B=128 for 2x per-request latency, so it
+    stays at 64; rank-only has no sequential decode, gains +20-53% at
+    B=128 and is flat beyond, so it defaults to 128. An explicit
+    --batch_size (or the export sidecar's) always wins."""
+    if batch_size is not None:
+        return batch_size
+    return 128 if rank_only else 64
+
+
 def main(argv=None, _server_ready=None):
     """``_server_ready``: test hook — called with the HTTPServer instance
     (from the serving thread) once ``--listen`` is bound, so a test can
@@ -348,6 +363,8 @@ def main(argv=None, _server_ready=None):
     elif args.model is None or args.output_path is None:
         raise SystemExit("--model and --output_path are required (unless "
                          "--from_export)")
+
+    args.batch_size = resolve_batch_size(args.batch_size, args.rank_only)
 
     if args.bf16_scores:
         from ..ops.attention import set_bf16_scores

@@ -54,3 +54,20 @@ def test_embedding_loader(tmp_path):
     np.testing.assert_allclose(m, m2)
     table = parse_glove_text(str(glove))
     assert set(table) == {"alpha", "beta", "unused"}
+
+
+def test_serve_batch_size_knee_defaults():
+    """cli/serve default batch width follows the measured knee
+    (docs/PERF.md round 12): 64 for full predict, 128 for --rank_only;
+    an explicit value always wins (incl. the export sidecar's)."""
+    from case_rg_tpu.cli.serve import build_parser, resolve_batch_size
+    assert resolve_batch_size(None, False) == 64
+    assert resolve_batch_size(None, True) == 128
+    assert resolve_batch_size(32, True) == 32
+    assert resolve_batch_size(256, False) == 256
+    # the parser must leave the default unresolved (None) so the sidecar
+    # and rank-only resolution can see "user didn't ask"
+    args = build_parser().parse_args(
+        ["--model", "case", "--output_path", "/tmp/x",
+         "--prepared_dir", "/tmp/x"])
+    assert args.batch_size is None
