@@ -111,16 +111,25 @@ class Trainer:
     def init_state(self, rng, sample_batch: Dict[str, np.ndarray]) -> TrainState:
         batch = {k: jnp.asarray(v) for k, v in sample_batch.items()
                  if not k.startswith("_")}
+
+        # The whole init runs under ONE jit: flax's ``init`` is eager by
+        # default, and an eager full-forward trace at CAsT scale is
+        # thousands of tiny dispatches — pathological on a remote-attached
+        # chip (~30-50 ms roundtrip each made init_state hang for tens of
+        # minutes on this relay; one compiled program takes seconds).
+        def _init(p_rng, d_rng, batch):
+            variables = self.model.init(
+                {"params": p_rng, "dropout": d_rng}, batch,
+                method=type(self.model).train_losses, **self.loss_kwargs)
+            params = variables["params"]
+            # EMA must not alias params: the train step donates the whole
+            # state and XLA rejects donating one buffer twice.
+            ema = jax.tree_util.tree_map(lambda x: x + 0, params)
+            return TrainState(params=params, opt_state=self.tx.init(params),
+                              ema=ema, step=jnp.zeros((), jnp.int32))
+
         p_rng, d_rng = jax.random.split(rng)
-        variables = self.model.init({"params": p_rng, "dropout": d_rng},
-                                    batch, method=type(self.model).train_losses,
-                                    **self.loss_kwargs)
-        params = variables["params"]
-        # EMA must not alias params: the train step donates the whole state
-        # and XLA rejects donating one buffer twice.
-        ema = jax.tree_util.tree_map(lambda x: x + 0, params)
-        state = TrainState(params=params, opt_state=self.tx.init(params),
-                           ema=ema, step=jnp.zeros((), jnp.int32))
+        state = jax.jit(_init)(p_rng, d_rng, batch)
         return jax.device_put(state, replicated(self.mesh))
 
     # ---- the jit'd step ----
