@@ -161,6 +161,20 @@ def main():
         window_qps.append(b * iters / (time.time() - t0))
     qps = float(np.median(window_qps))
 
+    # ---- best shipped serving config: the device-resident continuous
+    # loop (serve --continuous --device_loop) on a caps-mix workload
+    # (per-request max_tokens 4-40 — the length economics a trained
+    # model's EOS mix produces; docs/PERF.md round 11: 958 vs 836 fixed
+    # same-session). The fixed-path number above stays the headline
+    # metric for round-over-round continuity; this measures what the
+    # framework actually ships as its fastest serving mode.
+    cont = None
+    try:
+        cont = _measure_continuous(jax, jnp, model, variables, v, b,
+                                   flops_per_batch, bytes_per_batch)
+    except Exception as e:   # never let the extra metric kill the bench
+        cont = {"error": repr(e)}
+
     baseline = _read_baseline()
     vs = qps / baseline if baseline else 0.0
     out = {
@@ -192,7 +206,106 @@ def main():
             out["hbm_gb_per_query"] = round(bytes_per_batch / b / 1e9, 3)
             out["hbm_util"] = round(
                 bytes_per_batch * qps / b / 819e9, 4)
+    if cont is not None:
+        out["continuous"] = cont
     print(json.dumps(out))
+
+
+def _measure_continuous(jax, jnp, model, variables, v, b,
+                        fixed_flops_per_batch, fixed_bytes_per_batch):
+    """Device-loop continuous qps on a caps-mix workload (one dict of
+    sub-fields for the bench JSON). Config = the round-11 knee: chunk=4,
+    K=8, stage=256, refill=64, lookahead."""
+    import os
+
+    from case_rg_tpu.runtime.continuous.device_loop import (
+        make_device_loop_fns, run_continuous_device)
+
+    n_req = int(os.environ.get("CASE_RG_BENCH_CONT_N", "1024"))
+    cs, n_chunks, stage_rows, refill = 4, 8, 256, b
+    max_len = 40
+    rng = np.random.RandomState(7)
+    master = {
+        "query": rng.randint(4, v, size=(n_req, 1, 60)).astype(np.int32),
+        "passage": rng.randint(4, v, size=(n_req, 10, 100)).astype(np.int32),
+    }
+    caps = rng.randint(4, max_len + 1, size=n_req).astype(np.int32)
+    mean_cap = float(caps.mean())
+
+    def make_batch(chunkreqs, bs):
+        idx = [r["i"] for r in chunkreqs]
+        idx = idx + [idx[-1]] * (bs - len(idx))
+        out = {k: jnp.asarray(vv[idx]) for k, vv in master.items()}
+        out["response_cap"] = jnp.asarray(caps[idx])
+        return out
+
+    dfns = make_device_loop_fns(model, max_len, chunk_steps=cs,
+                                n_chunks=n_chunks, stage_rows=stage_rows,
+                                refill_bound=refill)
+    reqs = [{"i": i} for i in range(n_req)]
+    # compile off the clock: init at both widths, wrap/stage/push, mega
+    # (real host fetches — relay block_until_ready lies, CLAUDE.md)
+    stw, _ = dfns.init_fn(variables, make_batch(reqs[:b], b))
+    uidw = np.arange(b, dtype=np.int64)
+    wrapw = dfns.wrap_fn(stw, uidw, uidw >= 0)
+    bkt, _ = dfns.init_fn(variables, make_batch(reqs[:1], refill))
+    stgw = dfns.stage_fn(bkt, jnp.arange(refill, dtype=jnp.int32))
+    stgw = dfns.push_fn(stgw, {"m": bkt, "uid": jnp.arange(
+        refill, dtype=jnp.int32)}, jnp.arange(refill, dtype=jnp.int32))
+    wrapw, hv = dfns.mega_fn(variables, wrapw, stgw, np.int32(refill))
+    np.asarray(jax.device_get(hv["count"]))
+    del stw, wrapw, bkt, stgw, hv
+    # throwaway mini-loop: the exact driver path end to end
+    warm = []
+    run_continuous_device(iter(reqs[: 2 * b]), make_batch, dfns, variables,
+                          b, refill, emit=lambda r, ids, rk:
+                          warm.append(r["i"]), max_len=max_len,
+                          lookahead=True)
+    assert len(warm) == 2 * b
+
+    got = []
+    t0 = time.time()
+    stats = run_continuous_device(
+        iter(reqs), make_batch, dfns, variables, b, refill,
+        emit=lambda r, ids, rk: got.append(r["i"]), max_len=max_len,
+        lookahead=True)
+    dt = time.time() - t0
+    assert len(got) == n_req
+    qps = n_req / dt
+    occ = stats["steps_served"] / max(stats["chunks"] * cs * b, 1)
+    out = {
+        "metric": "case_continuous_device_loop_qps_per_chip",
+        "value": round(qps, 2), "unit": "queries/sec/chip",
+        "workload": f"caps 4-{max_len} (mean {mean_cap:.1f}), n={n_req}, "
+                    f"B={b} chunk={cs} K={n_chunks} stage={stage_rows} "
+                    f"lookahead",
+        "occupancy": round(occ, 3),
+    }
+    # MFU/HBM for the continuous path, ESTIMATED from the fixed program's
+    # cost analysis: the fixed predict pays max_len decode steps/query;
+    # continuous pays ~steps_served/n_req. Scaling the per-query decode
+    # share by that ratio (encode share unchanged) bounds the continuous
+    # program's arithmetic honestly without cost-analyzing the while-loop
+    # mega program (XLA cannot attribute trip counts there). Decode share
+    # of the fixed program ~ its serialized-phase share (docs/PERF.md
+    # round 11 roofline: encode/towers ~1/3 of device time at B=64).
+    if fixed_flops_per_batch:
+        steps_ratio = (stats["steps_served"] / n_req) / max_len
+        decode_share = 0.55   # decode FLOPs share of the fixed program
+        # (xprof round 4: decode while-loop = 55 ms of ~117 ms/batch)
+        scale = (1 - decode_share) + decode_share * steps_ratio
+        fq = fixed_flops_per_batch / b * scale
+        out["gflop_per_query_est"] = round(fq / 1e9, 2)
+        out["tflops_est"] = round(fq * qps / 1e12, 2)
+        out["mfu_est"] = round(fq * qps / 1e12 / 197.0, 4)
+        if fixed_bytes_per_batch:
+            bq = fixed_bytes_per_batch / b * scale
+            out["hbm_gb_per_query_est"] = round(bq / 1e9, 3)
+            out["hbm_util_est"] = round(bq * qps / 819e9, 4)
+        out["est_note"] = ("flops/bytes scaled from the fixed program's "
+                           "cost analysis by served decode steps "
+                           f"({stats['steps_served']}/{n_req * max_len})")
+    return out
 
 
 if __name__ == "__main__":

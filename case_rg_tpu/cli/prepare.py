@@ -29,6 +29,17 @@ def main(argv=None):
                         "pool of this size (0/1 = serial; output identical)")
     args = p.parse_args(argv)
 
+    # data-drop-in observability: passage sentence splitting defers to
+    # nltk punkt when its data is installed (exact reference parity);
+    # otherwise the curated rule splitter stands in. Log which, so any
+    # corpus-parity run records its provenance.
+    from ..data.text import sentence_splitter_variant
+    sv = sentence_splitter_variant()
+    print(f"[prepare] sentence splitter: {sv}"
+          + (" (nltk punkt — exact reference parity)" if sv == "punkt" else
+             " (curated fallback; install nltk punkt data for exact "
+             "reference parity — data/text.py)"), flush=True)
+
     cfg = DataConfig(dataset=args.dataset, data_path=args.data_path,
                      query_len=args.query_len, passage_len=args.passage_len,
                      num_passage=args.num_passage, answer_len=args.answer_len,

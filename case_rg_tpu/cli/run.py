@@ -48,8 +48,10 @@ def build_parser():
     p.add_argument("--max_target_length", type=int, default=40)
     p.add_argument("--accumulation_steps", type=int, default=1)
     p.add_argument("--epoch", type=int, default=20)
-    # reference: 16 per GPU x 4 GPUs (CaSE/Run.py:78-79); ours is global
-    p.add_argument("--batch_size", type=int, default=64)
+    # reference: 16 per GPU x 4 GPUs (CaSE/Run.py:78-79); ours is global.
+    # Default resolves in main(): 64, except --mode test --rank_only which
+    # uses the measured B=128 knee (docs/PERF.md round 12) like serve.
+    p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--learning_rate", type=float, default=2.5e-4)
     p.add_argument("--warmup_steps", type=int, default=2000)
     p.add_argument("--beam_width", type=int, default=1)
@@ -493,6 +495,11 @@ def average(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.batch_size is None:
+        # same knee defaults as serve (cli/serve.resolve_batch_size):
+        # rank-only test mode has no sequential decode and peaks at B=128
+        args.batch_size = (128 if args.mode == "test" and args.rank_only
+                           else 64)
     np.random.seed(args.seed)
     # set both ways: main() is called repeatedly in-process by the e2e
     # suite, so the impl must not leak from one invocation to the next

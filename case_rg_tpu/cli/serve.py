@@ -240,9 +240,12 @@ def build_parser():
                         "pre-staged on-device ring (runtime/continuous/"
                         "device_loop; beats the fixed path where the "
                         "per-chunk loop loses — docs/PERF.md round 11). "
-                        "Single-lane only; streaming requests get the "
-                        "final line without per-chunk deltas. Composes "
-                        "with --lookahead (double-dispatch)")
+                        "Composes with --lookahead (double-dispatch), "
+                        "--pool_buckets (one device ring per bucket), "
+                        "--decoding sample / --request_controls (controls "
+                        "ride the decode rows), and streaming (deltas "
+                        "arrive once per mega — K chunks per host "
+                        "roundtrip is the observable granularity)")
     p.add_argument("--stage_rows", type=int, default=0,
                    help="--device_loop: on-device ring size in rows (0 = "
                         "auto: ~batch*K*chunk_steps/10)")
@@ -573,11 +576,14 @@ def main(argv=None, _server_ready=None):
         if args.batch_buckets or args.rank_only or args.beam_width > 1:
             raise SystemExit("--continuous composes with none of "
                              "--batch_buckets/--rank_only/--beam_width>1")
-        if args.pool_buckets and args.lookahead:
+        if args.pool_buckets and args.lookahead and not args.device_loop:
             raise SystemExit("--lookahead applies to single-lane "
                              "--continuous only; with --pool_buckets the "
-                             "multi-lane driver already overlaps each "
-                             "lane's harvest with the other lanes' chunks")
+                             "multi-lane chunk driver already overlaps "
+                             "each lane's harvest with the other lanes' "
+                             "chunks (the device loop's multi-lane driver "
+                             "DOES take --lookahead: per-lane "
+                             "double-dispatch)")
         from ..runtime.continuous import make_continuous_fns, run_continuous
         init_fn, chunk_fn, refill_fn = make_continuous_fns(
             model, args.max_target_length, args.chunk_steps,
@@ -648,9 +654,6 @@ def main(argv=None, _server_ready=None):
                 "refill_min": args.refill_min,
                 "async_harvest": args.async_harvest}
         if args.device_loop:
-            if args.pool_buckets:
-                raise SystemExit("--device_loop is single-lane; it does "
-                                 "not compose with --pool_buckets")
             from ..runtime.continuous.device_loop import \
                 make_device_loop_fns
             stage = args.stage_rows or max(
@@ -706,10 +709,30 @@ def main(argv=None, _server_ready=None):
             else (parse_buckets(args.pool_buckets, dcfg.num_passage)
                   if args.pool_buckets else [dcfg.num_passage])
         if cont is not None:
+            import numpy as _np
+
             mbs = cont["make_batch_for"] if "buckets" in cont else \
                 {pools[0]: cont["make_batch"]}
+            dfns = cont.get("device_fns")
             for k, mb in mbs.items():
                 for width in {bs, args.refill}:
+                    if dfns is not None:
+                        # device-loop serving: compile ITS programs (init
+                        # at both widths; wrap/stage/push/mega at batch
+                        # width) — the chunk-loop programs never run
+                        st, _ = dfns.init_fn(None, mb([warm_req(k)],
+                                                      width))
+                        if width != bs:
+                            continue
+                        uid = _np.arange(bs, dtype=_np.int64)
+                        wrap = dfns.wrap_fn(st, uid, uid >= 0)
+                        from ..runtime.continuous.device_loop import \
+                            _empty_stage
+                        stg = _empty_stage(dfns, wrap)
+                        _, hv = dfns.mega_fn(None, wrap, stg,
+                                             _np.int32(0))
+                        jax.block_until_ready(hv["count"])
+                        continue
                     st, _ = cont["init"](None, mb([warm_req(k)], width))
                     if width == bs:
                         jax.block_until_ready(

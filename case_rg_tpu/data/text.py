@@ -344,6 +344,16 @@ def split_sentences(text: str) -> List[str]:
 _PUNKT_CACHE: List[Optional[object]] = []
 
 
+def sentence_splitter_variant() -> str:
+    """Which sentence splitter ``split_sentences`` will use — "punkt"
+    (nltk data installed: exact reference parity with
+    Prepare_dataset.py:78) or "rule" (the curated fallback). Drop the
+    punkt pickle into any nltk data path (e.g. ~/nltk_data/tokenizers/
+    punkt) to switch; cli/prepare logs this so corpus-parity runs are
+    attributable."""
+    return "punkt" if _punkt_tokenizer() is not None else "rule"
+
+
 def _punkt_tokenizer():
     """nltk punkt ``sent_tokenize`` when its data is installed, else None
     (cached; the lookup costs a filesystem scan)."""

@@ -72,6 +72,17 @@ def eval_all(result_dir: str, qrel_file: Optional[str],
     """Merge shards then evaluate every result prefix
     (ref: Run_Evaluation.py:28-90)."""
     merged = merge_shards(result_dir)
+    if verbose:
+        # data-drop-in observability: METEOR's synonym stage uses real
+        # WordNet when its corpus is loadable, else the curated embedded
+        # table (evaluation/meteor.py). Numbers from the two variants are
+        # NOT comparable — log which produced this report.
+        from .meteor import METEOR_VARIANT
+        print(f"[eval] meteor synonym stage: {METEOR_VARIANT}"
+              + ("" if METEOR_VARIANT == "wordnet" else
+                 " (curated table; NOT WordNet-comparable — install the "
+                 "nltk wordnet corpus for reference-exact METEOR)"),
+              flush=True)
     report: Dict[str, Dict[str, float]] = {}
     for prefix, kinds in sorted(merged.items()):
         metrics: Dict[str, float] = {}

@@ -85,6 +85,20 @@ _LN_EPS = 1e-5
 # until the slice fits (B=128 CaSE shapes stay at lc=2, B=256 drops to 1).
 _VMEM_CACHE_BYTES = 12 * 2 ** 20
 
+# Under the custom_partitioning batch rule each device holds only
+# B/data_shards rows, but stack_step traces with the GLOBAL batch shape —
+# the VMEM bound would over-shrink layers_per_call on multi-chip predict
+# (perf-only conservatism). Callers that build a data-sharded predict mesh
+# declare its data-axis size here (runtime/mesh.local_mesh does it); the
+# default 1 keeps the single-device bound exact.
+_DATA_SHARDS = 1
+
+
+def set_data_shards(n: int) -> None:
+    """Declare the data-axis shard count of subsequently traced programs."""
+    global _DATA_SHARDS
+    _DATA_SHARDS = max(1, int(n))
+
 
 def fold_stack_weights(stack_params: Dict, num_layers: int, num_heads: int,
                        dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
@@ -450,7 +464,9 @@ def stack_step(x: jnp.ndarray, t, caches: jnp.ndarray, m: jnp.ndarray,
     # B=256, lc=2, T=40, 2E=512 bf16 -> "Ran out of memory in memory
     # space vmem ... 18.24M and limit 16.00M"). Shrink the layer chunk —
     # trading memory re-reads for VMEM — until the slice fits.
-    slice_bytes = (b * caches.shape[2] * caches.shape[3]
+    # Per-DEVICE rows decide the scoped-VMEM footprint: under the batch
+    # custom_partitioning rule each shard sees b/_DATA_SHARDS rows.
+    slice_bytes = (-(-b // _DATA_SHARDS) * caches.shape[2] * caches.shape[3]
                    * caches.dtype.itemsize)
     while lc > 1 and slice_bytes * lc > _VMEM_CACHE_BYTES:
         lc -= 1

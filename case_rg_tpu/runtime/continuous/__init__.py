@@ -21,15 +21,23 @@ fixed-batch offline predict, common/CumulativeTrainer.py:134-156).
 
 Layout: ``base`` (jitted program builders, request sources, the lazy rank
 handle), ``single`` (the one-lane driver ``run_continuous``), ``multi``
-(``Lane`` + the per-pool-bucket driver ``run_continuous_multi``).
+(``Lane`` + the per-pool-bucket driver ``run_continuous_multi``),
+``device_loop`` (the device-resident drivers ``run_continuous_device`` /
+``run_continuous_device_multi`` — K chunks per dispatch with in-jit
+harvest + ring refills).
 """
 
 from .base import (_LazyRank, IterSource, QueueSource, make_continuous_fns,
                    refill_rows)
 from .single import run_continuous
 from .multi import Lane, run_continuous_multi
+from .device_loop import (DeviceLane, make_device_loop_fns,
+                          run_continuous_device,
+                          run_continuous_device_multi)
 
 __all__ = [
-    "IterSource", "QueueSource", "Lane", "make_continuous_fns",
-    "refill_rows", "run_continuous", "run_continuous_multi",
+    "IterSource", "QueueSource", "Lane", "DeviceLane",
+    "make_continuous_fns", "make_device_loop_fns", "refill_rows",
+    "run_continuous", "run_continuous_multi", "run_continuous_device",
+    "run_continuous_device_multi",
 ]

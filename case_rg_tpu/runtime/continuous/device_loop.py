@@ -204,6 +204,15 @@ def make_device_loop_fns(model, max_len: int, chunk_steps: int,
         # buffers — the _LazyRank safety contract, tests/
         # test_continuous.py::test_lazy_rank_survives_donating_chunk)
         harvest["cursor"] = cursor
+        # live-row snapshot for token streaming: still-decoding rows'
+        # emitted prefixes at mega end. Same duplicated-output contract
+        # as cursor above; only fetched when a stream_cb is installed
+        # (run_continuous_device), so non-streaming drivers pay nothing
+        # but the device-side copies (~KBs).
+        harvest["live_uid"] = uid
+        harvest["live_alive"] = alive
+        harvest["live_out"] = m["out"]
+        harvest["live_trow"] = m["trow"]
         return ({"m": m, "uid": uid, "alive": alive, "cursor": cursor},
                 harvest)
 
@@ -238,7 +247,9 @@ def run_continuous_device(source,
                                          None],
                           max_len: int, ordered: bool = True,
                           on_mega: Optional[Callable[[int], None]] = None,
-                          lookahead: bool = False) -> Dict[str, int]:
+                          lookahead: bool = False,
+                          stream_cb: Optional[Callable] = None
+                          ) -> Dict[str, int]:
     """Drive the device-resident loop over a request source.
 
     Semantics match ``single.run_continuous``: ``make_batch`` featurizes
@@ -249,7 +260,15 @@ def run_continuous_device(source,
     (2) dispatches the next mega, (3) fetches + replays the harvest log.
     Returns counters; "chunks" counts device chunk capacity
     (megas * n_chunks upper bound is not assumed — occupancy accounting
-    uses served trows, see tools/exp_continuous.py --device_loop)."""
+    uses served trows, see tools/exp_continuous.py --device_loop).
+
+    ``stream_cb(host, slots)`` (same contract as the chunk loops'):
+    called once per harvested mega with the live rows' decoded prefixes
+    — ``host`` = numpy {"out": [B, L], "trow": [B]}, ``slots``[r] =
+    the row's (arrival_idx, req, rank_ref) or None. Delta granularity
+    is one mega (the device runs n_chunks chunks per host roundtrip —
+    the host cannot observe anything finer); with ``lookahead`` deltas
+    lag one additional mega, exactly like harvest detection."""
     b = batch_size
     s = fns.stage_rows
     refill = max(1, min(refill, min(b, s)))
@@ -359,12 +378,20 @@ def run_continuous_device(source,
             harvest, pending = pending, harvest
             if harvest is None:
                 continue
-        h_uid, h_out, h_trow, h_count, h_chunks, consumed = (
-            np.asarray(x) for x in jax.device_get(
-                (harvest["uid"], harvest["out"], harvest["trow"],
-                 harvest["count"], harvest["chunks"], harvest["cursor"])))
+        fetch = (harvest["uid"], harvest["out"], harvest["trow"],
+                 harvest["count"], harvest["chunks"], harvest["cursor"])
+        if stream_cb is not None:
+            fetch += (harvest["live_uid"], harvest["live_alive"],
+                      harvest["live_out"], harvest["live_trow"])
+        fetched = [np.asarray(x) for x in jax.device_get(fetch)]
+        h_uid, h_out, h_trow, h_count, h_chunks, consumed = fetched[:6]
         consumed = int(consumed)
         stats["chunks"] += int(h_chunks)
+        if stream_cb is not None:
+            l_uid, l_alive, l_out, l_trow = fetched[6:]
+            slots = [byuid.get(int(l_uid[r])) if l_alive[r] else None
+                     for r in range(l_uid.shape[0])]
+            stream_cb({"out": l_out, "trow": l_trow}, slots)
         for i in range(int(h_count)):
             uid = int(h_uid[i])
             arrival, req, rk = byuid.pop(uid)
@@ -383,3 +410,192 @@ def _empty_stage(fns, wrap):
     device never consumes its garbage rows)."""
     b = wrap["uid"].shape[0]
     return fns.stage_fn(wrap["m"], jnp.full((b,), -1, jnp.int32))
+
+
+class DeviceLane:
+    """One device-resident decode lane — its own live state + staging
+    ring — for one static pool bucket (``--device_loop x
+    --pool_buckets``). The jitted ``fns`` are shared across lanes: jit
+    caches one executable per state shape, i.e. per bucket (same
+    contract as the chunk-loop ``Lane``)."""
+
+    def __init__(self, key, make_batch, fns, batch_size: int, refill: int):
+        self.key = key
+        self.make_batch = make_batch
+        self.fns = fns
+        self.b = batch_size
+        self.s = fns.stage_rows
+        self.refill = max(1, min(refill, min(batch_size, self.s)))
+        self.queue: List[tuple] = []   # routed (arrival_idx, req) FIFO
+        self.wrap = None
+        self.stage = None
+        self.written = 0       # ring rows ever pushed (host view)
+        self.consumed = 0      # wrap cursor at last processed harvest
+        self.inflight = 0      # uids encoded, not yet harvested
+        self.pending = None    # lookahead: dispatched-unread harvest
+
+
+def run_continuous_device_multi(source, lanes: List[DeviceLane], route,
+                                variables,
+                                emit: Callable[[dict, np.ndarray,
+                                                np.ndarray], None],
+                                max_len: int, ordered: bool = True,
+                                on_mega: Optional[Callable[[int],
+                                                           None]] = None,
+                                lookahead: bool = False,
+                                stream_cb: Optional[Callable] = None
+                                ) -> Dict[str, int]:
+    """Drive one device-resident loop per pool bucket over one source.
+
+    The multi-lane analogue of ``run_continuous_device``, with the
+    scheduler shape of ``multi.run_continuous_multi``: per round every
+    active lane's mega is DISPATCHED before any lane's harvest is
+    fetched, so one lane's roundtrip overlaps the other lanes' device
+    compute. ``route(req) -> DeviceLane`` picks a lane per request
+    (smallest pool bucket that fits). Emission is global arrival order
+    when ``ordered``; per-request results are bit-identical to the
+    single-lane device loop at the same bucket (row-independent decode
+    math — tests/test_continuous_matrix.py's device_loop axis).
+
+    ``lookahead`` double-dispatches per lane (detection lag: one extra
+    mega, roundtrip hidden behind device work); ``stream_cb`` receives
+    per-mega live-row prefixes per lane (contract as
+    ``run_continuous_device``)."""
+    if not hasattr(source, "take"):
+        source = IterSource(source)
+    next_emit = 0
+    held: Dict[int, tuple] = {}
+
+    def finish(idx: int, req: dict, ids: np.ndarray, rank):
+        nonlocal next_emit
+        if not ordered:
+            emit(req, ids, rank)
+            return
+        held[idx] = (req, ids, rank)
+        while next_emit in held:
+            r, i, k = held.pop(next_emit)
+            emit(r, i, k)
+            next_emit += 1
+
+    stats = {"served": 0, "megas": 0, "refills": 0, "steps_served": 0,
+             "chunks": 0}
+    byuid: Dict[int, tuple] = {}   # uid -> (arrival_idx, req, rank_ref)
+    next_uid = 0
+    arrival = 0
+
+    def pump(wait: bool) -> None:
+        """Route arrivals onto lane queues, bounded by each lane's live
+        rows + ring capacity still unqueued (backpressure on the source)."""
+        nonlocal arrival
+        room = sum(max(0, lane.b + lane.s - len(lane.queue))
+                   for lane in lanes)
+        for req in source.take(max(room, 1) if wait else room, wait):
+            lane = route(req)
+            lane.queue.append((arrival, req))
+            arrival += 1
+
+    def encode(lane: DeviceLane, entries, width):
+        """Featurize + encode one bucket for ``lane``; assigns uids and
+        captures rank handles exactly like the single-lane driver."""
+        nonlocal next_uid
+        batch = lane.make_batch([req for _, req in entries], width)
+        if batch is None:   # featurize failure — reporter already ran
+            return None
+        state, rank = lane.fns.init_fn(variables, batch)
+        lazy = None if rank is None else _LazyRank(rank)
+        uids = np.full((width,), -1, np.int64)
+        for i, (aidx, req) in enumerate(entries):
+            uids[i] = next_uid
+            byuid[next_uid] = (aidx, req,
+                              None if lazy is None else (lazy, i))
+            next_uid += 1
+            lane.inflight += 1
+        return state, uids
+
+    def topup(lane: DeviceLane) -> None:
+        if lane.wrap is None and lane.queue:
+            take = lane.queue[: lane.b]
+            del lane.queue[: len(take)]
+            enc = encode(lane, take, lane.b)
+            if enc is None:
+                return
+            state, uids = enc
+            lane.wrap = lane.fns.wrap_fn(state, uids, uids >= 0)
+        while (lane.wrap is not None and lane.queue
+               and (lane.written - lane.consumed) + lane.refill <= lane.s):
+            take = lane.queue[: lane.refill]
+            del lane.queue[: len(take)]
+            enc = encode(lane, take, lane.refill)
+            if enc is None:
+                continue
+            state, uids = enc
+            if lane.stage is None:
+                lane.stage = _empty_stage(lane.fns, lane.wrap)
+            rows = np.asarray(
+                [(lane.written + i) % lane.s if uids[i] >= 0 else lane.s
+                 for i in range(len(uids))], np.int32)
+            lane.stage = lane.fns.push_fn(
+                lane.stage, {"m": state, "uid": jnp.asarray(uids,
+                                                            jnp.int32)},
+                jnp.asarray(rows))
+            lane.written += int((uids >= 0).sum())
+            stats["refills"] += 1
+
+    def process(lane: DeviceLane, harvest) -> None:
+        fetch = (harvest["uid"], harvest["out"], harvest["trow"],
+                 harvest["count"], harvest["chunks"], harvest["cursor"])
+        if stream_cb is not None:
+            fetch += (harvest["live_uid"], harvest["live_alive"],
+                      harvest["live_out"], harvest["live_trow"])
+        fetched = [np.asarray(x) for x in jax.device_get(fetch)]
+        h_uid, h_out, h_trow, h_count, h_chunks, cur = fetched[:6]
+        lane.consumed = int(cur)
+        stats["chunks"] += int(h_chunks)
+        if stream_cb is not None:
+            l_uid, l_alive, l_out, l_trow = fetched[6:]
+            slots = [byuid.get(int(l_uid[r])) if l_alive[r] else None
+                     for r in range(l_uid.shape[0])]
+            stream_cb({"out": l_out, "trow": l_trow}, slots)
+        for i in range(int(h_count)):
+            uid = int(h_uid[i])
+            aidx, req, rk = byuid.pop(uid)
+            finish(aidx, req, h_out[i],
+                   None if rk is None else rk[0].row(rk[1]))
+            lane.inflight -= 1
+            stats["served"] += 1
+            stats["steps_served"] += int(h_trow[i]) + 1
+
+    while True:
+        pump(wait=False)
+        if not any(ln.inflight > 0 or ln.queue for ln in lanes):
+            if source.finished():
+                break
+            pump(wait=True)
+            if (not any(ln.queue for ln in lanes)) and source.finished():
+                break
+        for lane in lanes:
+            topup(lane)
+        dispatched = []
+        for lane in lanes:
+            if lane.wrap is None or lane.inflight <= 0:
+                continue
+            if lane.stage is None:
+                lane.stage = _empty_stage(lane.fns, lane.wrap)
+            lane.wrap, harvest = lane.fns.mega_fn(
+                variables, lane.wrap, lane.stage, np.int32(lane.written))
+            stats["megas"] += 1
+            dispatched.append((lane, harvest))
+        if on_mega is not None and dispatched:
+            on_mega(stats["megas"])
+        for lane, harvest in dispatched:
+            if lookahead:
+                for a in jax.tree_util.tree_leaves(harvest):
+                    try:
+                        a.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        pass
+                harvest, lane.pending = lane.pending, harvest
+                if harvest is None:
+                    continue
+            process(lane, harvest)
+    return stats

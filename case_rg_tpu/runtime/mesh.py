@@ -112,6 +112,12 @@ def local_mesh(batch_size: int,
                          f"{n} local devices")
     avail = n // model
     d = math.gcd(batch_size, avail) if batch_size else avail
+    # Tell the fused decoder-stack kernel how many data shards programs
+    # traced against this mesh will have, so its scoped-VMEM bound uses
+    # per-device rows instead of the global batch (perf-only: an
+    # undersized hint only makes the layer chunking conservative).
+    from ..kernels import decoder_stack
+    decoder_stack.set_data_shards(d)
     return Mesh(np.array(devices[:d * model]).reshape(d, model), axis_names)
 
 

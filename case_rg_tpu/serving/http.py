@@ -182,7 +182,26 @@ def serve_http(args, dcfg, ensure_params, responses_for, run_predict,
         # (the dispatcher/completer pair guards the same way)
         try:
             src = QueueSource(reqq, stop)
-            if "buckets" in cont:
+            device = cont.get("device_fns") is not None
+            if "buckets" in cont and device:
+                # device-resident loop x pool buckets: one device ring +
+                # live state per static pool size; per round all lanes'
+                # megas dispatch before any harvest fetch. Streaming
+                # deltas arrive per mega (the in-jit loop runs K chunks
+                # per host roundtrip — nothing finer is observable).
+                from ..runtime.continuous.device_loop import \
+                    run_continuous_device_multi
+                from .lanes import make_device_lanes
+                dlanes, droute = make_device_lanes(
+                    cont, bs, cont["refill_size"], wrap=wrap_mb,
+                    key=lambda p: len(p["req"].get("passages", [])))
+                lane_holder["lanes"] = dlanes
+                run_continuous_device_multi(
+                    src, dlanes, droute, cont["variables"], emit,
+                    args.max_target_length, ordered=False,
+                    on_mega=on_chunk, lookahead=cont["lookahead"],
+                    stream_cb=stream_cb)
+            elif "buckets" in cont:
                 lanes, route = make_lanes(
                     cont, bs, cont["refill_size"], wrap=wrap_mb,
                     key=lambda p: len(p["req"].get("passages", [])))
@@ -192,18 +211,19 @@ def serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                                      stream_cb=stream_cb,
                                      async_harvest=cont.get(
                                          "async_harvest", False))
-            elif cont.get("device_fns") is not None:
+            elif device:
                 # device-resident loop: harvest+refill run in-jit between
-                # chunks (runtime/continuous/device_loop). No per-chunk
-                # stream deltas — streaming clients get the final
-                # authoritative line only (emit pushes it to stream_q)
+                # chunks (runtime/continuous/device_loop). Streaming
+                # deltas arrive once per mega from the harvest's live-row
+                # snapshot (one mega of lag with --lookahead)
                 from ..runtime.continuous.device_loop import \
                     run_continuous_device
                 run_continuous_device(
                     src, wrap_mb(cont["make_batch"]), cont["device_fns"],
                     cont["variables"], bs, cont["refill_size"], emit,
                     args.max_target_length, ordered=False,
-                    on_mega=on_chunk, lookahead=cont["lookahead"])
+                    on_mega=on_chunk, lookahead=cont["lookahead"],
+                    stream_cb=stream_cb)
             else:
                 cont["run"](src, wrap_mb(cont["make_batch"]), cont["init"],
                             cont["chunk"], cont["refill"], None, bs,
@@ -291,10 +311,14 @@ def serve_http(args, dcfg, ensure_params, responses_for, run_predict,
                     if lane_holder:
                         # racy-but-safe snapshot (GIL list reads) of each
                         # continuous lane's live occupancy and queue depth
+                        # (chunk-loop Lane counts occupied slots; device
+                        # DeviceLane counts in-flight uids)
                         varz["lanes"] = {
                             str(ln.key): {
-                                "occupied": sum(s is not None
-                                                for s in ln.slots),
+                                "occupied": (sum(s is not None
+                                                 for s in ln.slots)
+                                             if hasattr(ln, "slots")
+                                             else ln.inflight),
                                 "queued": len(ln.queue)}
                             for ln in lane_holder["lanes"]}
                 self._send(200, (json.dumps(varz) + "\n").encode(),

@@ -24,3 +24,22 @@ def make_lanes(cont, bs: int, refill_size: int, wrap=None, key=None):
     def route(item):
         return lanes[bucket_for(getn(item), cont["buckets"])]
     return list(lanes.values()), route
+
+
+def make_device_lanes(cont, bs: int, refill_size: int, wrap=None, key=None):
+    """One device-resident DeviceLane per pool bucket + router
+    (``--device_loop x --pool_buckets``). The jitted device-loop fns are
+    shared — jit caches one executable set per state shape, i.e. per
+    bucket."""
+    from ..runtime.continuous import DeviceLane
+    fns = cont["device_fns"]
+    lanes = {}
+    for k in cont["buckets"]:
+        mb = cont["make_batch_for"][k]
+        lanes[k] = DeviceLane(k, mb if wrap is None else wrap(mb), fns,
+                              bs, refill_size)
+    getn = key or (lambda req: len(req.get("passages", [])))
+
+    def route(item):
+        return lanes[bucket_for(getn(item), cont["buckets"])]
+    return list(lanes.values()), route

@@ -54,13 +54,23 @@ def run_offline_continuous(src, sink, args, dcfg, cont, responses_for):
     else:
         source = read_requests(src)
 
+    device = cont.get("device_fns") is not None
+    if "buckets" in cont and device:
+        from ..runtime.continuous.device_loop import \
+            run_continuous_device_multi
+        from .lanes import make_device_lanes
+        dlanes, droute = make_device_lanes(cont, args.batch_size,
+                                           args.refill)
+        return run_continuous_device_multi(
+            source, dlanes, droute, cont["variables"], emit,
+            args.max_target_length, lookahead=cont["lookahead"])
     if "buckets" in cont:
         from ..runtime.continuous import run_continuous_multi
         lanes, route = make_lanes(cont, args.batch_size, args.refill)
         return run_continuous_multi(
             source, lanes, route, None, emit,
             async_harvest=cont.get("async_harvest", False))
-    if cont.get("device_fns") is not None:
+    if device:
         from ..runtime.continuous.device_loop import run_continuous_device
         return run_continuous_device(
             source, cont["make_batch"], cont["device_fns"],

@@ -123,8 +123,12 @@ class Trainer:
                 method=type(self.model).train_losses, **self.loss_kwargs)
             params = variables["params"]
             # EMA must not alias params: the train step donates the whole
-            # state and XLA rejects donating one buffer twice.
-            ema = jax.tree_util.tree_map(lambda x: x + 0, params)
+            # state and XLA rejects donating one buffer twice. An
+            # optimization_barrier guarantees distinct buffers under jit —
+            # a bare ``x + 0`` could legally be folded away by XLA's
+            # algebraic simplifier, re-aliasing the outputs.
+            ema = jax.lax.optimization_barrier(
+                jax.tree_util.tree_map(lambda x: x + 0, params))
             return TrainState(params=params, opt_state=self.tx.init(params),
                               ema=ema, step=jnp.zeros((), jnp.int32))
 

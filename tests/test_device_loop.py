@@ -164,6 +164,64 @@ def test_device_loop_sampled_composition_invariant():
         np.testing.assert_array_equal(ids, ref[i], err_msg=f"request {i}")
 
 
+def test_device_loop_request_controls():
+    """Per-request sampling controls (temperature/top_k/top_p rows) ride
+    the decode state through the device loop — answers equal the host
+    chunk loop's for the same keys and controls (VERDICT r3 item 2), and
+    a greedy-equivalent control row (top_k=1) matches the greedy decode."""
+    from case_rg_tpu.runtime.continuous import (make_continuous_fns,
+                                                run_continuous)
+    from case_rg_tpu.runtime.continuous.device_loop import (
+        make_device_loop_fns, run_continuous_device)
+
+    model, params, arrays, base_ids, _, eos = _models_with_live_eos(
+        "case", MAX_LEN)
+    n = arrays["query"].shape[0]
+    keys = _row_keys(n, seed=33)
+    # per-request controls: rows 0,3,6.. run effectively greedy (top_k=1),
+    # others mix temperatures and nucleus cutoffs
+    ctls = np.asarray([(1.0, 1.0, 1.0) if i % 3 == 0 else
+                       (0.7 + 0.1 * (i % 4), float(i % 5), 0.8 + 0.04 * (i % 5))
+                       for i in range(n)], np.float32)
+
+    def mb(chunkreqs, bs):
+        idx = [r["i"] for r in chunkreqs]
+        idx = idx + [idx[-1]] * (bs - len(idx))
+        b = {k: jnp.asarray(v[idx]) for k, v in arrays.items()}
+        b["sample_key"] = jnp.asarray(keys[idx])
+        b["sample_ctl"] = jnp.asarray(ctls[idx])
+        return b
+
+    fns = make_device_loop_fns(model, MAX_LEN, chunk_steps=3, n_chunks=2,
+                               stage_rows=4, decoding="sample")
+    got = []
+    requests = [{"i": i} for i in range(n)]
+    stats = run_continuous_device(
+        iter(requests), mb, fns, {"params": params}, batch_size=4,
+        refill=2,
+        emit=lambda r, ids, rk: got.append((r["i"], ids.copy())),
+        max_len=MAX_LEN)
+    assert stats["served"] == n
+
+    cfns = make_continuous_fns(model, MAX_LEN, chunk_steps=3,
+                               decoding="sample")
+    ref = []
+    run_continuous(iter([{"i": i} for i in range(n)]), mb, *cfns,
+                   {"params": params}, 4, 2,
+                   emit=lambda r, ids, rk: ref.append((r["i"], ids.copy())),
+                   max_len=MAX_LEN)
+    ref = dict(ref)
+    for i, ids in got:
+        np.testing.assert_array_equal(ids, ref[i], err_msg=f"request {i}")
+        # top_k=1 collapses the categorical to argmax: rows whose greedy
+        # decode ends on a natural EOS must match it exactly (rows that
+        # hit max_len differ only in the sample path's forced final EOS)
+        if i % 3 == 0 and eos in base_ids[i][:-1]:
+            np.testing.assert_array_equal(
+                _trim(ids, eos), _trim(base_ids[i], eos),
+                err_msg=f"top_k=1 request {i} must match greedy")
+
+
 def test_device_loop_trickle_arrivals():
     """Requests arriving in dribbles (QueueSource-like staggering via a
     generator that yields one at a time): everything is served exactly

@@ -372,11 +372,10 @@ def test_serve_cli(workspace, tmp_path):
                          "--stage_rows", "3"])
     assert [json.loads(l) for l in open(dev_path)] == \
         [json.loads(l) for l in open(plain3_path)]
-    # it refuses the multi-lane composition
-    with pytest.raises(SystemExit):
-        serve_main(common + ["--input", req3_path, "--output", os.devnull,
-                             "--num_passage", "4", "--continuous",
-                             "--pool_buckets", "2,4", "--device_loop", "2"])
+    # --device_loop x --pool_buckets: one device ring per bucket
+    # (VERDICT r3 item 2). Answers/rankings must be byte-identical to the
+    # plain bucketed run (asserted further below against resp_bucket3
+    # once it exists — see devb_path check after the bucketed runs)
 
     # per-request max_tokens: plain (host truncation) and continuous
     # (row stops at its cap) agree; capped answer is a prefix
@@ -453,6 +452,19 @@ def test_serve_cli(workspace, tmp_path):
                          "--chunk_steps", "2", "--refill", "1",
                          "--async_harvest"])
     assert [json.loads(l) for l in open(contab_path)] == \
+        [json.loads(l) for l in open(bucket3_path)]
+
+    # --device_loop x --pool_buckets (+ --lookahead): one device-resident
+    # ring per bucket; responses byte-identical to the plain bucketed run,
+    # in input order (VERDICT r3 item 2)
+    devb_path = str(tmp_path / "resp_dev_bucket.jsonl")
+    serve_main(common + ["--input", req3_path, "--output", devb_path,
+                         "--num_passage", "4", "--pool_buckets", "2,4",
+                         "--continuous", "--batch_size", "2",
+                         "--chunk_steps", "2", "--refill", "1",
+                         "--device_loop", "2", "--stage_rows", "3",
+                         "--lookahead", "--warmup"])
+    assert [json.loads(l) for l in open(devb_path)] == \
         [json.loads(l) for l in open(bucket3_path)]
 
 
@@ -746,6 +758,58 @@ def test_serve_http_continuous(workspace, tmp_path):
     assert all(v["occupied"] == 0 and v["queued"] == 0
                for v in varz2["lanes"].values())
     holder2["server"].shutdown()
+
+    # --device_loop x --pool_buckets over HTTP (VERDICT r3 item 2): the
+    # device-resident multi-lane worker serves the same requests with
+    # byte-identical payloads; a streaming request gets per-mega deltas
+    # (the harvest's live-row snapshot) plus the authoritative final line
+    ready3 = threading.Event()
+    holder3 = {}
+
+    def on_ready3(server):
+        holder3["server"] = server
+        ready3.set()
+
+    argv3 = common + ["--continuous", "--chunk_steps", "2", "--refill", "1",
+                      "--batch_size", "2", "--pool_buckets", "2,4",
+                      "--device_loop", "2", "--stage_rows", "3",
+                      "--listen", "127.0.0.1:0"]
+    t3 = threading.Thread(target=serve_main, args=(argv3,),
+                          kwargs={"_server_ready": on_ready3}, daemon=True)
+    t3.start()
+    assert ready3.wait(timeout=120), "device-loop server did not come up"
+    host3, port3 = holder3["server"].server_address[:2]
+    base = f"http://{host3}:{port3}"
+    results3 = {}
+    threads = [threading.Thread(
+        target=lambda r=r, k=k: results3.update({k: post([r])}))
+        for k, r in (("a", ra), ("b", rb), ("c", rc))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    for k, rid in (("a", "a1"), ("b", "b1"), ("c", "c1")):
+        assert results3[k][0] == ref3[rid], \
+            f"device-lane result differs for {rid}"
+    with urllib.request.urlopen(base + "/varz", timeout=30) as r:
+        varz3 = json.loads(r.read().decode())
+    assert set(varz3["lanes"]) == {"2", "4"}
+    # streaming through the device loop: final line authoritative; any
+    # deltas are string fragments (per-mega granularity can legitimately
+    # deliver the whole answer in the final line on tiny decodes)
+    sreq3 = dict(rc, id="s3", stream=True)
+    sdata3 = (json.dumps(sreq3) + "\n").encode()
+    with urllib.request.urlopen(
+            urllib.request.Request(base + "/", data=sdata3, method="POST"),
+            timeout=600) as r:
+        assert r.status == 200
+        slines3 = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert slines3[-1].get("done") is True
+    final3 = {k: v for k, v in slines3[-1].items() if k != "done"}
+    assert final3 == dict(ref3["c1"], id="s3")
+    assert all(isinstance(d["delta"], str) and d["delta"]
+               for d in slines3[:-1] if "delta" in d)
+    holder3["server"].shutdown()
 
 
 def test_orbax_sampling_fastrng_pipeline(workspace, tmp_path):
