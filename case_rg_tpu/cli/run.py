@@ -79,6 +79,13 @@ def build_parser():
                    help="--mode test: write only the .run ranking files, "
                         "skipping answer generation (case/masque/tmemnet; "
                         "the sequential decode dominates predict cost)")
+    p.add_argument("--seeded_dropout", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="training: regenerate dropout masks in the "
+                        "backward pass from their PRNG keys instead of "
+                        "storing them (ops/dropout.py custom_vjp) — same "
+                        "losses/gradients bitwise, less HBM traffic on "
+                        "the bandwidth-bound train step")
     p.add_argument("--temperature", type=float, default=1.0,
                    help="sampling temperature (--decoding sample); 1.0 "
                         "keeps the reference-parity sampler")
@@ -92,11 +99,16 @@ def build_parser():
     p.add_argument("--bf16_eval", action="store_true",
                    help="cast parameters to bfloat16 for inference "
                         "(MXU-native; softmax stays f32)")
-    p.add_argument("--bf16_scores", action="store_true",
+    p.add_argument("--bf16_scores", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="with bf16 compute: keep attention scores in bf16 "
                         "instead of f32 (+16%% CaSE serving qps; generation "
                         "metrics unchanged, ranking can flip near-ties — "
-                        "docs/PERF.md round 4)")
+                        "docs/PERF.md round 4). Default: ON for "
+                        "--bf16_train training (-5%% step time, metric-"
+                        "equivalent on the demo smoke — round 13), OFF "
+                        "elsewhere (inference keeps the f32-scored "
+                        "metric-identity contract)")
     p.add_argument("--fused_attn", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="Pallas fused encoder attention for bf16 inference "
@@ -505,9 +517,18 @@ def main(argv=None):
     # suite, so the impl must not leak from one invocation to the next
     jax.config.update("jax_default_prng_impl",
                       "rbg" if args.fast_rng else "threefry2x32")
-    if args.bf16_scores:
-        from ..ops.attention import set_bf16_scores
-        set_bf16_scores(True)
+    from ..ops.attention import set_bf16_scores
+    if args.bf16_scores is None:
+        # auto: bf16 TRAINING defaults to bf16 scores (-5% step time,
+        # metric-equivalent — docs/PERF.md round 13); every other mode
+        # keeps f32 scores (the bf16-inference metric-identity contract)
+        set_bf16_scores(args.mode in ("train", "ps_train")
+                        and args.bf16_train)
+    else:
+        set_bf16_scores(args.bf16_scores)
+    from ..ops.dropout import set_seeded_dropout
+    set_seeded_dropout(args.seeded_dropout)   # set both ways: main() is
+    # re-entered in-process by the e2e suite (see fast_rng above)
     from ..models.multimem import set_fused_stack
     set_fused_stack(args.fused_stack)
     if not args.fused_attn:

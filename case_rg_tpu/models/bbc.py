@@ -16,6 +16,7 @@ import flax.linen as nn
 from ..ops.bilinear import BilinearAttention
 from ..ops.embedding import Embedding
 from ..ops.gru import GRU
+from ..ops.dropout import Dropout
 
 
 class BBCCore(nn.Module):
@@ -28,7 +29,7 @@ class BBCCore(nn.Module):
     def setup(self):
         e, h = self.embedding_size, self.hidden_size
         self.embedding = Embedding(self.vocab_size, e)
-        self.emb_drop = nn.Dropout(self.dropout)
+        self.emb_drop = Dropout(self.dropout)
         self.src_attn = BilinearAttention(query_size=h, key_size=2 * h, hidden_size=h)
         self.bg_attn = BilinearAttention(query_size=h, key_size=2 * h, hidden_size=h)
         self.gru = GRU(input_size=4 * h + e, hidden_size=h, num_layers=self.num_layers)
@@ -75,8 +76,8 @@ class BBCEncoders(nn.Module):
     def setup(self):
         e, h = self.embedding_size, self.hidden_size
         self.embedding = Embedding(self.vocab_size, e)
-        self.c_drop = nn.Dropout(self.dropout)
-        self.b_drop = nn.Dropout(self.dropout)
+        self.c_drop = Dropout(self.dropout)
+        self.b_drop = Dropout(self.dropout)
         self.c_enc = GRU(input_size=e, hidden_size=h, bidirectional=True)
         self.b_enc = GRU(input_size=e, hidden_size=h, bidirectional=True)
         self.enc2dec = nn.Dense(h, kernel_init=nn.initializers.xavier_uniform())

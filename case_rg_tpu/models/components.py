@@ -23,6 +23,7 @@ from ..ops.gru import GRU
 from ..ops.masking import masked_mean, padding_mask
 from ..ops.positional import PositionalEmbedding
 from ..ops.transformer import Encoder
+from ..ops.dropout import Dropout
 
 
 class TransformerSeqEncoder(nn.Module):
@@ -74,7 +75,7 @@ class GRUSeqEncoder(nn.Module):
             grus.append(GRU(input_size=in_size, hidden_size=self.hidden_size // 2,
                             num_layers=1, bidirectional=True, name=f"gru{i}"))
         self.grus = grus
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = Dropout(self.dropout)
 
     def _emb(self, i: int, ids, deterministic: bool):
         e = self.embeddings[i if not self.share_embedding_per_layer else 0]

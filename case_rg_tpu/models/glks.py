@@ -32,6 +32,7 @@ from ..ops.highway import Highway
 from ..ops.masking import neg_inf
 from .base import register_model
 from .components import GRUSeqEncoder
+from ..ops.dropout import Dropout
 
 
 def _window_starts(length: int, size: int, step: int) -> jnp.ndarray:
@@ -103,7 +104,7 @@ class GLKSModel(nn.Module):
         self.c_encoder = GRUSeqEncoder(1, v, e, h, dropout=0.5,
                                        share_embedding_per_layer=False)
         self.embedding = Embedding(v, e)
-        self.emb_drop = nn.Dropout(0.5)
+        self.emb_drop = Dropout(0.5)
         self.k_selector = KnowledgeSelector(h, c.min_window_size, c.num_windows)
         # StateTracker (GLKS/Model.py:122-133)
         self.st_linear = nn.Dense(h, kernel_init=init)

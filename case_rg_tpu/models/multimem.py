@@ -33,6 +33,7 @@ from ..ops.copynet import copy_scatter
 from ..ops.embedding import Embedding
 from ..ops.positional import PositionalEmbedding
 from ..ops.transformer import Decoder
+from ..ops.dropout import Dropout
 
 _LN_EPS = 1e-5
 
@@ -80,8 +81,8 @@ class MultiMemoryDecoder(nn.Module):
         if self.use_feature:
             self.norm2 = nn.LayerNorm(epsilon=_LN_EPS)
         self.gen1 = nn.Dense(d, kernel_init=init)
-        self.gen_drop = nn.Dropout(self.dropout)
-        self.feat_drop = nn.Dropout(self.dropout)
+        self.gen_drop = Dropout(self.dropout)
+        self.feat_drop = Dropout(self.dropout)
         self.gen2 = nn.Dense(v, use_bias=False, kernel_init=init)
         self.mix = nn.Dense(self.num_memories + 1, kernel_init=init)
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +42,19 @@ def set_bf16_scores(on: bool) -> None:
     before the first jit trace — the CLIs set it at startup)."""
     global _BF16_SCORES
     _BF16_SCORES = bool(on)
+
+
+# --- scoped attention remat (experiment, round 13) --------------------------
+# Recompute scores/probs in the backward pass instead of storing them
+# (flash-attention's memory trick, scoped to the attend body only — the
+# GLOBAL remat policies were refuted for speed in round 11). Probe lever
+# for the train step's score-shaped HBM traffic; exp_train_bench --remat_attn.
+_REMAT_ATTEND = False
+
+
+def set_remat_attend(on: bool) -> None:
+    global _REMAT_ATTEND
+    _REMAT_ATTEND = bool(on)
 
 
 # --- fused (Pallas) encoder attention ---------------------------------------
@@ -107,8 +122,15 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
            deterministic: bool = True,
            dropout_rng: Optional[jax.Array] = None,
            need_weights: bool = False,
+           blhd: bool = False,
            ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Scaled dot-product attention on [B, H, L, d] tensors.
+    """Scaled dot-product attention on [B, H, L, d] tensors — or, with
+    ``blhd=True``, on [B, L, H, d] tensors (reshape-only head splits: the
+    einsums carry H as a batch dimension, so no transpose op ever
+    materializes the head-major layout; the round-13 copy-op attribution
+    found ~10 ms/step of exactly those transposes in the train step).
+    The contractions are identical either way (same per-element dots,
+    same order) — outputs are bitwise-equal, parity suites gate it.
 
     ``attn_bias``: additive [Lq, Lk] (e.g. causal). ``key_keep``: boolean
     [B, Lk], True = attend. Rows whose keys are all masked produce zeros
@@ -121,7 +143,8 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     d = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)), q.dtype)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+    s_eq = "bqhd,bkhd->bhqk" if blhd else "bhqd,bhkd->bhqk"
+    scores = jnp.einsum(s_eq, q * scale, k,
                         preferred_element_type=_score_dtype(q.dtype))
     if attn_bias is not None:
         scores = scores + attn_bias[None, None, :, :].astype(scores.dtype)
@@ -133,9 +156,13 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         probs = jnp.where(any_valid, probs, jnp.zeros((), probs.dtype))
     weights = jnp.mean(probs, axis=1) if need_weights else None
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        # the [rows, H, Lq, Lk] probs mask is the fattest dropout tensor
+        # in the model — seeded mode regenerates it in backward instead
+        # of storing it (ops/dropout.py; bitwise-equal either way)
+        from .dropout import dropout_apply
+        probs = dropout_apply(probs, dropout_rng, dropout_rate)
+    o_eq = "bhqk,bkhd->bqhd" if blhd else "bhqk,bhkd->bhqd"
+    out = jnp.einsum(o_eq, probs.astype(v.dtype), v)
     return out, weights
 
 
@@ -232,11 +259,37 @@ class MultiHeadAttention(nn.Module):
             ctx = fused_mha(self.project_q(q_in), k, v, key_keep,
                             self.num_heads)
             return self.out(ctx), None
+        # reshape-only head handling: [B, L, H, d] views (no transpose op
+        # — the head-major copies were ~10 ms/step of the train step's
+        # copy/layout bucket, round-13 attribution). attend(blhd=True)
+        # computes the identical dots, so this path is bitwise-equal to
+        # the old split_heads formulation (parity suites gate it).
         h = self.num_heads
-        return self.attend_with_kv_heads(
-            q_in, split_heads(k, h), split_heads(v, h), attn_bias=attn_bias,
-            key_keep=key_keep, deterministic=deterministic,
-            need_weights=need_weights)
+        q = self.project_q(q_in)
+        b, lq, e = q.shape
+        d = e // h
+        rng = self.make_rng("dropout") \
+            if (self.dropout > 0.0 and not deterministic) else None
+        fn = attend
+        if _REMAT_ATTEND and not deterministic:
+            fn = jax.checkpoint(
+                functools.partial(attend, dropout_rate=self.dropout,
+                                  deterministic=False, dropout_rng=rng,
+                                  need_weights=need_weights, blhd=True,
+                                  attn_bias=attn_bias, key_keep=key_keep),
+                policy=jax.checkpoint_policies.nothing_saveable)
+            ctx, w = fn(q.reshape(b, lq, h, d),
+                        k.reshape(k.shape[0], k.shape[1], h, d),
+                        v.reshape(v.shape[0], v.shape[1], h, d))
+            return self.out(ctx.reshape(b, lq, e)), w
+        ctx, w = attend(q.reshape(b, lq, h, d),
+                        k.reshape(k.shape[0], k.shape[1], h, d),
+                        v.reshape(v.shape[0], v.shape[1], h, d),
+                        attn_bias=attn_bias, key_keep=key_keep,
+                        dropout_rate=self.dropout,
+                        deterministic=deterministic, dropout_rng=rng,
+                        need_weights=need_weights, blhd=True)
+        return self.out(ctx.reshape(b, lq, e)), w
 
     def attend_with_kv_heads(self, q_in: jnp.ndarray, k: jnp.ndarray,
                              v: jnp.ndarray, *, attn_bias=None, key_keep=None,

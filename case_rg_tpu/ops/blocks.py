@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .attention import MultiHeadAttention
+from .dropout import Dropout
 
 _LN_EPS = 1e-5
 
@@ -38,11 +39,11 @@ class TransformerBlock(nn.Module):
         a, _ = MultiHeadAttention(self.input_size, self.num_heads, self.dropout,
                                   name="self_attn")(
             normed, normed, normed, key_keep=keep2, deterministic=deterministic)
-        h = h + nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        h = h + Dropout(self.dropout)(a, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=_LN_EPS, name="norm2")(h)
         init = nn.initializers.xavier_uniform()
         h = jax.nn.relu(nn.Dense(self.output_size, kernel_init=init, name="linear1")(h))
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.output_size, kernel_init=init, name="linear2")(h)
         h = h.reshape(b, n, l, self.output_size)
         return jnp.where(keep[..., None], h, 0.0)

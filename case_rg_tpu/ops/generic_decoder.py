@@ -18,6 +18,7 @@ import flax.linen as nn
 from .attention import MultiHeadAttention
 from .highway import Highway
 from .masking import causal_mask
+from .dropout import Dropout
 
 _LN_EPS = 1e-5
 
@@ -45,7 +46,7 @@ class GenericDecoderLayer(nn.Module):
         init = nn.initializers.xavier_uniform()
         self.linear1 = nn.Dense(self.d_ff, kernel_init=init)
         self.linear2 = nn.Dense(d, kernel_init=init)
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = Dropout(self.dropout)
 
     def __call__(self, tgt: jnp.ndarray, memories: Sequence[jnp.ndarray],
                  tgt_keep: Optional[jnp.ndarray] = None,

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
+from .dropout import Dropout
 
 
 def sinusoid_table(max_len: int, dim: int, dtype=np.float32) -> np.ndarray:
@@ -51,5 +52,5 @@ class PositionalEmbedding(nn.Module):
             pe = jnp.take(table, offset + jnp.arange(length), axis=0)
         x = x * jnp.asarray(np.sqrt(self.dim), x.dtype) + pe
         if self.dropout > 0.0:
-            x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+            x = Dropout(rate=self.dropout)(x, deterministic=deterministic)
         return x

@@ -28,6 +28,7 @@ import flax.linen as nn
 
 from .attention import MultiHeadAttention
 from .masking import causal_mask
+from .dropout import Dropout
 
 _LN_EPS = 1e-5  # torch LayerNorm default
 
@@ -48,7 +49,7 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         h = _dense(self.d_ff, "linear1")(x)
         h = jax.nn.gelu(h, approximate=False) if self.activation == "gelu" else jax.nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         return _dense(self.d_model, "linear2")(h)
 
 
@@ -69,11 +70,11 @@ class EncoderLayer(nn.Module):
         a, _ = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
                                   name="self_attn")(
             x, x, x, key_keep=keep, deterministic=deterministic)
-        x = x + nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        x = x + Dropout(self.dropout)(a, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=_LN_EPS, name="norm2")(x)
         f = FeedForward(self.d_model, self.d_ff, self.dropout, self.activation,
                         name="ffn")(x, deterministic=deterministic)
-        return x + nn.Dropout(self.dropout)(f, deterministic=deterministic)
+        return x + Dropout(self.dropout)(f, deterministic=deterministic)
 
 
 class Encoder(nn.Module):
@@ -115,7 +116,7 @@ class DecoderLayer(nn.Module):
         self.self_attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout)
         self.cross_attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout)
         self.ffn = FeedForward(self.d_model, self.d_ff, self.dropout, self.activation)
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = Dropout(self.dropout)
 
     def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
                  tgt_keep: Optional[jnp.ndarray] = None,

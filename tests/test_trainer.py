@@ -347,3 +347,60 @@ def test_remat_policies_match_baseline(policy):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         base_params, rem_params)
+
+
+def test_seeded_dropout_matches_default_bitwise():
+    """Seeded-recompute dropout (ops/dropout.py): identical masks (same
+    make_rng folds) and identical arithmetic mean the custom-vjp path
+    reproduces the default flax path's loss BITWISE and its gradients to
+    f32 fusion tolerance (the custom-vjp boundary changes how XLA fuses
+    the backward, so surrounding sums may re-associate by an ulp — adam
+    would amplify that on near-zero gradients, so the check is on the
+    gradients themselves, not on optimizer output). CaSE exercises both
+    the module Dropout sites and the attention-probs dropout_apply
+    site."""
+    from case_rg_tpu.ops.dropout import set_seeded_dropout
+
+    cfg = ModelConfig(name="case", vocab_size=V, embedding_size=8,
+                      hidden_size=8, num_heads=2, enc_layers=1,
+                      dec_layers=1, max_dec_len=5, max_target_length=5)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(5)
+    b = 4
+    batch = {
+        "query": jnp.asarray(rng.randint(4, V, size=(b, 1, 6)), jnp.int32),
+        "passage": jnp.asarray(rng.randint(4, V, size=(b, 2, 8)),
+                               jnp.int32),
+        "response": jnp.asarray(rng.randint(4, V, size=(b, 5)), jnp.int32),
+        "passage_label": jnp.zeros((b,), jnp.int32),
+        "token_label": jnp.asarray(
+            (rng.rand(b, 2, 8) > 0.7).astype(np.float32)),
+        "token_weight": jnp.ones((b, 2, 8), jnp.float32),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           batch, method=type(model).train_losses)
+
+    def loss_fn(params, d_rng):
+        losses = model.apply({"params": params}, batch,
+                             deterministic=False, rngs={"dropout": d_rng},
+                             method=type(model).train_losses)
+        return sum(losses.values())
+
+    def run(seeded):
+        set_seeded_dropout(seeded)
+        try:
+            # fresh jit per mode: the flag is trace-time
+            fn = jax.jit(jax.value_and_grad(loss_fn))
+            loss, grads = fn(variables["params"], jax.random.PRNGKey(7))
+            return float(loss), jax.device_get(grads)
+        finally:
+            set_seeded_dropout(False)
+
+    base_loss, base_grads = run(False)
+    seed_loss, seed_grads = run(True)
+    assert base_loss == seed_loss, (base_loss, seed_loss)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-5,
+                                                 atol=5e-7),
+        base_grads, seed_grads)

@@ -47,6 +47,22 @@ def main(argv):
               if "--dtypes" in argv else ["f32", "bf16"])
     remats = (argv[argv.index("--remat") + 1].split(",")
               if "--remat" in argv else [""])
+    # sweep seeded-recompute dropout (ops/dropout.py) same-session:
+    # --seeded 0,1 measures both; default off (the shipped default)
+    seeded_modes = [int(x) for x in
+                    (argv[argv.index("--seeded") + 1].split(",")
+                     if "--seeded" in argv else ["0"])]
+    # sweep bf16 attention scores (--scores 0,1): the round-13 copy-op
+    # attribution put ~8 ms/step of f32 [640,8,100,100] score layout
+    # copies + the score-shaped dropout/convert fusions on the table
+    score_modes = [int(x) for x in
+                   (argv[argv.index("--scores") + 1].split(",")
+                    if "--scores" in argv else ["0"])]
+    # scoped attention remat (--remat_attn 0,1): recompute scores/probs in
+    # the backward pass instead of storing them (flash-attn memory trick)
+    ra_modes = [int(x) for x in
+                (argv[argv.index("--remat_attn") + 1].split(",")
+                 if "--remat_attn" in argv else ["0"])]
 
     small = "--small" in argv   # CPU correctness smoke, same code path
     v = 512 if small else 30522
@@ -76,6 +92,14 @@ def main(argv):
         }
         for dt in dtypes:
           for rm in remats:
+           for sd, sc, ra in [(a, c, r) for a in seeded_modes
+                              for c in score_modes for r in ra_modes]:
+            from case_rg_tpu.ops.attention import (set_bf16_scores,
+                                                   set_remat_attend)
+            from case_rg_tpu.ops.dropout import set_seeded_dropout
+            set_seeded_dropout(bool(sd))
+            set_bf16_scores(bool(sc))
+            set_remat_attend(bool(ra))
             tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
                              warmup_steps=2000, remat=rm,
                              compute_dtype="bfloat16" if dt == "bf16"
@@ -118,7 +142,10 @@ def main(argv):
                 float(losses["total"])   # one sync for the whole window
                 reps.append(time.time() - t0)
             dt_s = float(np.median(reps)) / K
-            tag = f" remat={rm}" if rm else ""
+            tag = (f" remat={rm}" if rm else "") + \
+                  (" seeded_dropout" if sd else "") + \
+                  (" bf16_scores" if sc else "") + \
+                  (" remat_attn" if ra else "")
             line = (f"B={b:3d} {dt:>4}{tag}: {dt_s*1e3:7.1f} ms/step "
                     f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
                     f"{b*40/dt_s:9.0f} tgt-tok/s")
