@@ -125,12 +125,12 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
            blhd: bool = False,
            ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scaled dot-product attention on [B, H, L, d] tensors — or, with
-    ``blhd=True``, on [B, L, H, d] tensors (reshape-only head splits: the
-    einsums carry H as a batch dimension, so no transpose op ever
-    materializes the head-major layout; the round-13 copy-op attribution
-    found ~10 ms/step of exactly those transposes in the train step).
-    The contractions are identical either way (same per-element dots,
-    same order) — outputs are bitwise-equal, parity suites gate it.
+    ``blhd=True``, on [B, L, H, d] tensors (reshape-only head splits; the
+    einsums carry H as a batch dimension). NOTE: blhd is NOT used by the
+    model paths — it measured perf-neutral on the train step AND its dot
+    tiling makes f32 results batch-size-dependent at the ~10-ulp level
+    (docs/PERF.md round 13); it stays only as the measured-refutation
+    artifact.
 
     ``attn_bias``: additive [Lq, Lk] (e.g. causal). ``key_keep``: boolean
     [B, Lk], True = attend. Rows whose keys are all masked produce zeros
@@ -259,37 +259,33 @@ class MultiHeadAttention(nn.Module):
             ctx = fused_mha(self.project_q(q_in), k, v, key_keep,
                             self.num_heads)
             return self.out(ctx), None
-        # reshape-only head handling: [B, L, H, d] views (no transpose op
-        # — the head-major copies were ~10 ms/step of the train step's
-        # copy/layout bucket, round-13 attribution). attend(blhd=True)
-        # computes the identical dots, so this path is bitwise-equal to
-        # the old split_heads formulation (parity suites gate it).
+        # NOTE on the blhd (reshape-only, transpose-free) formulation: it
+        # was measured perf-NEUTRAL on the train step (XLA's layout
+        # assignment materializes the same copies either way, docs/PERF.md
+        # round 13) and REVERTED because its dot tiling makes f32 scores
+        # batch-size-DEPENDENT at the ~10-ulp level (f32 matmuls run as
+        # bf16x3 passes whose accumulation grouping follows the layout) —
+        # the serving equality tests compare rank scores across batch
+        # widths and rely on the split_heads formulation's stability.
         h = self.num_heads
-        q = self.project_q(q_in)
-        b, lq, e = q.shape
-        d = e // h
-        rng = self.make_rng("dropout") \
-            if (self.dropout > 0.0 and not deterministic) else None
-        fn = attend
         if _REMAT_ATTEND and not deterministic:
+            # scoped attention remat probe (exp_train_bench --remat_attn;
+            # measured WORSE — kept as the documented experiment hook)
+            q = self.project_q(q_in)
+            rng = self.make_rng("dropout") if self.dropout > 0.0 else None
             fn = jax.checkpoint(
                 functools.partial(attend, dropout_rate=self.dropout,
                                   deterministic=False, dropout_rng=rng,
-                                  need_weights=need_weights, blhd=True,
+                                  need_weights=need_weights,
                                   attn_bias=attn_bias, key_keep=key_keep),
                 policy=jax.checkpoint_policies.nothing_saveable)
-            ctx, w = fn(q.reshape(b, lq, h, d),
-                        k.reshape(k.shape[0], k.shape[1], h, d),
-                        v.reshape(v.shape[0], v.shape[1], h, d))
-            return self.out(ctx.reshape(b, lq, e)), w
-        ctx, w = attend(q.reshape(b, lq, h, d),
-                        k.reshape(k.shape[0], k.shape[1], h, d),
-                        v.reshape(v.shape[0], v.shape[1], h, d),
-                        attn_bias=attn_bias, key_keep=key_keep,
-                        dropout_rate=self.dropout,
-                        deterministic=deterministic, dropout_rng=rng,
-                        need_weights=need_weights, blhd=True)
-        return self.out(ctx.reshape(b, lq, e)), w
+            ctx, w = fn(split_heads(q, h), split_heads(k, h),
+                        split_heads(v, h))
+            return self.out(merge_heads(ctx)), w
+        return self.attend_with_kv_heads(
+            q_in, split_heads(k, h), split_heads(v, h), attn_bias=attn_bias,
+            key_keep=key_keep, deterministic=deterministic,
+            need_weights=need_weights)
 
     def attend_with_kv_heads(self, q_in: jnp.ndarray, k: jnp.ndarray,
                              v: jnp.ndarray, *, attn_bias=None, key_keep=None,

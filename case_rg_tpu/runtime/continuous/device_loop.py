@@ -271,7 +271,11 @@ def run_continuous_device(source,
     lag one additional mega, exactly like harvest detection."""
     b = batch_size
     s = fns.stage_rows
-    refill = max(1, min(refill, min(b, s)))
+    # the refill bucket's width is bounded by the RING (not the live
+    # batch): a wider-than-B encode amortizes the encode program's fixed
+    # cost over more rows per dispatch (round-11 found 64-wide strictly
+    # better than 16/32; the ring scatter takes any width <= stage_rows)
+    refill = max(1, min(refill, s))
     if not hasattr(source, "take"):
         source = IterSource(source)
 
@@ -425,7 +429,8 @@ class DeviceLane:
         self.fns = fns
         self.b = batch_size
         self.s = fns.stage_rows
-        self.refill = max(1, min(refill, min(batch_size, self.s)))
+        self.refill = max(1, min(refill, self.s))   # ring-bounded, like
+        # run_continuous_device (a wider-than-B encode bucket is legal)
         self.queue: List[tuple] = []   # routed (arrival_idx, req) FIFO
         self.wrap = None
         self.stage = None
