@@ -79,6 +79,16 @@ def build_parser():
                    help="--mode test: write only the .run ranking files, "
                         "skipping answer generation (case/masque/tmemnet; "
                         "the sequential decode dominates predict cost)")
+    p.add_argument("--fused_train_attn",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="training: fused fwd+bwd Pallas attention with "
+                        "prob dropout for the encoder/tower self-attn "
+                        "sites (kernels/train_attention.py — probs never "
+                        "reach HBM in either direction; identical "
+                        "dropout mask stream). 251 -> 221 ms/step at "
+                        "B=64 (-12%%, docs/PERF.md round 13). Default: "
+                        "ON for --bf16_train training after the metric-"
+                        "equivalence smoke, OFF for f32 (parity dtype)")
     p.add_argument("--seeded_dropout", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="training: regenerate dropout masks in the "
@@ -529,6 +539,15 @@ def main(argv=None):
     from ..ops.dropout import set_seeded_dropout
     set_seeded_dropout(args.seeded_dropout)   # set both ways: main() is
     # re-entered in-process by the e2e suite (see fast_rng above)
+    from ..ops.attention import set_fused_train_attention
+    if args.fused_train_attn is None:
+        # auto mirrors bf16_scores: bf16 TRAINING gets the fused kernel
+        # (-12% step time, metric-equivalent — docs/PERF.md round 13);
+        # f32 keeps the parity-dtype XLA path
+        set_fused_train_attention(args.mode in ("train", "ps_train")
+                                  and args.bf16_train)
+    else:
+        set_fused_train_attention(args.fused_train_attn)
     from ..models.multimem import set_fused_stack
     set_fused_stack(args.fused_stack)
     if not args.fused_attn:

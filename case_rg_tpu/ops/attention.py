@@ -76,6 +76,39 @@ def set_fused_attention(on: bool) -> None:
     _FUSED_ATTN = bool(on)
 
 
+# --- fused TRAINING attention (kernels/train_attention.py) ------------------
+# Differentiable fwd+bwd fused attention with prob dropout for the
+# encoder/tower self-attention sites — the round-13 attribution put
+# ~25-30 ms/step of the CaSE train step on exactly their stored-probs
+# autodiff + layout conversions. The bernoulli mask is drawn in XLA from
+# the SAME make_rng key/shape as nn.Dropout (identical stream); residuals
+# are (q, k, v, keep, mask) — probs never reach HBM in either direction.
+# Opt-in: run --fused_train_attn (metric smoke gates any default flip).
+_FUSED_TRAIN_ATTN = False
+
+
+def set_fused_train_attention(on: bool) -> None:
+    global _FUSED_TRAIN_ATTN
+    _FUSED_TRAIN_ATTN = bool(on)
+
+
+def _fused_train_attention_ok(attn_bias, need_weights, deterministic,
+                              dropout) -> bool:
+    if not _FUSED_TRAIN_ATTN or attn_bias is not None or need_weights:
+        return False
+    if deterministic or dropout <= 0.0:
+        return False   # the deterministic path has its own kernel above
+    try:
+        from ..kernels import train_attention as ta
+    except Exception:  # pragma: no cover
+        return False
+    if not ta.HAVE_PALLAS:
+        return False
+    if ta._FORCE_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _fused_attention_ok(dtype, attn_bias, need_weights, deterministic,
                         dropout) -> bool:
     if not _FUSED_ATTN or attn_bias is not None or need_weights:
@@ -258,6 +291,29 @@ class MultiHeadAttention(nn.Module):
             from ..kernels.encoder_attention import fused_mha
             ctx = fused_mha(self.project_q(q_in), k, v, key_keep,
                             self.num_heads)
+            return self.out(ctx), None
+        if (_fused_train_attention_ok(attn_bias, need_weights,
+                                      deterministic, self.dropout)
+                and q_in.shape[1] == k.shape[1]):
+            # Lq == Lk only (the bwd kernel returns dq/dk/dv stacked on
+            # one axis for the single-result SPMD rule): covers every
+            # encoder/tower SELF-attention site — where the round-13
+            # attribution put the cost. The teacher-forced decoder
+            # cross-attention (40 x 1060) stays on the XLA path for now.
+            from ..kernels.train_attention import fused_train_mha
+            q = self.project_q(q_in)
+            r, lq, e = q.shape
+            lk = k.shape[1]
+            # the SAME key + shape nn.Dropout would draw on this site —
+            # the mask stream is identical to the plain path's
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(
+                rng, 1.0 - self.dropout,
+                (r, self.num_heads, lq, lk)).astype(jnp.bfloat16)
+            keepf = jnp.ones((r, 1, lk), jnp.float32) if key_keep is None \
+                else key_keep.astype(jnp.float32)[:, None, :]
+            ctx = fused_train_mha(q, k, v, keepf, mask, self.num_heads,
+                                  float(self.dropout))
             return self.out(ctx), None
         # NOTE on the blhd (reshape-only, transpose-free) formulation: it
         # was measured perf-NEUTRAL on the train step (XLA's layout

@@ -196,3 +196,130 @@ def test_fused_mha_rows_sharded(dtype):
     assert out.sharding.is_equivalent_to(sh, 3)
     np.testing.assert_allclose(np.asarray(out).astype(np.float32), ref,
                                atol=2e-5 if dtype == jnp.float32 else 2e-2)
+
+
+@pytest.mark.parametrize("r,l,e,h", [(6, 12, 32, 4), (4, 10, 40, 8)])
+def test_fused_train_mha_fwd_and_grads(r, l, e, h):
+    """Training attention kernel pair (kernels/train_attention.py):
+    forward equals the einsum+dropout reference, and the custom-vjp
+    backward (in-VMEM recompute, no stored probs) matches jax.grad of
+    the reference to f32 tolerance — incl. an all-masked row."""
+    import jax
+    from case_rg_tpu.kernels.train_attention import (fused_train_mha,
+                                                     fused_train_mha_xla)
+    rate = 0.1
+    rng = np.random.RandomState(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((r, l, e)), jnp.float32)
+               for _ in range(3))
+    keep = jnp.asarray(rng.rand(r, l) > 0.2).at[min(2, r - 1)].set(False)
+    mask = jnp.asarray((rng.rand(r, h, l, l) > rate).astype(np.float32))
+    keepf = keep.astype(jnp.float32)[:, None, :]
+    ref = fused_train_mha_xla(q, k, v, keep, mask, h, rate)
+    out = fused_train_mha(q, k, v, keepf, mask, h, rate, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    gk = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        fused_train_mha(*a, keepf, mask, h, rate, True))),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        fused_train_mha_xla(*a, keep, mask, h, rate))),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6,
+                                   err_msg=f"d{name}")
+
+
+def test_fused_train_mha_rows_sharded():
+    """The rows custom_partitioning rule under value_and_grad: sharded
+    loss + grads equal the unsharded reference on the 8-device mesh."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from case_rg_tpu.kernels.train_attention import (fused_train_mha,
+                                                     fused_train_mha_xla)
+    devs = np.array(jax.devices())
+    if devs.size < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(devs.reshape(devs.size), ("data",))
+    rate = 0.1
+    rng = np.random.RandomState(9)
+    r, l, e, h = 2 * devs.size, 16, 32, 4
+    q, k, v = (jnp.asarray(rng.standard_normal((r, l, e)), jnp.float32)
+               for _ in range(3))
+    keep = jnp.asarray(rng.rand(r, l) > 0.2).at[:, 0].set(True)
+    mask = jnp.asarray((rng.rand(r, h, l, l) > rate).astype(np.float32))
+    keepf = keep.astype(jnp.float32)[:, None, :]
+
+    def loss(q, k, v, keepf, mask):
+        return jnp.sum(jnp.sin(fused_train_mha(q, k, v, keepf, mask, h,
+                                               rate, True)))
+
+    lr, gr = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v, keepf,
+                                                         mask)
+    sh3 = NamedSharding(mesh, P("data", None, None))
+    sh4 = NamedSharding(mesh, P("data", None, None, None))
+    ls, gs = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+        jax.device_put(q, sh3), jax.device_put(k, sh3),
+        jax.device_put(v, sh3), jax.device_put(keepf, sh3),
+        jax.device_put(mask, sh4))
+    # cross-shard sum reassociation moves the scalar by ~1e-4 rel
+    np.testing.assert_allclose(float(ls), float(lr), rtol=1e-3)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_fused_train_attention_end_to_end_grads():
+    """The production gate (ops/attention._fused_train_attention_ok) via
+    _FORCE_INTERPRET: a CaSE train loss + grads with the fused path must
+    match the plain path (identical dropout mask stream — same make_rng
+    key/shape — so the loss matches exactly up to kernel softmax
+    rounding)."""
+    import jax
+    import case_rg_tpu.kernels.train_attention as ta
+    from case_rg_tpu.config import ModelConfig
+    from case_rg_tpu.models import create_model
+    from case_rg_tpu.ops.attention import set_fused_train_attention
+
+    V = 60
+    cfg = ModelConfig(name="case", vocab_size=V, embedding_size=8,
+                      hidden_size=8, num_heads=2, enc_layers=1,
+                      dec_layers=1, max_dec_len=5, max_target_length=5)
+    model = create_model("case", cfg)
+    rng = np.random.RandomState(5)
+    b = 4
+    batch = {
+        "query": jnp.asarray(rng.randint(4, V, (b, 1, 6)), jnp.int32),
+        "passage": jnp.asarray(rng.randint(4, V, (b, 2, 8)), jnp.int32),
+        "response": jnp.asarray(rng.randint(4, V, (b, 5)), jnp.int32),
+        "passage_label": jnp.zeros((b,), jnp.int32),
+        "token_label": jnp.asarray(
+            (rng.rand(b, 2, 8) > .7).astype(np.float32)),
+        "token_weight": jnp.ones((b, 2, 8), jnp.float32),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, batch,
+                           method=type(model).train_losses)
+
+    def loss_fn(params, d_rng):
+        losses = model.apply({"params": params}, batch,
+                             deterministic=False, rngs={"dropout": d_rng},
+                             method=type(model).train_losses)
+        return sum(losses.values())
+
+    def run(fta):
+        set_fused_train_attention(fta)
+        ta._FORCE_INTERPRET = fta
+        try:
+            l, g = jax.jit(jax.value_and_grad(loss_fn))(
+                variables["params"], jax.random.PRNGKey(7))
+            return float(l), jax.device_get(g)
+        finally:
+            set_fused_train_attention(False)
+            ta._FORCE_INTERPRET = False
+
+    bl, bg = run(False)
+    fl, fg = run(True)
+    assert abs(bl - fl) < 1e-5, (bl, fl)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(a, b_, atol=1e-4,
+                                                 rtol=1e-4),
+        bg, fg)

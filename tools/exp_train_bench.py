@@ -63,6 +63,10 @@ def main(argv):
     ra_modes = [int(x) for x in
                 (argv[argv.index("--remat_attn") + 1].split(",")
                  if "--remat_attn" in argv else ["0"])]
+    # fused training attention (--fta 0,1): kernels/train_attention.py
+    fta_modes = [int(x) for x in
+                 (argv[argv.index("--fta") + 1].split(",")
+                  if "--fta" in argv else ["0"])]
 
     small = "--small" in argv   # CPU correctness smoke, same code path
     v = 512 if small else 30522
@@ -92,14 +96,17 @@ def main(argv):
         }
         for dt in dtypes:
           for rm in remats:
-           for sd, sc, ra in [(a, c, r) for a in seeded_modes
-                              for c in score_modes for r in ra_modes]:
-            from case_rg_tpu.ops.attention import (set_bf16_scores,
-                                                   set_remat_attend)
+           for sd, sc, ra, ft in [(a, c, r, f) for a in seeded_modes
+                                  for c in score_modes for r in ra_modes
+                                  for f in fta_modes]:
+            from case_rg_tpu.ops.attention import (
+                set_bf16_scores, set_fused_train_attention,
+                set_remat_attend)
             from case_rg_tpu.ops.dropout import set_seeded_dropout
             set_seeded_dropout(bool(sd))
             set_bf16_scores(bool(sc))
             set_remat_attend(bool(ra))
+            set_fused_train_attention(bool(ft))
             tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
                              warmup_steps=2000, remat=rm,
                              compute_dtype="bfloat16" if dt == "bf16"
@@ -145,7 +152,8 @@ def main(argv):
             tag = (f" remat={rm}" if rm else "") + \
                   (" seeded_dropout" if sd else "") + \
                   (" bf16_scores" if sc else "") + \
-                  (" remat_attn" if ra else "")
+                  (" remat_attn" if ra else "") + \
+                  (" fta" if ft else "")
             line = (f"B={b:3d} {dt:>4}{tag}: {dt_s*1e3:7.1f} ms/step "
                     f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
                     f"{b*40/dt_s:9.0f} tgt-tok/s")
