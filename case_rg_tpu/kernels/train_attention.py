@@ -201,8 +201,9 @@ def _fwd_core(q, k, v, keepf, mask, num_heads: int, rate: float,
 
 def _bwd_core(q, k, v, keepf, mask, do, num_heads: int, rate: float,
               interpret: bool):
-    """Returns one stacked [R, 3, L, E] array (dq, dk, dv) so the SPMD
-    rule stays single-result (self-attention sites: Lq == Lk)."""
+    """Returns one concatenated [R, Lq + 2*Lk, E] array (dq | dk | dv)
+    so the SPMD rule stays single-result — works for Lq != Lk too (the
+    teacher-forced decoder cross-attention)."""
     r, lq, e = q.shape
     lk = k.shape[1]
     d = e // num_heads
@@ -235,7 +236,7 @@ def _bwd_core(q, k, v, keepf, mask, do, num_heads: int, rate: float,
                    pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0))],
         interpret=interpret,
     )(q, k, v, keepf, mask.reshape(r, num_heads * lq, lk), do)
-    return jnp.stack([dq, dk, dv], axis=1)
+    return jnp.concatenate([dq, dk, dv], axis=1)
 
 
 if HAVE_PALLAS:
@@ -246,7 +247,7 @@ if HAVE_PALLAS:
     _bwd_cp = batch_partitioned(
         _bwd_core, static_argnums=(6, 7, 8),
         sharding_rule="r a b, r c d, r f g, r s m, r h i j, r o p -> "
-                      "r t x y")
+                      "r t y")
 else:  # pragma: no cover
     _fwd_cp = _fwd_core
     _bwd_cp = _bwd_core
@@ -278,9 +279,10 @@ def _vjp_fwd(q, k, v, keepf, mask, num_heads, rate, interpret):
 
 def _vjp_bwd(num_heads, rate, interpret, res, do):
     q, k, v, keepf, mask = res
+    lq, lk = q.shape[1], k.shape[1]
     g = _bwd_cp(q, k, v, keepf, mask, do.astype(q.dtype), num_heads, rate,
                 interpret or _FORCE_INTERPRET)
-    return g[:, 0], g[:, 1], g[:, 2], None, None
+    return (g[:, :lq], g[:, lq:lq + lk], g[:, lq + lk:], None, None)
 
 
 fused_train_mha.defvjp(_vjp_fwd, _vjp_bwd)

@@ -292,14 +292,14 @@ class MultiHeadAttention(nn.Module):
             ctx = fused_mha(self.project_q(q_in), k, v, key_keep,
                             self.num_heads)
             return self.out(ctx), None
-        if (_fused_train_attention_ok(attn_bias, need_weights,
-                                      deterministic, self.dropout)
-                and q_in.shape[1] == k.shape[1]):
-            # Lq == Lk only (the bwd kernel returns dq/dk/dv stacked on
-            # one axis for the single-result SPMD rule): covers every
-            # encoder/tower SELF-attention site — where the round-13
-            # attribution put the cost. The teacher-forced decoder
-            # cross-attention (40 x 1060) stays on the XLA path for now.
+        if _fused_train_attention_ok(attn_bias, need_weights,
+                                     deterministic, self.dropout):
+            # covers every encoder/tower SELF-attention site (where the
+            # round-13 attribution put the cost) AND the teacher-forced
+            # decoder cross-attentions (Lq != Lk: the bwd kernel returns
+            # dq|dk|dv concatenated on one axis for the single-result
+            # SPMD rule). Biased sites (decoder causal self-attn) stay
+            # on the XLA path.
             from ..kernels.train_attention import fused_train_mha
             q = self.project_q(q_in)
             r, lq, e = q.shape

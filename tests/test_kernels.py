@@ -200,6 +200,17 @@ def test_fused_mha_rows_sharded(dtype):
 
 @pytest.mark.parametrize("r,l,e,h", [(6, 12, 32, 4), (4, 10, 40, 8)])
 def test_fused_train_mha_fwd_and_grads(r, l, e, h):
+    _train_mha_case(r, l, l, e, h)
+
+
+@pytest.mark.parametrize("r,lq,lk,e,h", [(4, 5, 18, 32, 4)])
+def test_fused_train_mha_cross_attention(r, lq, lk, e, h):
+    """Lq != Lk (the teacher-forced decoder cross-attention shape): the
+    concatenated dq|dk|dv backward output slices correctly."""
+    _train_mha_case(r, lq, lk, e, h)
+
+
+def _train_mha_case(r, lq, lk, e, h):
     """Training attention kernel pair (kernels/train_attention.py):
     forward equals the einsum+dropout reference, and the custom-vjp
     backward (in-VMEM recompute, no stored probs) matches jax.grad of
@@ -209,10 +220,11 @@ def test_fused_train_mha_fwd_and_grads(r, l, e, h):
                                                      fused_train_mha_xla)
     rate = 0.1
     rng = np.random.RandomState(3)
-    q, k, v = (jnp.asarray(rng.standard_normal((r, l, e)), jnp.float32)
-               for _ in range(3))
-    keep = jnp.asarray(rng.rand(r, l) > 0.2).at[min(2, r - 1)].set(False)
-    mask = jnp.asarray((rng.rand(r, h, l, l) > rate).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((r, lq, e)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((r, lk, e)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((r, lk, e)), jnp.float32)
+    keep = jnp.asarray(rng.rand(r, lk) > 0.2).at[min(2, r - 1)].set(False)
+    mask = jnp.asarray((rng.rand(r, h, lq, lk) > rate).astype(np.float32))
     keepf = keep.astype(jnp.float32)[:, None, :]
     ref = fused_train_mha_xla(q, k, v, keep, mask, h, rate)
     out = fused_train_mha(q, k, v, keepf, mask, h, rate, True)
