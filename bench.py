@@ -222,7 +222,11 @@ def _measure_continuous(jax, jnp, model, variables, v, b,
         make_device_loop_fns, run_continuous_device)
 
     n_req = int(os.environ.get("CASE_RG_BENCH_CONT_N", "1024"))
-    cs, n_chunks, stage_rows, refill = 4, 8, 256, b
+    # refill=16 (= the serve CLI's B/4 default), NOT B: the round-14
+    # interleaved same-session A/B measured 16-wide refill encodes +12%
+    # over 64-wide (1076 vs 957 qps median of 3 alternating runs) —
+    # docs/PERF.md round 14
+    cs, n_chunks, stage_rows, refill = 4, 8, 256, max(b // 4, 1)
     max_len = 40
     rng = np.random.RandomState(7)
     master = {

@@ -73,7 +73,8 @@ def make_device_loop_fns(model, max_len: int, chunk_steps: int,
                          fast_argmax: Optional[bool] = None,
                          decoding: str = "greedy",
                          temperature: float = 1.0, top_k: int = 0,
-                         top_p: float = 1.0):
+                         top_p: float = 1.0,
+                         refill_cond: bool = True):
     """(init_fn, wrap_fn, stage_fn, push_fn, mega_fn), all jitted.
 
     * ``init_fn(variables, batch)`` -> (model_state, rank-or-None) — one
@@ -93,9 +94,17 @@ def make_device_loop_fns(model, max_len: int, chunk_steps: int,
       uid == -1 on unused entries.
 
     ``refill_bound`` caps refills per chunk boundary (default
-    ``min(batch, stage_rows)``); the R-row state gather it implies runs
+    ``min(batch, stage_rows)``); the R-row ring gather it implies runs
     under a ``lax.cond`` so boundaries with nothing to refill cost only
-    the [B]-sized flag ops.
+    the [B]-sized flag ops. ``refill_cond=False`` replaces the cond with
+    an UNCONDITIONAL drop-mode gather+scatter (rows that cannot refill
+    target row ``b`` and are dropped) — hypothesized cheaper (no cond
+    branch materialization), measured ~4% SLOWER on TPU at rbound=16
+    (docs/PERF.md round 14): the cond skips the gather on refill-free
+    boundaries and XLA does not pay a full-state copy for the identity
+    branch. Kept as the measured refutation. Overfull boundaries (more
+    finishers than ``refill_bound``) carry the surplus to the next
+    boundary in either mode — the free rows stay dead one more chunk.
     """
     init_m, chunk_m, fa, extra = _chunk_apply(
         model, decoding, temperature, top_k, top_p, fast_argmax)
@@ -159,10 +168,11 @@ def make_device_loop_fns(model, max_len: int, chunk_steps: int,
             take = cursor + jnp.arange(rbound, dtype=jnp.int32)
             can = (fslots < b) & (take < written)
 
+            src = jnp.clip(take, 0, None) % stage_rows
+            tgt = jnp.where(can, fslots, b)
+
             def do_refill(args):
                 m, uid, alive, cursor = args
-                src = jnp.clip(take, 0, None) % stage_rows
-                tgt = jnp.where(can, fslots, b)
                 g = jax.tree_util.tree_map(lambda s: s[src], stage["m"])
                 m = jax.tree_util.tree_map(
                     lambda live, gg: live.at[tgt].set(gg, mode="drop"),
@@ -171,8 +181,24 @@ def make_device_loop_fns(model, max_len: int, chunk_steps: int,
                 alive = alive.at[tgt].set(True, mode="drop")
                 return m, uid, alive, cursor + can.sum(dtype=jnp.int32)
 
-            m, uid, alive, cursor = jax.lax.cond(
-                can.any(), do_refill, lambda a: a, (m, uid, alive, cursor))
+            if refill_cond:
+                # default: skip the gather when nothing can refill. The
+                # cond.103 "934 MB touched" in the round-13 mega xprof is
+                # accounting of the operands, not a materialized identity
+                # copy — the round-14 A/B shows removing the cond LOSES
+                # ~4% (1079 vs 1036 qps same-session, docs/PERF.md).
+                m, uid, alive, cursor = jax.lax.cond(
+                    can.any(), do_refill, lambda a: a,
+                    (m, uid, alive, cursor))
+            else:
+                # refuted alternative (kept measurable): unconditional
+                # bounded refill — rows with can=False scatter to row b
+                # and are dropped, so every boundary pays exactly one
+                # rbound-row ring gather + in-place scatter and no cond.
+                # Garbage ring rows gathered when the ring is short are
+                # never written (their tgt is b). Numerics identical to
+                # the cond path (tests/test_device_loop.py runs both).
+                m, uid, alive, cursor = do_refill((m, uid, alive, cursor))
             return m, uid, alive, cursor, harvest
 
         def cond(carry):
@@ -272,9 +298,11 @@ def run_continuous_device(source,
     b = batch_size
     s = fns.stage_rows
     # the refill bucket's width is bounded by the RING (not the live
-    # batch): a wider-than-B encode amortizes the encode program's fixed
-    # cost over more rows per dispatch (round-11 found 64-wide strictly
-    # better than 16/32; the ring scatter takes any width <= stage_rows)
+    # batch; the ring scatter takes any width <= stage_rows). Width is a
+    # measured knee: round-11 read 64-wide as best, but the round-14
+    # interleaved same-session A/B reversed that — 16-wide refill
+    # encodes run +12% over 64-wide at B=64 (1076 vs 957 qps, caps 4-40;
+    # docs/PERF.md round 14) — so the serve CLI's B/4 default stands
     refill = max(1, min(refill, s))
     if not hasattr(source, "take"):
         source = IterSource(source)

@@ -43,14 +43,19 @@ def _run(model, params, arrays, n, fns, b, refill, decoding="greedy",
     return got, stats
 
 
-@pytest.mark.parametrize("b,refill,stage,n_chunks,chunk_steps,lookahead", [
-    (4, 2, 4, 2, 3, False),   # small ring, short megas
-    (4, 2, 2, 4, 2, False),   # ring smaller than batch -> wrap-around
-    (8, 3, 6, 3, 3, False),   # refill does not divide ring
-    (4, 2, 4, 2, 3, True),    # double-dispatch (harvest lags one mega)
-])
+@pytest.mark.parametrize(
+    "b,refill,stage,n_chunks,chunk_steps,lookahead,refill_cond", [
+        (4, 2, 4, 2, 3, False, True),   # small ring, short megas
+        (4, 2, 2, 4, 2, False, True),   # ring smaller than batch -> wrap
+        (8, 3, 6, 3, 3, False, True),   # refill does not divide ring
+        (4, 2, 4, 2, 3, True, True),    # double-dispatch (harvest lags)
+        # unconditional drop-mode refill (the measured-refuted perf
+        # variant, docs/PERF.md round 14) must stay numerics-identical
+        (4, 2, 4, 2, 3, False, False),
+        (8, 3, 6, 3, 3, True, False),
+    ])
 def test_device_loop_matches_predict(b, refill, stage, n_chunks,
-                                     chunk_steps, lookahead):
+                                     chunk_steps, lookahead, refill_cond):
     from case_rg_tpu.runtime.continuous.device_loop import \
         make_device_loop_fns
 
@@ -58,7 +63,8 @@ def test_device_loop_matches_predict(b, refill, stage, n_chunks,
         _models_with_live_eos("case", MAX_LEN)
     n = arrays["query"].shape[0]
     fns = make_device_loop_fns(model, MAX_LEN, chunk_steps=chunk_steps,
-                               n_chunks=n_chunks, stage_rows=stage)
+                               n_chunks=n_chunks, stage_rows=stage,
+                               refill_cond=refill_cond)
     got, stats = _run(model, params, arrays, n, fns, b, refill,
                       lookahead=lookahead)
     assert stats["served"] == n

@@ -289,6 +289,13 @@ def main(argv):
         if "--stage" in argv:
             stage_rows = int(argv[argv.index("--stage") + 1])
         dl_look = "--dl_lookahead" in argv
+        # --rbound decouples the per-boundary refill bound (in-jit ring
+        # gather width = boundary traffic) from the host encode width
+        # (--refill); --refill_cond restores the legacy lax.cond refill
+        rbound = refill
+        if "--rbound" in argv:
+            rbound = int(argv[argv.index("--rbound") + 1])
+        refill_cond = "--refill_cond" in argv
         dl_sweep = sweep   # device-loop wants SHORT chunks (in-device
         # refill every cs steps); --dl_sweep decouples it from the
         # chunk-loop control's sweep. Ring sizing rule: rows consumed
@@ -296,11 +303,23 @@ def main(argv):
         if "--dl_sweep" in argv:
             dl_sweep = [int(x) for x in
                         argv[argv.index("--dl_sweep") + 1].split(",")]
+        # --dl_refills r:rb,r:rb,... — interleaved (refill, rbound)
+        # sweep in ONE process, so session drift (±15% across ~30 min,
+        # docs/PERF.md) can't masquerade as a config effect; repeat
+        # pairs to bracket the drift (e.g. 64:64,16:16,64:64,16:16)
+        dl_refills = [(refill, rbound)]
+        if "--dl_refills" in argv:
+            dl_refills = []
+            for pair in argv[argv.index("--dl_refills") + 1].split(","):
+                r, _, rb = pair.partition(":")
+                dl_refills.append((int(r), int(rb or r)))
         for cs in dl_sweep:
+          for refill, rbound in dl_refills:
             dfns = make_device_loop_fns(model, max_len, chunk_steps=cs,
                                         n_chunks=n_chunks,
                                         stage_rows=stage_rows,
-                                        refill_bound=refill)
+                                        refill_bound=rbound,
+                                        refill_cond=refill_cond)
             # compile every program off the clock: init at both widths,
             # wrap, stage seed, push, and the mega itself (real host
             # fetches — relay block_until_ready lies, CLAUDE.md)
@@ -334,6 +353,7 @@ def main(argv):
             occ = (stats["steps_served"]
                    / max(stats["chunks"] * cs * B, 1))
             print(f"device_loop[chunk={cs} K={n_chunks} refill={refill} "
+                  f"rbound={rbound} cond={int(refill_cond)} "
                   f"stage={stage_rows} la={int(dl_look)}]: "
                   f"{n_req/dt:.0f} qps "
                   f"({stats['megas']} megas, {stats['chunks']} chunks, "

@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def run_traced(B=64, dtype="bf16", logdir="/tmp/xprof_train", small=False):
+def run_traced(B=64, dtype="bf16", logdir="/tmp/xprof_train", small=False,
+               best=False):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +52,15 @@ def run_traced(B=64, dtype="bf16", logdir="/tmp/xprof_train", small=False):
                       dec_layers=1 if small else 4,
                       max_dec_len=la, max_target_length=la)
     model = create_model("case", cfg)
-    print(f"devices={jax.devices()} B={B} dtype={dtype}", flush=True)
+    if best:
+        # the shipped bf16-training fast path (cli/run.py auto gates):
+        # bf16 attention scores + the fused training attention kernel
+        from case_rg_tpu.ops.attention import (set_bf16_scores,
+                                               set_fused_train_attention)
+        set_bf16_scores(True)
+        set_fused_train_attention(True)
+    print(f"devices={jax.devices()} B={B} dtype={dtype} best={best}",
+          flush=True)
 
     rng = np.random.RandomState(0)
     batch = {
@@ -107,8 +116,12 @@ if __name__ == "__main__":
     small = "--small" in argv   # CPU correctness smoke, same code path
     if small:
         argv.remove("--small")
+    best = "--best" in argv     # bf16 scores + fused training attention
+    if best:
+        argv.remove("--best")
     B = int(argv[0]) if argv else 64
-    logdir = f"/tmp/xprof_train_{dtype}_b{B}{'_small' if small else ''}"
+    logdir = (f"/tmp/xprof_train_{dtype}_b{B}"
+              f"{'_small' if small else ''}{'_best' if best else ''}")
     if not analyze_only:
-        run_traced(B, dtype, logdir, small)
+        run_traced(B, dtype, logdir, small, best)
     analyze(logdir, top=40)
