@@ -214,8 +214,9 @@ def main():
 def _measure_continuous(jax, jnp, model, variables, v, b,
                         fixed_flops_per_batch, fixed_bytes_per_batch):
     """Device-loop continuous qps on a caps-mix workload (one dict of
-    sub-fields for the bench JSON). Config = the round-11 knee: chunk=4,
-    K=8, stage=256, refill=64, lookahead."""
+    sub-fields for the bench JSON). Config = the round-14 knee: chunk=4,
+    K=8, stage=256, refill=B/4 (=16 at B=64 — the interleaved A/B's
+    +12% winner over 64-wide), lookahead."""
     import os
 
     from case_rg_tpu.runtime.continuous.device_loop import (
@@ -282,7 +283,7 @@ def _measure_continuous(jax, jnp, model, variables, v, b,
         "value": round(qps, 2), "unit": "queries/sec/chip",
         "workload": f"caps 4-{max_len} (mean {mean_cap:.1f}), n={n_req}, "
                     f"B={b} chunk={cs} K={n_chunks} stage={stage_rows} "
-                    f"lookahead",
+                    f"refill={refill} rbound={refill} cond lookahead",
         "occupancy": round(occ, 3),
     }
     # MFU/HBM for the continuous path, ESTIMATED from the fixed program's

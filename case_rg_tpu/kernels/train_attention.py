@@ -29,9 +29,11 @@ Numerics: forward equals the einsum+dropout path up to the VPU softmax
 reduction order (<=1 bf16 ULP — same bound as the inference kernel);
 backward is the exact analytic gradient of the kernel's own forward
 (f32 interpret mode matches jax.grad of the XLA path to ~1e-5,
-tests/test_kernels.py). Opt-in: ``run --fused_train_attn`` after the
-metric smoke; OFF by default (f32 remains the parity dtype and its
-training path is untouched).
+tests/test_kernels.py). Default: AUTO-ON for ``--bf16_train`` (the gate
+in cli/run.py — the flip was smoke-gated by an 8-epoch bf16 train with
+identical final metrics, docs/PERF.md round 13); f32 remains the parity
+dtype and its training path never takes this kernel. Override either
+way with ``--fused_train_attn`` / ``--no-fused_train_attn``.
 
 Replaces (for training): the stored-probs attention autodiff of
 ``ops/attention.attend`` (ref: common/TransformerEncoder.py:42's

@@ -83,7 +83,10 @@ def set_fused_attention(on: bool) -> None:
 # autodiff + layout conversions. The bernoulli mask is drawn in XLA from
 # the SAME make_rng key/shape as nn.Dropout (identical stream); residuals
 # are (q, k, v, keep, mask) — probs never reach HBM in either direction.
-# Opt-in: run --fused_train_attn (metric smoke gates any default flip).
+# Default: cli/run.py AUTO-ENABLES this for --bf16_train (smoke-gated:
+# 8-epoch bf16 train with/without was metric-identical, docs/PERF.md
+# round 13); f32 (the parity dtype) keeps the XLA path. The module-level
+# default here stays False so library users opt in explicitly.
 _FUSED_TRAIN_ATTN = False
 
 

@@ -20,6 +20,7 @@ the distribution.
 
 Usage: python tools/exp_continuous.py [B] [--n N] [--chunk C] [--refill R]
        [--caps lo-hi] [--sweep c1,c2,...] [--refill_min M] [--lookahead]
+       [--no_refill_cond]
        [--async_harvest]
        [--skip_batch] [--lanes 5,10] [--pingpong P] [--small]
 
@@ -291,11 +292,13 @@ def main(argv):
         dl_look = "--dl_lookahead" in argv
         # --rbound decouples the per-boundary refill bound (in-jit ring
         # gather width = boundary traffic) from the host encode width
-        # (--refill); --refill_cond restores the legacy lax.cond refill
+        # (--refill). The lax.cond-gated refill is the SHIPPED default
+        # (library + bench.py); --no_refill_cond selects the refuted
+        # ~4%-slower unconditional drop-mode scatter (docs/PERF.md r14)
         rbound = refill
         if "--rbound" in argv:
             rbound = int(argv[argv.index("--rbound") + 1])
-        refill_cond = "--refill_cond" in argv
+        refill_cond = "--no_refill_cond" not in argv
         dl_sweep = sweep   # device-loop wants SHORT chunks (in-device
         # refill every cs steps); --dl_sweep decouples it from the
         # chunk-loop control's sweep. Ring sizing rule: rows consumed
@@ -314,11 +317,11 @@ def main(argv):
                 r, _, rb = pair.partition(":")
                 dl_refills.append((int(r), int(rb or r)))
         for cs in dl_sweep:
-          for refill, rbound in dl_refills:
+          for rf, rb in dl_refills:
             dfns = make_device_loop_fns(model, max_len, chunk_steps=cs,
                                         n_chunks=n_chunks,
                                         stage_rows=stage_rows,
-                                        refill_bound=rbound,
+                                        refill_bound=rb,
                                         refill_cond=refill_cond)
             # compile every program off the clock: init at both widths,
             # wrap, stage seed, push, and the mega itself (real host
@@ -326,19 +329,19 @@ def main(argv):
             stw, _ = dfns.init_fn(variables, make_batch(reqs[:B], B))
             uidw = np.arange(B, dtype=np.int64)
             wrapw = dfns.wrap_fn(stw, uidw, uidw >= 0)
-            bkt, _ = dfns.init_fn(variables, make_batch(reqs[:1], refill))
-            stgw = dfns.stage_fn(bkt, jnp.arange(refill, dtype=jnp.int32))
+            bkt, _ = dfns.init_fn(variables, make_batch(reqs[:1], rf))
+            stgw = dfns.stage_fn(bkt, jnp.arange(rf, dtype=jnp.int32))
             stgw = dfns.push_fn(stgw, {"m": bkt, "uid": jnp.arange(
-                refill, dtype=jnp.int32)}, jnp.arange(refill,
-                                                      dtype=jnp.int32))
+                rf, dtype=jnp.int32)}, jnp.arange(rf,
+                                                  dtype=jnp.int32))
             wrapw, hv = dfns.mega_fn(variables, wrapw, stgw,
-                                     np.int32(refill))
+                                     np.int32(rf))
             np.asarray(jax.device_get(hv["count"]))
             del stw, wrapw, bkt, stgw, hv
             # throwaway mini-loop: the exact driver path end to end
             warm = []
             run_continuous_device(iter(reqs[:2 * B]), make_batch, dfns,
-                                  variables, B, refill,
+                                  variables, B, rf,
                                   emit=lambda r, ids, rk:
                                   warm.append(r["i"]), max_len=max_len,
                                   lookahead=dl_look)
@@ -346,14 +349,14 @@ def main(argv):
             got, out_lens = [], []
             t0 = time.time()
             stats = run_continuous_device(iter(reqs), make_batch, dfns,
-                                          variables, B, refill,
+                                          variables, B, rf,
                                           emit=_emit, max_len=max_len,
                                           lookahead=dl_look)
             dt = time.time() - t0
             occ = (stats["steps_served"]
                    / max(stats["chunks"] * cs * B, 1))
-            print(f"device_loop[chunk={cs} K={n_chunks} refill={refill} "
-                  f"rbound={rbound} cond={int(refill_cond)} "
+            print(f"device_loop[chunk={cs} K={n_chunks} refill={rf} "
+                  f"rbound={rb} cond={int(refill_cond)} "
                   f"stage={stage_rows} la={int(dl_look)}]: "
                   f"{n_req/dt:.0f} qps "
                   f"({stats['megas']} megas, {stats['chunks']} chunks, "
