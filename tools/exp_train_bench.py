@@ -68,6 +68,16 @@ def main(argv):
                  (argv[argv.index("--fta") + 1].split(",")
                   if "--fta" in argv else ["0"])]
 
+    # RNG impl for dropout masks. cli/run ships rbg (--fast_rng default);
+    # this tool historically never set it, so every docs/PERF.md train
+    # number through round 14 was measured on the THREEFRY path (round-15
+    # finding — the section attribution showed threefry mask-gen fusions
+    # that the shipped config does not pay). Default now matches the cli;
+    # --rng threefry restores the old measurement, --rng rbg,threefry
+    # sweeps both in one process (same-session A/B).
+    rng_impls = (argv[argv.index("--rng") + 1].split(",")
+                 if "--rng" in argv else ["rbg"])
+
     small = "--small" in argv   # CPU correctness smoke, same code path
     v = 512 if small else 30522
     lq, lp, npass, la = (10, 12, 3, 8) if small else (60, 100, 10, 40)
@@ -96,74 +106,79 @@ def main(argv):
         }
         for dt in dtypes:
           for rm in remats:
-           for sd, sc, ra, ft in [(a, c, r, f) for a in seeded_modes
-                                  for c in score_modes for r in ra_modes
-                                  for f in fta_modes]:
-            from case_rg_tpu.ops.attention import (
+           for rng_impl in rng_impls:
+            jax.config.update("jax_default_prng_impl",
+                              "rbg" if rng_impl == "rbg"
+                              else "threefry2x32")
+            for sd, sc, ra, ft in [(a, c, r, f) for a in seeded_modes
+                                   for c in score_modes for r in ra_modes
+                                   for f in fta_modes]:
+             from case_rg_tpu.ops.attention import (
                 set_bf16_scores, set_fused_train_attention,
                 set_remat_attend)
-            from case_rg_tpu.ops.dropout import set_seeded_dropout
-            set_seeded_dropout(bool(sd))
-            set_bf16_scores(bool(sc))
-            set_remat_attend(bool(ra))
-            set_fused_train_attention(bool(ft))
-            tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
-                             warmup_steps=2000, remat=rm,
-                             compute_dtype="bfloat16" if dt == "bf16"
-                             else "float32")
-            trainer = Trainer(model, tc, total_steps=10000)
-            state = trainer.init_state(jax.random.PRNGKey(0), batch)
-            key = jax.random.PRNGKey(7)
+             from case_rg_tpu.ops.dropout import set_seeded_dropout
+             set_seeded_dropout(bool(sd))
+             set_bf16_scores(bool(sc))
+             set_remat_attend(bool(ra))
+             set_fused_train_attention(bool(ft))
+             tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
+                              warmup_steps=2000, remat=rm,
+                              compute_dtype="bfloat16" if dt == "bf16"
+                              else "float32")
+             trainer = Trainer(model, tc, total_steps=10000)
+             state = trainer.init_state(jax.random.PRNGKey(0), batch)
+             key = jax.random.PRNGKey(7)
 
-            def batches(i0, n):
-                # distinct inputs per step: roll the token axes
-                return [{k: (jnp.roll(x, i, axis=-1)
-                             if x.dtype == jnp.int32 and x.ndim > 1 else x)
-                         for k, x in batch.items()} for i in range(i0,
-                                                                   i0 + n)]
+             def batches(i0, n):
+                 # distinct inputs per step: roll the token axes
+                 return [{k: (jnp.roll(x, i, axis=-1)
+                              if x.dtype == jnp.int32 and x.ndim > 1 else x)
+                          for k, x in batch.items()} for i in range(i0,
+                                                                    i0 + n)]
 
-            # compile + warmup (also builds trainer._train_step)
-            key, sub = jax.random.split(key)
-            t0 = time.time()
-            state, losses = trainer.train_step(state, batch, sub)
-            float(losses["total"])
-            compile_s = time.time() - t0
+             # compile + warmup (also builds trainer._train_step)
+             key, sub = jax.random.split(key)
+             t0 = time.time()
+             state, losses = trainer.train_step(state, batch, sub)
+             float(losses["total"])
+             compile_s = time.time() - t0
 
-            flops = None
-            try:
-                ca = trainer._train_step.lower(
-                    state, batch, sub).compile().cost_analysis()
-                if isinstance(ca, (list, tuple)):
-                    ca = ca[0]
-                flops = float(ca.get("flops", 0.0)) or None
-            except Exception:
-                pass
+             flops = None
+             try:
+                 ca = trainer._train_step.lower(
+                     state, batch, sub).compile().cost_analysis()
+                 if isinstance(ca, (list, tuple)):
+                     ca = ca[0]
+                 flops = float(ca.get("flops", 0.0)) or None
+             except Exception:
+                 pass
 
-            reps = []
-            for r in range(3):
-                bl = batches(100 * r + 1, K)
-                t0 = time.time()
-                for bt in bl:
-                    key, sub = jax.random.split(key)
-                    state, losses = trainer.train_step(state, bt, sub)
-                float(losses["total"])   # one sync for the whole window
-                reps.append(time.time() - t0)
-            dt_s = float(np.median(reps)) / K
-            tag = (f" remat={rm}" if rm else "") + \
-                  (" seeded_dropout" if sd else "") + \
-                  (" bf16_scores" if sc else "") + \
-                  (" remat_attn" if ra else "") + \
-                  (" fta" if ft else "")
-            line = (f"B={b:3d} {dt:>4}{tag}: {dt_s*1e3:7.1f} ms/step "
-                    f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
-                    f"{b*40/dt_s:9.0f} tgt-tok/s")
-            if flops:
-                tf = flops / dt_s / 1e12
-                line += f"  {tf:6.2f} TFLOPS ({tf/197*100:4.1f}% MFU)"
-            line += f"  (compile {compile_s:.0f}s)"
-            line += f"  loss {float(losses['total']):.3f}"
-            assert np.isfinite(float(losses["total"]))
-            print(line, flush=True)
+             reps = []
+             for r in range(3):
+                 bl = batches(100 * r + 1, K)
+                 t0 = time.time()
+                 for bt in bl:
+                     key, sub = jax.random.split(key)
+                     state, losses = trainer.train_step(state, bt, sub)
+                 float(losses["total"])   # one sync for the whole window
+                 reps.append(time.time() - t0)
+             dt_s = float(np.median(reps)) / K
+             tag = (f" rng={rng_impl}" if rng_impl != "rbg" else "") + \
+                   (f" remat={rm}" if rm else "") + \
+                   (" seeded_dropout" if sd else "") + \
+                   (" bf16_scores" if sc else "") + \
+                   (" remat_attn" if ra else "") + \
+                   (" fta" if ft else "")
+             line = (f"B={b:3d} {dt:>4}{tag}: {dt_s*1e3:7.1f} ms/step "
+                     f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
+                     f"{b*40/dt_s:9.0f} tgt-tok/s")
+             if flops:
+                 tf = flops / dt_s / 1e12
+                 line += f"  {tf:6.2f} TFLOPS ({tf/197*100:4.1f}% MFU)"
+             line += f"  (compile {compile_s:.0f}s)"
+             line += f"  loss {float(losses['total']):.3f}"
+             assert np.isfinite(float(losses["total"]))
+             print(line, flush=True)
 
 
 if __name__ == "__main__":

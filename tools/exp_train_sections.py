@@ -241,12 +241,17 @@ def load_trace_ops(logdir):
 # main
 # --------------------------------------------------------------------------
 
-def build_and_measure(B, dtype, best, small, hlo_path, logdir, steps=2):
+def build_and_measure(B, dtype, best, small, hlo_path, logdir, steps=2,
+                      rng_impl="rbg"):
     import jax
     import jax.numpy as jnp
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # match the cli/run shipped default (--fast_rng -> rbg); the older
+    # train tools measured threefry by omission (see exp_train_bench)
+    jax.config.update("jax_default_prng_impl",
+                      "rbg" if rng_impl == "rbg" else "threefry2x32")
     cache_dir = os.path.expanduser("~/.cache/case_rg_tpu_xla")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -437,10 +442,18 @@ if __name__ == "__main__":
     best = "--best" in argv
     if best:
         argv.remove("--best")
+    rng_impl = "rbg"
+    if "--rng" in argv:
+        i = argv.index("--rng")
+        rng_impl = argv[i + 1]
+        del argv[i:i + 2]
     B = int(argv[0]) if argv else 64
-    tag = f"{dtype}_b{B}{'_small' if small else ''}{'_best' if best else ''}"
+    tag = (f"{dtype}_b{B}{'_small' if small else ''}"
+           f"{'_best' if best else ''}"
+           f"{'' if rng_impl == 'rbg' else '_' + rng_impl}")
     logdir = f"/tmp/xprof_sections_{tag}"
     hlo_path = f"/tmp/hlo_sections_{tag}.txt.gz"
     if not analyze_only:
-        build_and_measure(B, dtype, best, small, hlo_path, logdir)
+        build_and_measure(B, dtype, best, small, hlo_path, logdir,
+                          rng_impl=rng_impl)
     analyze(hlo_path, logdir)

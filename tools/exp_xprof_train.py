@@ -20,7 +20,7 @@ import numpy as np
 
 
 def run_traced(B=64, dtype="bf16", logdir="/tmp/xprof_train", small=False,
-               best=False):
+               best=False, rng_impl="rbg"):
     import jax
     import jax.numpy as jnp
 
@@ -28,6 +28,10 @@ def run_traced(B=64, dtype="bf16", logdir="/tmp/xprof_train", small=False,
         # the host sitecustomize pins the axon TPU backend; the env var
         # alone does not override it (CLAUDE.md) — needed for --small
         jax.config.update("jax_platforms", "cpu")
+    # match cli/run's shipped rbg default; rounds 12-14 traced threefry
+    # by omission (--rng threefry reproduces those traces)
+    jax.config.update("jax_default_prng_impl",
+                      "rbg" if rng_impl == "rbg" else "threefry2x32")
 
     cache_dir = os.path.expanduser("~/.cache/case_rg_tpu_xla")
     try:
@@ -119,9 +123,15 @@ if __name__ == "__main__":
     best = "--best" in argv     # bf16 scores + fused training attention
     if best:
         argv.remove("--best")
+    rng_impl = "rbg"
+    if "--rng" in argv:
+        i = argv.index("--rng")
+        rng_impl = argv[i + 1]
+        del argv[i:i + 2]
     B = int(argv[0]) if argv else 64
     logdir = (f"/tmp/xprof_train_{dtype}_b{B}"
-              f"{'_small' if small else ''}{'_best' if best else ''}")
+              f"{'_small' if small else ''}{'_best' if best else ''}"
+              f"{'' if rng_impl == 'rbg' else '_' + rng_impl}")
     if not analyze_only:
-        run_traced(B, dtype, logdir, small, best)
+        run_traced(B, dtype, logdir, small, best, rng_impl)
     analyze(logdir, top=40)
