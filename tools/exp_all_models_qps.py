@@ -51,6 +51,64 @@ def synth_samples(n, rng, n_passages=10):
     return samples, query, passage
 
 
+def _run_device_loop(name, model, variables, B, n_req, pred_keys, vocab,
+                     dcfg, fast_argmax):
+    """One model through the device-resident loop on the caps 4-40 mix
+    (bench.py's exact driver path + knee config), warmup off the clock."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from case_rg_tpu.data.featurize import featurize
+    from case_rg_tpu.runtime.continuous.device_loop import (
+        make_device_loop_fns, run_continuous_device)
+
+    max_len, cs, n_chunks, stage_rows = 40, 4, 8, 256
+    refill = max(B // 4, 1)
+    # master pool of featurized requests (one featurize pass, host-side)
+    s, q, p = synth_samples(n_req, random.Random(31))
+    arr = featurize(name, s, q, p, vocab, {}, dcfg)
+    master = {k: arr[k] for k in pred_keys}
+    caps_rng = np.random.RandomState(7)
+    caps = caps_rng.randint(4, max_len + 1, size=n_req).astype(np.int32)
+
+    def make_batch(chunkreqs, bs):
+        idx = [r["i"] for r in chunkreqs]
+        idx = idx + [idx[-1]] * (bs - len(idx))
+        out = {k: jnp.asarray(v[idx]) for k, v in master.items()}
+        out["response_cap"] = jnp.asarray(caps[idx])
+        return out
+
+    fns = make_device_loop_fns(model, max_len, chunk_steps=cs,
+                               n_chunks=n_chunks, stage_rows=stage_rows,
+                               refill_bound=refill,
+                               fast_argmax=fast_argmax)
+    reqs = [{"i": i} for i in range(n_req)]
+    # warm the whole driver path off the clock (compiles all programs)
+    t0 = time.time()
+    warm = []
+    run_continuous_device(iter(reqs[: 2 * B]), make_batch, fns, variables,
+                          B, refill, emit=lambda r, ids, rk:
+                          warm.append(r["i"]), max_len=max_len,
+                          lookahead=True)
+    compile_s = time.time() - t0
+    assert len(warm) == 2 * B
+    got = []
+    t0 = time.time()
+    stats = run_continuous_device(
+        iter(reqs), make_batch, fns, variables, B, refill,
+        emit=lambda r, ids, rk: got.append(r["i"]), max_len=max_len,
+        lookahead=True)
+    dt = time.time() - t0
+    assert len(got) == n_req
+    occ = stats["steps_served"] / max(stats["chunks"] * cs * B, 1)
+    print(f"{name:>8}[dloop]: {n_req/dt:6.0f} qps  occupancy {occ:.2f}  "
+          f"({stats['megas']} megas, {stats['chunks']} chunks; "
+          f"caps mean {caps.mean():.1f}; compile+warm {compile_s:.0f}s)",
+          flush=True)
+
+
 def main():
     argv = list(sys.argv[1:])
     rank_only = "--rank_only" in argv
@@ -91,6 +149,19 @@ def main():
     if "--b_sweep" in argv:   # serving batch-size knee: same-process sweep
         i = argv.index("--b_sweep")
         b_sweep = [int(x) for x in argv[i + 1].split(",")]
+        del argv[i:i + 2]
+    # --device_loop: measure the device-resident continuous loop (the
+    # flagship serving mode) per model on a caps 4-40 mix instead of the
+    # fixed-batch predict — VERDICT r4 item 8 (the continuous headline was
+    # CaSE-only). Config = bench.py's round-14 knee: chunk=4 K=8 stage=256
+    # refill=B/4 lookahead.
+    device_loop = "--device_loop" in argv
+    if device_loop:
+        argv.remove("--device_loop")
+    dl_n = 512
+    if "--dl_n" in argv:
+        i = argv.index("--dl_n")
+        dl_n = int(argv[i + 1])
         del argv[i:i + 2]
     B = int(argv[0]) if len(argv) > 0 else 64
     iters = int(argv[1]) if len(argv) > 1 else 8
@@ -159,6 +230,11 @@ def main():
             s, q, p = synth_samples(B, random.Random(1000 + i))
             arr = featurize(name, s, q, p, vocab, {}, dcfg)
             return {k: jnp.asarray(arr[k]) for k in pred_keys}
+
+        if device_loop:
+            _run_device_loop(name, model, variables, B, dl_n, pred_keys,
+                             vocab, dcfg, fast_argmax)
+            continue
 
         for mi, mode in enumerate(argmax_modes or [fast_argmax]):
             predict = make_predict_fn(model, mcfg, max_len=40,

@@ -303,8 +303,12 @@ def main(argv):
         # refill every cs steps); --dl_sweep decouples it from the
         # chunk-loop control's sweep. Ring sizing rule: rows consumed
         # per mega ~ B*K*cs/mean_len must fit in stage_rows.
+        # each entry is cs or cs:K (per-entry n_chunks, so mixed-cs
+        # same-process A/Bs can hold steps-per-mega = K*cs constant —
+        # e.g. 4:8,1:32 both cover 32 steps between host round-trips)
         if "--dl_sweep" in argv:
-            dl_sweep = [int(x) for x in
+            dl_sweep = [int(x.partition(":")[0]) if ":" not in x else x
+                        for x in
                         argv[argv.index("--dl_sweep") + 1].split(",")]
         # --dl_refills r:rb,r:rb,... — interleaved (refill, rbound)
         # sweep in ONE process, so session drift (±15% across ~30 min,
@@ -317,9 +321,13 @@ def main(argv):
                 r, _, rb = pair.partition(":")
                 dl_refills.append((int(r), int(rb or r)))
         for cs in dl_sweep:
+          cs_k = n_chunks
+          if isinstance(cs, str):
+              cs, _, k = cs.partition(":")
+              cs, cs_k = int(cs), int(k)
           for rf, rb in dl_refills:
             dfns = make_device_loop_fns(model, max_len, chunk_steps=cs,
-                                        n_chunks=n_chunks,
+                                        n_chunks=cs_k,
                                         stage_rows=stage_rows,
                                         refill_bound=rb,
                                         refill_cond=refill_cond)
@@ -355,7 +363,7 @@ def main(argv):
             dt = time.time() - t0
             occ = (stats["steps_served"]
                    / max(stats["chunks"] * cs * B, 1))
-            print(f"device_loop[chunk={cs} K={n_chunks} refill={rf} "
+            print(f"device_loop[chunk={cs} K={cs_k} refill={rf} "
                   f"rbound={rb} cond={int(refill_cond)} "
                   f"stage={stage_rows} la={int(dl_look)}]: "
                   f"{n_req/dt:.0f} qps "

@@ -175,9 +175,18 @@ def build_attribution(instrs, computations):
         e = instrs.get(nm)
         return e["out_bytes"] if e else 0
 
+    # aliasing / bookkeeping opcodes move no HBM bytes of their own —
+    # counting their (whole-state-tree) operands produced a phantom
+    # ~118 GB/step "unattributed" row
+    _NO_TRAFFIC = {"tuple", "get-tuple-element", "bitcast", "parameter",
+                   "constant", "copy-start", "copy-done", "after-all"}
     attribution = {}
     for name, e in instrs.items():
-        hbm = e["out_bytes"] + sum(op_out_bytes(o) for o in e["operands"])
+        if e["opcode"] in _NO_TRAFFIC:
+            hbm = 0
+        else:
+            hbm = e["out_bytes"] + sum(op_out_bytes(o)
+                                       for o in e["operands"])
         if e["calls"] and e["calls"] in computations:
             weights = defaultdict(float)
             labeled = defaultdict(float)
@@ -329,14 +338,21 @@ def build_and_measure(B, dtype, best, small, hlo_path, logdir, steps=2,
     print(f"warm {time.time()-t0:.0f}s loss {float(losses['total']):.3f}",
           flush=True)
 
-    # ---- steady-state ms/step: K distinct pipelined steps, 3 windows ----
+    # ---- steady-state ms/step: K distinct pipelined steps, 3 windows.
+    # Batches are pre-built OUTSIDE the window: a jnp.roll inside the
+    # timed loop is its own relay dispatch round-trip per step and
+    # inflated the windows ~6x (round-15 finding; exp_train_bench always
+    # pre-built). ----
     K = 12
     wins = []
     for w in range(3):
+        bl = [rolled(w * K + i) for i in range(K)]
+        for bt in bl:
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(), bt)
         t0 = time.time()
-        for i in range(K):
+        for bt in bl:
             key, sub = jax.random.split(key)
-            state, losses = trainer.train_step(state, rolled(w * K + i), sub)
+            state, losses = trainer.train_step(state, bt, sub)
         float(losses["total"])   # host fetch closes the window (relay rules)
         wins.append((time.time() - t0) / K * 1e3)
     ms_step = float(np.median(wins))
