@@ -89,6 +89,18 @@ def build_parser():
                         "B=64 (-12%%, docs/PERF.md round 13). Default: "
                         "ON for --bf16_train training after the metric-"
                         "equivalence smoke, OFF for f32 (parity dtype)")
+    p.add_argument("--kernel_rng_dropout",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="training: draw the fused-attention prob-dropout "
+                        "masks INSIDE the Pallas kernel (Mosaic per-core "
+                        "PRNG, regenerated bit-identically in the "
+                        "backward) instead of passing caller-drawn "
+                        "masks — no [R,H,Lq,Lk] mask tensor exists in "
+                        "HBM. Different-but-valid bernoulli stream vs "
+                        "nn.Dropout (docs/PERF.md round 15); opt-in "
+                        "until the metric smoke gates a default flip. "
+                        "Needs --fused_train_attn (or its bf16 auto) "
+                        "and a real TPU")
     p.add_argument("--seeded_dropout", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="training: regenerate dropout masks in the "
@@ -548,6 +560,8 @@ def main(argv=None):
                                   and args.bf16_train)
     else:
         set_fused_train_attention(args.fused_train_attn)
+    from ..ops.attention import set_fused_train_attn_rng
+    set_fused_train_attn_rng(args.kernel_rng_dropout)
     from ..models.multimem import set_fused_stack
     set_fused_stack(args.fused_stack)
     if not args.fused_attn:

@@ -313,3 +313,256 @@ def fused_train_mha_xla(q, k, v, keep, mask, num_heads: int, rate: float):
     probs = jnp.where(mask > 0.5, probs / (1.0 - rate), 0.0)
     ctx = jnp.einsum("rhqk,rhkd->rqhd", probs.astype(v.dtype), vh)
     return ctx.reshape(r, lq, e)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel RNG variant: the dropout mask never exists outside the kernel.
+#
+# Round-15 attribution (tools/exp_train_sections.py, docs/PERF.md): even
+# with the rbg generator the caller-drawn [R, H, Lq, Lk] masks cost
+# ~18.7 ms/step of generation fusions plus ~1.5 GB/step of HBM mask
+# traffic touched three times (gen write, fwd read, bwd residual read) —
+# on a step measured at 75% of the v5e HBM peak, i.e. removable traffic
+# is the only win left. Here the mask is drawn INSIDE the kernel with
+# the Mosaic per-core PRNG (pltpu.prng_seed / prng_random_bits) and
+# REGENERATED in the backward from the same seeds, so the custom_vjp
+# residuals are just (q, k, v, keepf, rng_meta[R,3] int32).
+#
+# Determinism contract: the mask bits for (block of rows starting at
+# global row0, head h) come from prng_seed(s0 ^ row0*MIX0,
+# s1 ^ (h*MIX1 + row0)) followed by one [rb, Lq, Lk] draw. fwd and bwd
+# therefore MUST tile rows identically — both cores use _shared_rb().
+# rng_meta rows carry (seed0, seed1, global_row_index): under the rows-
+# SPMD rule each shard's slice keeps its GLOBAL row ids, so shards draw
+# disjoint streams with no extra plumbing. Mosaic constraints probed on
+# this target: prng_seed accepts at most 2 words (hence the fold), and
+# uint32 compare-to-constant works (no uint32->float casts).
+#
+# The stream deliberately differs from nn.Dropout's (that was the
+# caller-mask variant's parity hook); the gate below ships OPT-IN until
+# the metric-equivalence smoke passes, mirroring how bf16 scores and the
+# caller-mask kernel were flipped (docs/PERF.md rounds 13/15).
+# ---------------------------------------------------------------------------
+
+_MIX0 = np.int32(-1640531527)    # 0x9E3779B9 (golden-ratio Weyl constant)
+_MIX1 = np.int32(-2048144789)    # 0x85EBCA6B (murmur3 c2)
+
+
+def _shared_rb(r, lq, lk, e, itemsize, num_heads):
+    """One rb for fwd AND bwd (the mask-regeneration contract): the
+    backward's budget is the binding one; include the uint32 bits +
+    f32 mask temps the PRNG draw adds."""
+    per_row = ((lq + 2 * lk) * e * itemsize    # q/k/v in
+               + lq * e * itemsize             # do in
+               + 3 * lk * e * 4                # f32 accumulators
+               + 3 * 4 * lq * lk               # s/p/dp temps
+               + 2 * 4 * lq * lk)              # prng bits + mask temp
+    return _pick_rb(r, per_row, _BWD_INPUT_BUDGET, cap=8)
+
+
+def _draw_keep(rng_ref, h, rb, lq, lk, thresh):
+    """[rb, Lq, Lk] bool keep-mask for head h of this row block."""
+    s0 = rng_ref[0, 0]
+    s1 = rng_ref[0, 1]
+    row0 = rng_ref[0, 2]
+    pltpu.prng_seed(s0 ^ (row0 * _MIX0),
+                    s1 ^ (jnp.int32(h) * _MIX1 + row0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits((rb, lq, lk)), jnp.uint32)
+    return bits < thresh
+
+
+def _fwd_kernel_rng(q_ref, k_ref, v_ref, keep_ref, rng_ref, out_ref, *,
+                    num_heads: int, scale, inv_keep, thresh):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    keep = keep_ref[:, 0, :]
+    rb, lq, e = q.shape
+    lk = k.shape[1]
+    d = e // num_heads
+    qs = q * jnp.asarray(scale, q.dtype)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, e), 2) // d
+    key_valid = keep[:, None, :] > 0.5
+    big_neg = neg_inf(jnp.float32)
+    any_valid = (jnp.max(keep, axis=1) > 0.5).astype(jnp.float32)
+    acc = jnp.zeros((rb, lq, e), jnp.float32)
+    bc = lambda a, b, ca, cb: jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    for h in range(num_heads):
+        hm = lane_head == h
+        kh = jnp.where(hm, k, jnp.zeros((), k.dtype))
+        s = bc(qs, kh, 2, 2)
+        s = jnp.where(key_valid, s, big_neg)
+        p = jax.nn.softmax(s, axis=-1)
+        m = _draw_keep(rng_ref, h, rb, lq, lk, thresh)
+        p = jnp.where(m, p * jnp.asarray(inv_keep, p.dtype),
+                      jnp.zeros((), p.dtype))
+        vh = jnp.where(hm, v, jnp.zeros((), v.dtype))
+        acc = acc + bc(p.astype(v.dtype), vh, 2, 1)
+    acc = acc * any_valid[:, None, None]
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def _bwd_kernel_rng(q_ref, k_ref, v_ref, keep_ref, rng_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, *, num_heads: int, scale,
+                    inv_keep, thresh):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    keep = keep_ref[:, 0, :]
+    rb, lq, e = q.shape
+    lk = k.shape[1]
+    d = e // num_heads
+    qs = q * jnp.asarray(scale, q.dtype)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, e), 2) // d
+    key_valid = keep[:, None, :] > 0.5
+    big_neg = neg_inf(jnp.float32)
+    any_valid = (jnp.max(keep, axis=1) > 0.5).astype(jnp.float32)
+    dq = jnp.zeros((rb, lq, e), jnp.float32)
+    dk = jnp.zeros((rb, lk, e), jnp.float32)
+    dv = jnp.zeros((rb, lk, e), jnp.float32)
+    bc = lambda a, b, ca, cb: jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    ik = jnp.asarray(inv_keep, jnp.float32)
+    for h in range(num_heads):
+        hm = lane_head == h
+        kh = jnp.where(hm, k, jnp.zeros((), k.dtype))
+        s = bc(qs, kh, 2, 2)
+        s = jnp.where(key_valid, s, big_neg)
+        p = jax.nn.softmax(s, axis=-1)
+        m = _draw_keep(rng_ref, h, rb, lq, lk, thresh)  # == fwd's draw
+        pt = jnp.where(m, p * ik, jnp.zeros((), p.dtype))
+        doh = jnp.where(hm, do, jnp.zeros((), do.dtype))
+        dv = dv + jax.lax.dot_general(
+            pt.astype(do.dtype), doh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        vh = jnp.where(hm, v, jnp.zeros((), v.dtype))
+        dpt = bc(doh, vh, 2, 2)
+        dp = jnp.where(m, dpt * ik, jnp.zeros((), dpt.dtype))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(q.dtype)
+        dq = dq + bc(ds, kh, 2, 1)
+        qsh = jnp.where(hm, qs, jnp.zeros((), qs.dtype))
+        dk = dk + jax.lax.dot_general(
+            ds, qsh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    av = any_valid[:, None, None]
+    dq_ref[...] = (dq * jnp.asarray(scale, jnp.float32) * av).astype(
+        dq_ref.dtype)
+    dk_ref[...] = (dk * av).astype(dk_ref.dtype)
+    dv_ref[...] = (dv * av).astype(dv_ref.dtype)
+
+
+def _fwd_core_rng(q, k, v, keepf, rng_meta, num_heads: int, rate: float):
+    r, lq, e = q.shape
+    lk = k.shape[1]
+    d = e // num_heads
+    scale = np.float32(1.0) / np.sqrt(np.float32(d))
+    it = np.dtype(q.dtype).itemsize
+    rb = _shared_rb(r, lq, lk, e, it, num_heads)
+    kern = functools.partial(
+        _fwd_kernel_rng, num_heads=num_heads, scale=scale,
+        inv_keep=np.float32(1.0 / (1.0 - rate)),
+        thresh=np.uint32(round((1.0 - rate) * float(2**32))))
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((r, lq, e), q.dtype),
+        grid=(r // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, 1, lk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, 3), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
+    )(q, k, v, keepf, rng_meta)
+
+
+def _bwd_core_rng(q, k, v, keepf, rng_meta, do, num_heads: int,
+                  rate: float):
+    """dq | dk | dv concatenated on axis 1 (single-result SPMD rule)."""
+    r, lq, e = q.shape
+    lk = k.shape[1]
+    d = e // num_heads
+    scale = np.float32(1.0) / np.sqrt(np.float32(d))
+    it = np.dtype(q.dtype).itemsize
+    rb = _shared_rb(r, lq, lk, e, it, num_heads)
+    kern = functools.partial(
+        _bwd_kernel_rng, num_heads=num_heads, scale=scale,
+        inv_keep=np.float32(1.0 / (1.0 - rate)),
+        thresh=np.uint32(round((1.0 - rate) * float(2**32))))
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((r, lq, e), q.dtype),
+                   jax.ShapeDtypeStruct((r, lk, e), q.dtype),
+                   jax.ShapeDtypeStruct((r, lk, e), q.dtype)],
+        grid=(r // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, 1, lk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, 3), lambda i: (i, 0)),
+            pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0))],
+    )(q, k, v, keepf, rng_meta, do)
+    return jnp.concatenate([dq, dk, dv], axis=1)
+
+
+if HAVE_PALLAS:
+    _fwd_rng_cp = batch_partitioned(
+        _fwd_core_rng, static_argnums=(5, 6),
+        sharding_rule="r a b, r c d, r f g, r s m, r n -> r x y")
+    _bwd_rng_cp = batch_partitioned(
+        _bwd_core_rng, static_argnums=(6, 7),
+        sharding_rule="r a b, r c d, r f g, r s m, r n, r o p -> r t y")
+else:  # pragma: no cover
+    _fwd_rng_cp = _fwd_core_rng
+    _bwd_rng_cp = _bwd_core_rng
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_train_mha_rng(q, k, v, keepf, rng_meta, num_heads: int,
+                        rate: float):
+    """Fused training attention with IN-KERNEL prob dropout.
+
+    Same contract as :func:`fused_train_mha` except the mask argument is
+    replaced by ``rng_meta`` [R, 3] int32 rows of (seed0, seed1,
+    global_row_index); the bernoulli keep-mask is drawn inside the
+    kernel and regenerated in the backward — no [R, H, Lq, Lk] tensor
+    exists anywhere. No interpret mode (the Mosaic PRNG has no
+    interpreter lowering on this image); gate on real-TPU only.
+    """
+    return _fwd_rng_cp(q, k, v, keepf, rng_meta, num_heads, rate)
+
+
+def _vjp_rng_fwd(q, k, v, keepf, rng_meta, num_heads, rate):
+    ctx = _fwd_rng_cp(q, k, v, keepf, rng_meta, num_heads, rate)
+    return ctx, (q, k, v, keepf, rng_meta)
+
+
+def _vjp_rng_bwd(num_heads, rate, res, do):
+    q, k, v, keepf, rng_meta = res
+    lq, lk = q.shape[1], k.shape[1]
+    g = _bwd_rng_cp(q, k, v, keepf, rng_meta, do.astype(q.dtype),
+                    num_heads, rate)
+    return (g[:, :lq], g[:, lq:lq + lk], g[:, lq + lk:], None, None)
+
+
+fused_train_mha_rng.defvjp(_vjp_rng_fwd, _vjp_rng_bwd)
+
+
+def rng_meta_from_key(key, rows: int) -> jnp.ndarray:
+    """[R, 3] int32 (seed0, seed1, global_row) from a PRNG key."""
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2]
+    kd = kd.astype(jnp.int32)
+    return jnp.concatenate(
+        [jnp.broadcast_to(kd[None, :], (rows, 2)),
+         jnp.arange(rows, dtype=jnp.int32)[:, None]], axis=1)

@@ -95,6 +95,27 @@ def set_fused_train_attention(on: bool) -> None:
     _FUSED_TRAIN_ATTN = bool(on)
 
 
+# In-kernel RNG for the fused training attention's prob dropout
+# (kernels/train_attention.fused_train_mha_rng): the [R, H, Lq, Lk]
+# bernoulli mask is drawn by the Mosaic per-core PRNG inside the kernel
+# and regenerated in the backward — it never exists in HBM. Round-15
+# sizing: the caller-drawn masks cost ~18.7 ms/step of generation ops
+# plus ~1.5 GB/step of traffic touched three times on a step already at
+# 75% of HBM peak (docs/PERF.md round 15). The dropout STREAM differs
+# from nn.Dropout's (a different-but-valid bernoulli family), so this
+# rides the same gate discipline as every numerics-affecting flip:
+# opt-in via run --kernel_rng_dropout until the metric-equivalence smoke
+# on the demo corpus passes. Requires a real TPU (the Mosaic PRNG has no
+# interpreter lowering); silently falls back to the caller-mask kernel
+# elsewhere.
+_FUSED_TRAIN_ATTN_RNG = False
+
+
+def set_fused_train_attn_rng(on: bool) -> None:
+    global _FUSED_TRAIN_ATTN_RNG
+    _FUSED_TRAIN_ATTN_RNG = bool(on)
+
+
 def _fused_train_attention_ok(attn_bias, need_weights, deterministic,
                               dropout) -> bool:
     if not _FUSED_TRAIN_ATTN or attn_bias is not None or need_weights:
@@ -303,18 +324,30 @@ class MultiHeadAttention(nn.Module):
             # dq|dk|dv concatenated on one axis for the single-result
             # SPMD rule). Biased sites (decoder causal self-attn) stay
             # on the XLA path.
-            from ..kernels.train_attention import fused_train_mha
+            from ..kernels.train_attention import (fused_train_mha,
+                                                   fused_train_mha_rng,
+                                                   rng_meta_from_key)
             q = self.project_q(q_in)
             r, lq, e = q.shape
             lk = k.shape[1]
+            rng = self.make_rng("dropout")
+            keepf = jnp.ones((r, 1, lk), jnp.float32) if key_keep is None \
+                else key_keep.astype(jnp.float32)[:, None, :]
+            from ..kernels import train_attention as _ta
+            if _FUSED_TRAIN_ATTN_RNG and not _ta._FORCE_INTERPRET \
+                    and jax.default_backend() == "tpu":
+                # in-kernel PRNG: no mask tensor anywhere (see the
+                # module note above; gate = real TPU only)
+                ctx = fused_train_mha_rng(q, k, v, keepf,
+                                          rng_meta_from_key(rng, r),
+                                          self.num_heads,
+                                          float(self.dropout))
+                return self.out(ctx), None
             # the SAME key + shape nn.Dropout would draw on this site —
             # the mask stream is identical to the plain path's
-            rng = self.make_rng("dropout")
             mask = jax.random.bernoulli(
                 rng, 1.0 - self.dropout,
                 (r, self.num_heads, lq, lk)).astype(jnp.bfloat16)
-            keepf = jnp.ones((r, 1, lk), jnp.float32) if key_keep is None \
-                else key_keep.astype(jnp.float32)[:, None, :]
             ctx = fused_train_mha(q, k, v, keepf, mask, self.num_heads,
                                   float(self.dropout))
             return self.out(ctx), None

@@ -335,3 +335,74 @@ def test_fused_train_attention_end_to_end_grads():
         lambda a, b_: np.testing.assert_allclose(a, b_, atol=1e-4,
                                                  rtol=1e-4),
         bg, fg)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_fused_train_mha_rng_consistency():
+    """In-kernel-PRNG training attention (kernels/train_attention
+    .fused_train_mha_rng): recover the kernel's actual dropout mask via
+    the uniform-probs/basis-vectors probe, then require the kernel's fwd
+    AND grads to equal the XLA reference evaluated WITH THAT MASK —
+    proving the backward regenerates bit-identical bits (the custom_vjp
+    contract). Real-TPU only: the Mosaic PRNG has no interpreter
+    lowering on this image."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("fused_train_mha_rng needs a real TPU")
+    import jax.numpy as jnp
+
+    from case_rg_tpu.kernels.train_attention import (
+        fused_train_mha_rng, fused_train_mha_xla, rng_meta_from_key)
+
+    r, lq, lk, h, d = 4, 8, 8, 2, 128
+    e = h * d
+    rate = 0.25
+    key = jax.random.PRNGKey(11)
+    meta = rng_meta_from_key(key, r)
+
+    # --- mask recovery: q=0 -> uniform probs; v lanes = basis vectors
+    # per head -> out[:, i, hd:hd+lk] = dropped-probs row i of head h
+    v_probe = np.zeros((r, lk, e), np.float32)
+    for hh in range(h):
+        v_probe[:, :, hh * d:hh * d + lk] = np.eye(lk, dtype=np.float32)
+    keepf = jnp.ones((r, 1, lk), jnp.float32)
+    out = np.asarray(jax.device_get(fused_train_mha_rng(
+        jnp.zeros((r, lq, e), jnp.float32), jnp.zeros((r, lk, e),
+                                                      jnp.float32),
+        jnp.asarray(v_probe), keepf, meta, h, rate)))
+    mask = np.zeros((r, h, lq, lk), np.float32)
+    for hh in range(h):
+        pdrop = out[:, :, hh * d:hh * d + lk]       # [r, lq, lk]
+        mask[:, hh] = (pdrop > 1e-9).astype(np.float32)
+        # sanity: kept entries carry exactly uniform/keep_prob mass
+        np.testing.assert_allclose(
+            pdrop, mask[:, hh] * (1.0 / lk) / (1.0 - rate), atol=1e-6)
+    frac = mask.mean()
+    assert 0.5 < frac < 0.95, frac   # ~0.75 expected at rate 0.25
+
+    # --- same seed, real inputs: kernel fwd+grads == XLA-with-that-mask
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.standard_normal((r, lq, e)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((r, lk, e)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((r, lk, e)).astype(np.float32))
+    keep_rows = jnp.asarray((rng.rand(r, lk) > 0.2).astype(np.float32))
+    keep_rows = keep_rows.at[:, 0].set(1.0)
+    keepf2 = keep_rows[:, None, :]
+    mask_j = jnp.asarray(mask)
+
+    def f_kernel(q, k, v):
+        return (fused_train_mha_rng(q, k, v, keepf2, meta, h, rate)
+                .astype(jnp.float32).sum())
+
+    def f_xla(q, k, v):
+        return (fused_train_mha_xla(q, k, v, keep_rows > 0.5, mask_j, h,
+                                    rate).astype(jnp.float32).sum())
+
+    vk, gk = jax.value_and_grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    vx, gx = jax.value_and_grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(vk), float(vx), rtol=2e-5)
+    for a, b, nm in zip(gk, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"d{nm}")

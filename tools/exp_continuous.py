@@ -127,7 +127,7 @@ def main(argv):
             pool.append({k: v[j] for k, v in a.items()})
     master = {k: np.stack([r[k] for r in pool]) for k in ("query", "passage")}
 
-    skip_batch = "--skip_batch" in argv   # caps-mode sweeps: skip the
+    skip_batch = ("--skip_batch" in argv or "--dl_only" in argv)   # caps-mode sweeps: skip the
     # probe + fixed/early-exit measurements (they cost ~6 min of compiles
     # per invocation through the relay and their numbers don't change)
     if skip_batch and caps_spec is None:
@@ -233,7 +233,10 @@ def main(argv):
         out_lens.append(int((row != 0).sum()) if caps_arr is not None
                         else int(lens(row[None])[0]))
 
-    for cs in sweep:
+    dl_only = "--dl_only" in argv   # skip the fixed + host chunk-loop
+    # controls (each costs minutes of compile+run) when only the
+    # --device_loop section is being swept
+    for cs in ([] if dl_only else sweep):
         init_fn, chunk_fn, refill_fn = make_continuous_fns(
             model, max_len, cs, donate_state=not lookahead)
         # compile ALL programs before timing — init (both widths), chunk,
@@ -303,9 +306,10 @@ def main(argv):
         # refill every cs steps); --dl_sweep decouples it from the
         # chunk-loop control's sweep. Ring sizing rule: rows consumed
         # per mega ~ B*K*cs/mean_len must fit in stage_rows.
-        # each entry is cs or cs:K (per-entry n_chunks, so mixed-cs
-        # same-process A/Bs can hold steps-per-mega = K*cs constant —
-        # e.g. 4:8,1:32 both cover 32 steps between host round-trips)
+        # each entry is cs, cs:K, or cs:K:rb (per-entry n_chunks and
+        # refill bound, so mixed-cs same-process A/Bs can hold
+        # steps-per-mega = K*cs constant AND give each cs its own
+        # boundary-gather width — e.g. 4:8:16,2:16:8,1:32:4)
         if "--dl_sweep" in argv:
             dl_sweep = [int(x.partition(":")[0]) if ":" not in x else x
                         for x in
@@ -321,11 +325,15 @@ def main(argv):
                 r, _, rb = pair.partition(":")
                 dl_refills.append((int(r), int(rb or r)))
         for cs in dl_sweep:
-          cs_k = n_chunks
+          cs_k, cs_rb = n_chunks, None
           if isinstance(cs, str):
-              cs, _, k = cs.partition(":")
-              cs, cs_k = int(cs), int(k)
+              parts = cs.split(":")
+              cs, cs_k = int(parts[0]), int(parts[1])
+              if len(parts) > 2:
+                  cs_rb = int(parts[2])
           for rf, rb in dl_refills:
+            if cs_rb is not None:
+                rb = cs_rb
             dfns = make_device_loop_fns(model, max_len, chunk_steps=cs,
                                         n_chunks=cs_k,
                                         stage_rows=stage_rows,

@@ -67,6 +67,12 @@ def main(argv):
     fta_modes = [int(x) for x in
                  (argv[argv.index("--fta") + 1].split(",")
                   if "--fta" in argv else ["0"])]
+    # in-kernel PRNG dropout for the fused training attention
+    # (--ftar 0,1): masks drawn by the Mosaic PRNG inside the kernel,
+    # regenerated in bwd — no HBM mask tensors (docs/PERF.md round 15)
+    ftar_modes = [int(x) for x in
+                  (argv[argv.index("--ftar") + 1].split(",")
+                   if "--ftar" in argv else ["0"])]
 
     # RNG impl for dropout masks. cli/run ships rbg (--fast_rng default);
     # this tool historically never set it, so every docs/PERF.md train
@@ -110,17 +116,19 @@ def main(argv):
             jax.config.update("jax_default_prng_impl",
                               "rbg" if rng_impl == "rbg"
                               else "threefry2x32")
-            for sd, sc, ra, ft in [(a, c, r, f) for a in seeded_modes
-                                   for c in score_modes for r in ra_modes
-                                   for f in fta_modes]:
+            for sd, sc, ra, ft, fr in [
+                    (a, c, r, f, fr) for a in seeded_modes
+                    for c in score_modes for r in ra_modes
+                    for f in fta_modes for fr in ftar_modes]:
              from case_rg_tpu.ops.attention import (
                 set_bf16_scores, set_fused_train_attention,
-                set_remat_attend)
+                set_fused_train_attn_rng, set_remat_attend)
              from case_rg_tpu.ops.dropout import set_seeded_dropout
              set_seeded_dropout(bool(sd))
              set_bf16_scores(bool(sc))
              set_remat_attend(bool(ra))
              set_fused_train_attention(bool(ft))
+             set_fused_train_attn_rng(bool(fr))
              tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
                               warmup_steps=2000, remat=rm,
                               compute_dtype="bfloat16" if dt == "bf16"
@@ -168,7 +176,8 @@ def main(argv):
                    (" seeded_dropout" if sd else "") + \
                    (" bf16_scores" if sc else "") + \
                    (" remat_attn" if ra else "") + \
-                   (" fta" if ft else "")
+                   (" fta" if ft else "") + \
+                   (" ftar" if fr else "")
              line = (f"B={b:3d} {dt:>4}{tag}: {dt_s*1e3:7.1f} ms/step "
                      f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
                      f"{b*40/dt_s:9.0f} tgt-tok/s")
