@@ -9,16 +9,23 @@ re-pin to CPU via jax.config *before* any backend is initialized.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# CASE_RG_TEST_TPU=1: keep the host's real TPU backend for TARGETED runs
+# of the real-TPU-only tests (e.g. the Mosaic-PRNG kernel consistency
+# test — the interpreter has no prng_seed lowering). The full suite is
+# NOT expected to pass on TPU (golden-value tests assume CPU f32).
+_TPU = os.environ.get("CASE_RG_TEST_TPU") == "1"
+if not _TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # Deterministic, high-precision matmuls for golden-value parity tests.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: repeat suite runs skip recompiling the big
