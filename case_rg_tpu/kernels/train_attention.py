@@ -362,9 +362,9 @@ def _shared_rb(r, lq, lk, e, itemsize, num_heads):
 
 def _draw_keep(rng_ref, h, rb, lq, lk, thresh):
     """[rb, Lq, Lk] bool keep-mask for head h of this row block."""
-    s0 = rng_ref[0, 0]
-    s1 = rng_ref[0, 1]
-    row0 = rng_ref[0, 2]
+    s0 = rng_ref[0, 0, 0]
+    s1 = rng_ref[0, 0, 1]
+    row0 = rng_ref[0, 0, 2]
     pltpu.prng_seed(s0 ^ (row0 * _MIX0),
                     s1 ^ (jnp.int32(h) * _MIX1 + row0))
     bits = pltpu.bitcast(pltpu.prng_random_bits((rb, lq, lk)), jnp.uint32)
@@ -476,7 +476,7 @@ def _fwd_core_rng(q, k, v, keepf, rng_meta, num_heads: int, rate: float):
             pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
             pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
             pl.BlockSpec((rb, 1, lk), lambda i: (i, 0, 0)),
-            pl.BlockSpec((rb, 3), lambda i: (i, 0)),
+            pl.BlockSpec((rb, 1, 128), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
     )(q, k, v, keepf, rng_meta)
@@ -506,7 +506,7 @@ def _bwd_core_rng(q, k, v, keepf, rng_meta, do, num_heads: int,
             pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
             pl.BlockSpec((rb, lk, e), lambda i: (i, 0, 0)),
             pl.BlockSpec((rb, 1, lk), lambda i: (i, 0, 0)),
-            pl.BlockSpec((rb, 3), lambda i: (i, 0)),
+            pl.BlockSpec((rb, 1, 128), lambda i: (i, 0, 0)),
             pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
         ],
         out_specs=[pl.BlockSpec((rb, lq, e), lambda i: (i, 0, 0)),
@@ -519,10 +519,10 @@ def _bwd_core_rng(q, k, v, keepf, rng_meta, do, num_heads: int,
 if HAVE_PALLAS:
     _fwd_rng_cp = batch_partitioned(
         _fwd_core_rng, static_argnums=(5, 6),
-        sharding_rule="r a b, r c d, r f g, r s m, r n -> r x y")
+        sharding_rule="r a b, r c d, r f g, r s m, r n u -> r x y")
     _bwd_rng_cp = batch_partitioned(
         _bwd_core_rng, static_argnums=(6, 7),
-        sharding_rule="r a b, r c d, r f g, r s m, r n, r o p -> r t y")
+        sharding_rule="r a b, r c d, r f g, r s m, r n u, r o p -> r t y")
 else:  # pragma: no cover
     _fwd_rng_cp = _fwd_core_rng
     _bwd_rng_cp = _bwd_core_rng
@@ -534,8 +534,8 @@ def fused_train_mha_rng(q, k, v, keepf, rng_meta, num_heads: int,
     """Fused training attention with IN-KERNEL prob dropout.
 
     Same contract as :func:`fused_train_mha` except the mask argument is
-    replaced by ``rng_meta`` [R, 3] int32 rows of (seed0, seed1,
-    global_row_index); the bernoulli keep-mask is drawn inside the
+    replaced by ``rng_meta`` [R, 1, 128] int32 rows of (seed0, seed1,
+    global_row_index, zero padding); the bernoulli keep-mask is drawn inside the
     kernel and regenerated in the backward — no [R, H, Lq, Lk] tensor
     exists anywhere. No interpret mode (the Mosaic PRNG has no
     interpreter lowering on this image); gate on real-TPU only.
@@ -560,9 +560,16 @@ fused_train_mha_rng.defvjp(_vjp_rng_fwd, _vjp_rng_bwd)
 
 
 def rng_meta_from_key(key, rows: int) -> jnp.ndarray:
-    """[R, 3] int32 (seed0, seed1, global_row) from a PRNG key."""
+    """[R, 1, 128] int32 rows of (seed0, seed1, global_row, 0 pad...).
+
+    128-wide because Mosaic requires the (sublane, lane) tail of a block
+    to be (multiple-of-8, multiple-of-128) or the whole array — a [R, 3]
+    operand fails once the row-block is smaller than R. 512 B/row of
+    padding is noise next to the q/k/v operands."""
     kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2]
     kd = kd.astype(jnp.int32)
-    return jnp.concatenate(
+    flat = jnp.concatenate(
         [jnp.broadcast_to(kd[None, :], (rows, 2)),
-         jnp.arange(rows, dtype=jnp.int32)[:, None]], axis=1)
+         jnp.arange(rows, dtype=jnp.int32)[:, None],
+         jnp.zeros((rows, 125), jnp.int32)], axis=1)
+    return flat[:, None, :]

@@ -338,7 +338,9 @@ def test_fused_train_attention_end_to_end_grads():
 
 
 @pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
-def test_fused_train_mha_rng_consistency():
+@pytest.mark.parametrize("r", [4, 16])   # r=16 > the rb cap of 8 ->
+# multi-block grids: each block must seed from ITS global row0
+def test_fused_train_mha_rng_consistency(r):
     """In-kernel-PRNG training attention (kernels/train_attention
     .fused_train_mha_rng): recover the kernel's actual dropout mask via
     the uniform-probs/basis-vectors probe, then require the kernel's fwd
@@ -355,7 +357,7 @@ def test_fused_train_mha_rng_consistency():
     from case_rg_tpu.kernels.train_attention import (
         fused_train_mha_rng, fused_train_mha_xla, rng_meta_from_key)
 
-    r, lq, lk, h, d = 4, 8, 8, 2, 128
+    lq, lk, h, d = 8, 8, 2, 128
     e = h * d
     rate = 0.25
     key = jax.random.PRNGKey(11)
