@@ -102,12 +102,14 @@ def set_fused_train_attention(on: bool) -> None:
 # sizing: the caller-drawn masks cost ~18.7 ms/step of generation ops
 # plus ~1.5 GB/step of traffic touched three times on a step already at
 # 75% of HBM peak (docs/PERF.md round 15). The dropout STREAM differs
-# from nn.Dropout's (a different-but-valid bernoulli family), so this
-# rides the same gate discipline as every numerics-affecting flip:
-# opt-in via run --kernel_rng_dropout until the metric-equivalence smoke
-# on the demo corpus passes. Requires a real TPU (the Mosaic PRNG has no
-# interpreter lowering); silently falls back to the caller-mask kernel
-# elsewhere.
+# from nn.Dropout's (a different-but-valid bernoulli family); the demo-
+# corpus smoke showed IDENTICAL ranking metrics and generation within
+# overfit noise (docs/PERF.md round 15 — the same standard that gated
+# the rbg default), so cli/run AUTO-ENABLES this for --bf16_train;
+# --no-kernel_rng_dropout restores the nn.Dropout-stream masks. The
+# module default stays False for library users. Requires a real TPU
+# (the Mosaic PRNG has no interpreter lowering); silently falls back to
+# the caller-mask kernel elsewhere.
 _FUSED_TRAIN_ATTN_RNG = False
 
 

@@ -286,9 +286,12 @@ def build_and_measure(B, dtype, best, small, hlo_path, logdir, steps=2,
     model = create_model("case", cfg)
     if best:
         from case_rg_tpu.ops.attention import (set_bf16_scores,
-                                               set_fused_train_attention)
+                                               set_fused_train_attention,
+                                               set_fused_train_attn_rng)
         set_bf16_scores(True)
         set_fused_train_attention(True)
+        set_fused_train_attn_rng(True)   # round-15 shipped default for
+        # bf16 training (in-kernel PRNG dropout; auto in cli/run)
     print(f"devices={jax.devices()} B={B} dtype={dtype} best={best}",
           flush=True)
 

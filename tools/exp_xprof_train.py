@@ -60,9 +60,12 @@ def run_traced(B=64, dtype="bf16", logdir="/tmp/xprof_train", small=False,
         # the shipped bf16-training fast path (cli/run.py auto gates):
         # bf16 attention scores + the fused training attention kernel
         from case_rg_tpu.ops.attention import (set_bf16_scores,
-                                               set_fused_train_attention)
+                                               set_fused_train_attention,
+                                               set_fused_train_attn_rng)
         set_bf16_scores(True)
         set_fused_train_attention(True)
+        set_fused_train_attn_rng(True)   # round-15 shipped default for
+        # bf16 training (in-kernel PRNG dropout; auto in cli/run)
     print(f"devices={jax.devices()} B={B} dtype={dtype} best={best}",
           flush=True)
 
