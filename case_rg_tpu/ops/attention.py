@@ -118,6 +118,21 @@ def set_fused_train_attn_rng(on: bool) -> None:
     _FUSED_TRAIN_ATTN_RNG = bool(on)
 
 
+# Head-batched [R*H, L, d] layout for fused-training-attention sites at
+# least _HEADBATCH_MIN_E wide (the two 1280-wide block-0 tower sites):
+# folds H into the kernel's rows axis, removing the lane-mask trick's
+# H=8x redundant MXU work where it is MXU-visible. Microbench: fwd+bwd
+# 10.69 -> 6.98 ms/call at E=1280 (transposes included), SLOWER at
+# E=256 (VPU-bound) — docs/PERF.md round 15. Toggle for A/Bs.
+_FUSED_TRAIN_HEADBATCH = True
+_HEADBATCH_MIN_E = 1024
+
+
+def set_fused_train_headbatch(on: bool) -> None:
+    global _FUSED_TRAIN_HEADBATCH
+    _FUSED_TRAIN_HEADBATCH = bool(on)
+
+
 def _fused_train_attention_ok(attn_bias, need_weights, deterministic,
                               dropout) -> bool:
     if not _FUSED_TRAIN_ATTN or attn_bias is not None or need_weights:
@@ -332,26 +347,58 @@ class MultiHeadAttention(nn.Module):
             q = self.project_q(q_in)
             r, lq, e = q.shape
             lk = k.shape[1]
+            h = self.num_heads
             rng = self.make_rng("dropout")
-            keepf = jnp.ones((r, 1, lk), jnp.float32) if key_keep is None \
-                else key_keep.astype(jnp.float32)[:, None, :]
+            # head-batched layout for the WIDE sites only (the two
+            # block-0 towers, E=1280): fold H into the rows axis so each
+            # row contracts its own d lanes instead of the lane-masked
+            # full E (H=8x MXU redundancy). Microbenched fwd+bwd 10.69
+            # -> 6.98 ms/call at E=1280 including these split/merge
+            # transposes, but SLOWER at E=256 where the sites are
+            # VPU-bound and the transposes are pure cost (docs/PERF.md
+            # round 15) — hence the width gate.
+            headbatch = _FUSED_TRAIN_HEADBATCH and e >= _HEADBATCH_MIN_E \
+                and h > 1
+            if headbatch:
+                d = e // h
+                q = (q.reshape(r, lq, h, d).transpose(0, 2, 1, 3)
+                     .reshape(r * h, lq, d))
+                k = (k.reshape(r, lk, h, d).transpose(0, 2, 1, 3)
+                     .reshape(r * h, lk, d))
+                v = (v.reshape(r, lk, h, d).transpose(0, 2, 1, 3)
+                     .reshape(r * h, lk, d))
+                key_keep_k = (None if key_keep is None else
+                              jnp.repeat(key_keep, h, axis=0))
+                rk, hk = r * h, 1
+            else:
+                key_keep_k, rk, hk = key_keep, r, h
+            keepf = jnp.ones((rk, 1, lk), jnp.float32) \
+                if key_keep_k is None \
+                else key_keep_k.astype(jnp.float32)[:, None, :]
             from ..kernels import train_attention as _ta
             if _FUSED_TRAIN_ATTN_RNG and not _ta._FORCE_INTERPRET \
                     and jax.default_backend() == "tpu":
                 # in-kernel PRNG: no mask tensor anywhere (see the
                 # module note above; gate = real TPU only)
                 ctx = fused_train_mha_rng(q, k, v, keepf,
-                                          rng_meta_from_key(rng, r),
-                                          self.num_heads,
-                                          float(self.dropout))
-                return self.out(ctx), None
-            # the SAME key + shape nn.Dropout would draw on this site —
-            # the mask stream is identical to the plain path's
-            mask = jax.random.bernoulli(
-                rng, 1.0 - self.dropout,
-                (r, self.num_heads, lq, lk)).astype(jnp.bfloat16)
-            ctx = fused_train_mha(q, k, v, keepf, mask, self.num_heads,
-                                  float(self.dropout))
+                                          rng_meta_from_key(rng, rk),
+                                          hk, float(self.dropout))
+            else:
+                # the SAME key + shape nn.Dropout would draw on this
+                # site — the mask stream is identical to the plain
+                # path's (under headbatch the draw keeps the [r,h,..]
+                # shape, reshaped to rows — stream unchanged)
+                mask = jax.random.bernoulli(
+                    rng, 1.0 - self.dropout,
+                    (r, self.num_heads, lq, lk)).astype(jnp.bfloat16)
+                if headbatch:
+                    mask = mask.reshape(rk, hk, lq, lk)
+                ctx = fused_train_mha(q, k, v, keepf, mask, hk,
+                                      float(self.dropout))
+            if headbatch:
+                d = e // h
+                ctx = (ctx.reshape(r, h, lq, d).transpose(0, 2, 1, 3)
+                       .reshape(r, lq, e))
             return self.out(ctx), None
         # NOTE on the blhd (reshape-only, transpose-free) formulation: it
         # was measured perf-NEUTRAL on the train step (XLA's layout

@@ -65,9 +65,15 @@ def main(argv):
         keepf = jnp.ones((r, 1, l), jnp.float32)
         keepf_hb = jnp.ones((r * h, 1, l), jnp.float32)
 
+        # chain CH kernel calls inside ONE jit (feed ctx back as q) so
+        # host dispatch (~25+ ms/call through the relay under load)
+        # amortizes away and the per-call delta is measurable
+        CH = 10
+
         def merged(q, k, v, mask):
-            return fused_train_mha(q, k, v, keepf, mask, h, rate
-                                   ).astype(jnp.float32).sum()
+            for _ in range(CH):
+                q = fused_train_mha(q, k, v, keepf, mask, h, rate)
+            return q.astype(jnp.float32).sum()
 
         def headbatched(q, k, v, mask):
             # caller-side split: [R, L, E] -> [R*H, L, d] (the transposes
@@ -75,12 +81,16 @@ def main(argv):
             def split(x):
                 return (x.reshape(r, l, h, d).transpose(0, 2, 1, 3)
                         .reshape(r * h, l, d))
+            def unsplit(x):
+                return (x.reshape(r, h, l, d).transpose(0, 2, 1, 3)
+                        .reshape(r, l, e))
             mhb = mask.reshape(r * h, 1, l, l)
-            ctx = fused_train_mha(split(q), split(k), split(v), keepf_hb,
-                                  mhb, 1, rate)
-            ctx = (ctx.reshape(r, h, l, d).transpose(0, 2, 1, 3)
-                   .reshape(r, l, e))
-            return ctx.astype(jnp.float32).sum()
+            kk, vv = split(k), split(v)
+            for _ in range(CH):
+                ctx = fused_train_mha(split(q), kk, vv, keepf_hb,
+                                      mhb, 1, rate)
+                q = unsplit(ctx)
+            return q.astype(jnp.float32).sum()
 
         for name, fn in (("merged-head H=8", merged),
                          ("head-batched H=1 x8", headbatched)):
@@ -104,9 +114,10 @@ def main(argv):
                     jax.block_until_ready(o)
                 wins_g.append((time.time() - t0) / K * 1e3)
             print(f"[{r}x{l} E={e}] {name:>20}: fwd "
-                  f"{np.median(wins_f):6.2f} ms  fwd+bwd "
-                  f"{np.median(wins_g):6.2f} ms "
-                  f"(windows {['%.2f' % x for x in wins_g]})", flush=True)
+                  f"{np.median(wins_f)/CH:6.2f} ms/call  fwd+bwd "
+                  f"{np.median(wins_g)/CH:6.2f} ms/call "
+                  f"(chain={CH}; windows "
+                  f"{['%.2f' % x for x in wins_g]})", flush=True)
         # numerics: both formulations compute the same function
         q, k, v, m = inputs(99)
         a = jax.jit(merged)(q, k, v, m)
