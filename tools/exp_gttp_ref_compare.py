@@ -41,8 +41,8 @@ DATA = "/tmp/gttp_cmp/cast/prepared"
 OUT = "/tmp/gttp_cmp"
 
 
-def load_corpus(data_dir):
-    arrs = dict(np.load(os.path.join(data_dir, "test.gttp.npz")))
+def load_corpus(data_dir, model="gttp"):
+    arrs = dict(np.load(os.path.join(data_dir, f"test.{model}.npz")))
     vocab_path = os.path.join(data_dir, "vocab.txt")
     words = [w.rstrip("\n") for w in open(vocab_path, encoding="utf-8")]
     vocab2id = {w: i for i, w in enumerate(words)}
@@ -63,18 +63,26 @@ def batch_order(n, b, steps, seed=123456):
     return order
 
 
-def run_reference(arrs, vocab2id, id2vocab, steps, b, log_path):
+def run_reference(arrs, vocab2id, id2vocab, steps, b, log_path,
+                  mname="gttp"):
     import torch
     from reference_loader import load_reference
     load_reference()
-    from GTTP.Model import GTTP as RefGTTP
     from common.CumulativeTrainer import init_params
     from transformers.optimization import \
         get_cosine_with_hard_restarts_schedule_with_warmup
 
     torch.manual_seed(123456)
-    model = RefGTTP(256, 256, vocab2id, id2vocab, max_dec_len=40,
-                    beam_width=1)
+    if mname == "gttp":
+        from GTTP.Model import GTTP as RefGTTP
+        model = RefGTTP(256, 256, vocab2id, id2vocab, max_dec_len=40,
+                        beam_width=1)
+        gate_mod, method = None, "train"
+    else:
+        from GLKS.Model import GLKS as RefGLKS
+        model = RefGLKS(4, 1, 256, 256, vocab2id, id2vocab,
+                        max_dec_len=40, beam_width=1)
+        gate_mod, method = model.mixture.linear1, "ds_mle_mce_train"
     init_params(model)   # xavier, as every reference Run.py does
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=2.5e-4)
@@ -86,7 +94,8 @@ def run_reference(arrs, vocab2id, id2vocab, steps, b, log_path):
     def hook(mod, inp, out):
         gate_vals.append(float(torch.sigmoid(out).mean().detach()))
 
-    model.gen.linear_copy.register_forward_hook(hook)
+    (gate_mod if gate_mod is not None
+     else model.gen.linear_copy).register_forward_hook(hook)
 
     order = batch_order(arrs["context"].shape[0], b, steps)
     log = []
@@ -102,10 +111,17 @@ def run_reference(arrs, vocab2id, id2vocab, steps, b, log_path):
             "response": torch.tensor(arrs["response"][idx],
                                      dtype=torch.long),
         }
+        if "selection" in arrs:
+            data["selection"] = torch.tensor(
+                arrs["selection"][idx], dtype=torch.float32)
         gate_vals.clear()
         t0 = time.time()
-        loss = model(data, method="train")
-        loss = loss.mean()
+        loss = model(data, method=method)
+        # multi-loss models return a list/cat — sum the means exactly as
+        # CumulativeTrainer.train_batch:56-58 does
+        loss = (sum(l.mean() for l in loss)
+                if isinstance(loss, (list, tuple)) else
+                loss.sum() if loss.ndim else loss.mean())
         opt.zero_grad()
         loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
@@ -125,7 +141,7 @@ def run_reference(arrs, vocab2id, id2vocab, steps, b, log_path):
     return log
 
 
-def run_ours(arrs, vocab_size, steps, b, log_path):
+def run_ours(arrs, vocab_size, steps, b, log_path, mname="gttp"):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
@@ -136,31 +152,53 @@ def run_ours(arrs, vocab_size, steps, b, log_path):
     from case_rg_tpu.models import create_model
     from case_rg_tpu.train.trainer import Trainer
 
-    cfg = ModelConfig(name="gttp", vocab_size=vocab_size,
+    cfg = ModelConfig(name=mname, vocab_size=vocab_size,
                       embedding_size=256, hidden_size=256, num_heads=8,
-                      max_dec_len=40, max_target_length=40)
-    model = create_model("gttp", cfg)
+                      max_dec_len=40, max_target_length=40,
+                      min_window_size=4, num_windows=1)
+    model = create_model(mname, cfg)
+    lk = ({"mode": "ds_mle_mce_train"} if mname == "glks" else None)
     tc = TrainConfig(batch_size=b, learning_rate=2.5e-4, warmup_steps=2000,
                      compute_dtype="float32")
-    trainer = Trainer(model, tc, total_steps=steps + 100)
+    trainer = Trainer(model, tc, total_steps=steps + 100,
+                      loss_method_kwargs=lk)
 
     def mk(idx):
-        return {"context": jnp.asarray(arrs["context"][idx].astype(np.int32)),
-                "background": jnp.asarray(
-                    arrs["background"][idx].astype(np.int32)),
-                "response": jnp.asarray(
-                    arrs["response"][idx].astype(np.int32))}
+        out = {"context": jnp.asarray(arrs["context"][idx].astype(np.int32)),
+               "background": jnp.asarray(
+                   arrs["background"][idx].astype(np.int32)),
+               "response": jnp.asarray(
+                   arrs["response"][idx].astype(np.int32))}
+        if "selection" in arrs:
+            out["selection"] = jnp.asarray(
+                arrs["selection"][idx].astype(np.float32))
+        return out
 
     order = batch_order(arrs["context"].shape[0], b, steps)
     state = trainer.init_state(jax.random.PRNGKey(123456), mk(order[0]))
 
     # gate probe: same math as train_losses' scan, returning mean
-    # sigma(copy_linear) over steps x batch (jitted once, run per log step)
+    # sigma(gate linear) over steps x batch (jitted once, run per log
+    # step). GTTP: p_copy (copy share). GLKS: p_mix (VOCAB share —
+    # matches the reference Mixturer's p_k_v, GLKS/Model.py:140-147).
     def gate_probe(mdl, batch):
         resp = batch["response"]
         bb, t = resp.shape
         bos = jnp.full((bb, 1), mdl.cfg.bos_id, resp.dtype)
         inputs = jnp.concatenate([bos, resp[:, :-1]], axis=1)
+        if mname == "glks":
+            embs = mdl.emb_drop(mdl.embedding(inputs), deterministic=True)
+            enc = mdl.encode(batch, deterministic=True)
+
+            def body(state, emb_t):
+                _, state = mdl.st_gru.step(emb_t, state)
+                _, _, _, p_mix = mdl._generate_core(emb_t[:, None], state,
+                                                    enc)
+                return state, jnp.mean(p_mix)
+
+            _, gates = jax.lax.scan(body, enc["init_state"],
+                                    jnp.swapaxes(embs, 0, 1))
+            return jnp.mean(gates)
         embs = mdl.dec.embed(inputs, True)
         enc = mdl.encode(batch, deterministic=True)
 
@@ -230,19 +268,24 @@ if __name__ == "__main__":
     p.add_argument("--data", type=str, default=DATA)
     p.add_argument("--side", type=str, default="both",
                    choices=["ref", "ours", "both", "report"])
+    p.add_argument("--model", type=str, default="gttp",
+                   choices=["gttp", "glks"])
     args = p.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
-    ref_log = os.path.join(OUT, "ref_log.json")
-    ours_log = os.path.join(OUT, "ours_log.json")
+    tag = "" if args.model == "gttp" else f"_{args.model}"
+    ref_log = os.path.join(OUT, f"ref{tag}_log.json")
+    ours_log = os.path.join(OUT, f"ours{tag}_log.json")
     if args.side == "report":
         report(ref_log, ours_log)
         sys.exit(0)
-    arrs, vocab2id, id2vocab = load_corpus(args.data)
+    arrs, vocab2id, id2vocab = load_corpus(args.data, args.model)
     print(f"corpus n={arrs['context'].shape[0]} V={len(vocab2id)} "
-          f"steps={args.steps} b={args.b}", flush=True)
+          f"steps={args.steps} b={args.b} model={args.model}", flush=True)
     if args.side in ("ours", "both"):
-        run_ours(arrs, len(vocab2id), args.steps, args.b, ours_log)
+        run_ours(arrs, len(vocab2id), args.steps, args.b, ours_log,
+                 args.model)
     if args.side in ("ref", "both"):
-        run_reference(arrs, vocab2id, id2vocab, args.steps, args.b, ref_log)
+        run_reference(arrs, vocab2id, id2vocab, args.steps, args.b,
+                      ref_log, args.model)
     report(ref_log, ours_log)
