@@ -162,8 +162,8 @@ class Trainer:
         def step_fn(state: TrainState, batch, rng):
             def loss_fn(params):
                 if bf16:  # mixed precision: f32 master, bf16 compute
-                    from .precision import cast_params
-                    params = cast_params(params, jnp.bfloat16)
+                    from .precision import cast_params_auto
+                    params = cast_params_auto(params, jnp.bfloat16)
                 losses = model.apply({"params": params}, batch,
                                      deterministic=False,
                                      rngs={"dropout": rng},

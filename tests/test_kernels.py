@@ -408,3 +408,69 @@ def test_fused_train_mha_rng_consistency(r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5,
                                    err_msg=f"d{nm}")
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_fused_train_headbatch_equivalence():
+    """The width-gated head-batched layout (ops/attention.py round 15)
+    must produce the same context as the merged-head call for the same
+    dropout key — the caller-mask kernel draws the [r, H, lq, lk] mask
+    BEFORE the split, so the per-(row, head) stream is unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn  # noqa: F401
+
+    from case_rg_tpu.kernels import train_attention as ta
+    from case_rg_tpu.ops import attention as A
+    from case_rg_tpu.ops.attention import MultiHeadAttention
+
+    r, lq, lk, h, e = 2, 4, 4, 8, 1024   # e >= _HEADBATCH_MIN_E
+    mha = MultiHeadAttention(num_heads=h, embed_dim=e, dropout=0.25)
+    rng = np.random.RandomState(0)
+    q_in = jnp.asarray(rng.standard_normal((r, lq, e)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((r, lk, e)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((r, lk, e)).astype(np.float32))
+    variables = mha.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(1)},
+                         q_in, k, v,
+                         method=MultiHeadAttention.attend_with_kv)
+
+    old_i = ta._FORCE_INTERPRET
+    ta._FORCE_INTERPRET = True
+    A.set_fused_train_attention(True)
+    try:
+        def run():
+            out, _ = mha.apply(variables, q_in, k, v,
+                               deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(7)},
+                               method=MultiHeadAttention.attend_with_kv)
+            return np.asarray(out)
+
+        A.set_fused_train_headbatch(False)
+        base = run()
+        A.set_fused_train_headbatch(True)
+        split = run()
+    finally:
+        ta._FORCE_INTERPRET = old_i
+        A.set_fused_train_attention(False)
+        A.set_fused_train_headbatch(True)
+    np.testing.assert_allclose(split, base, rtol=2e-5, atol=2e-6)
+
+
+def test_cast_params_fused_identity():
+    """cast_params_fused == cast_params element-for-element (the round-15
+    refuted-for-speed formulation must stay numerically identical)."""
+    import jax.numpy as jnp
+
+    from case_rg_tpu.train.precision import cast_params, cast_params_fused
+
+    rng = np.random.RandomState(3)
+    tree = {"a": jnp.asarray(rng.standard_normal((7, 5)).astype(np.float32)),
+            "b": {"c": jnp.asarray(rng.standard_normal(11).astype(np.float32)),
+                  "i": jnp.arange(4, dtype=jnp.int32)}}
+    a = cast_params(tree)
+    b = cast_params_fused(tree)
+    np.testing.assert_array_equal(np.asarray(a["a"]), np.asarray(b["a"]))
+    np.testing.assert_array_equal(np.asarray(a["b"]["c"]),
+                                  np.asarray(b["b"]["c"]))
+    assert b["b"]["i"].dtype == jnp.int32

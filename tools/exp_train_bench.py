@@ -77,6 +77,11 @@ def main(argv):
     hb_modes = [int(x) for x in
                 (argv[argv.index("--hb") + 1].split(",")
                  if "--hb" in argv else ["1"])]
+    # fused master-weight cast (--fcast 0,1): one big convert + slices
+    # instead of ~200 per-leaf async copies (round-15 attribution)
+    fc_modes = [int(x) for x in
+                (argv[argv.index("--fcast") + 1].split(",")
+                 if "--fcast" in argv else ["0"])]
 
     # RNG impl for dropout masks. cli/run ships rbg (--fast_rng default);
     # this tool historically never set it, so every docs/PERF.md train
@@ -120,22 +125,24 @@ def main(argv):
             jax.config.update("jax_default_prng_impl",
                               "rbg" if rng_impl == "rbg"
                               else "threefry2x32")
-            for sd, sc, ra, ft, fr, hb in [
-                    (a, c, r, f, fr, hb) for a in seeded_modes
+            for sd, sc, ra, ft, fr, hb, fc in [
+                    (a, c, r, f, fr, hb, fc) for a in seeded_modes
                     for c in score_modes for r in ra_modes
                     for f in fta_modes for fr in ftar_modes
-                    for hb in hb_modes]:
+                    for hb in hb_modes for fc in fc_modes]:
              from case_rg_tpu.ops.attention import (
                 set_bf16_scores, set_fused_train_attention,
                 set_fused_train_attn_rng, set_fused_train_headbatch,
                 set_remat_attend)
              from case_rg_tpu.ops.dropout import set_seeded_dropout
+             from case_rg_tpu.train.precision import set_fused_cast
              set_seeded_dropout(bool(sd))
              set_bf16_scores(bool(sc))
              set_remat_attend(bool(ra))
              set_fused_train_attention(bool(ft))
              set_fused_train_attn_rng(bool(fr))
              set_fused_train_headbatch(bool(hb))
+             set_fused_cast(bool(fc))
              tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
                               warmup_steps=2000, remat=rm,
                               compute_dtype="bfloat16" if dt == "bf16"
@@ -185,7 +192,8 @@ def main(argv):
                    (" remat_attn" if ra else "") + \
                    (" fta" if ft else "") + \
                    (" ftar" if fr else "") + \
-                   ("" if hb else " nohb")
+                   ("" if hb else " nohb") + \
+                   (" fcast" if fc else "")
              line = (f"B={b:3d} {dt:>4}{tag}: {dt_s*1e3:7.1f} ms/step "
                      f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
                      f"{b*40/dt_s:9.0f} tgt-tok/s")
