@@ -57,15 +57,47 @@ def cast_params_fused(tree, dtype=jnp.bfloat16):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-# measured-decision toggle for the fused cast (exp_train_bench --fcast)
-_FUSED_CAST = False
+def cast_params_grouped(tree, dtype=jnp.bfloat16):
+    """Per-top-level-module fused cast: one ravel+convert per first-level
+    subtree (encoder, ps_tower, sti_tower, decoder, ...) instead of
+    either ~200 per-leaf copies (`cast_params`) or one monolithic
+    convert (`cast_params_fused`).
+
+    Rationale: the whole-tree ravel was REFUTED 218.1 vs 166.8 ms/step
+    (docs/PERF.md round 15) because the single concat must wait for
+    EVERY master leaf and every consumer then depends on the one
+    convert — it serializes the step start. Grouping by module keeps
+    the op count ~10 while letting each module's bf16 params become
+    ready independently, so e.g. the encoder can start as soon as its
+    own group converts. Numerics identical (same per-element cast);
+    gated by the same measured-decision toggle (mode 2)."""
+    import collections.abc
+    if not isinstance(tree, collections.abc.Mapping) or not tree:
+        return cast_params_fused(tree, dtype)
+    out = {k: cast_params_fused(sub, dtype) for k, sub in tree.items()}
+    try:  # preserve FrozenDict-ness for callers that rely on it
+        from flax.core import FrozenDict
+        if isinstance(tree, FrozenDict):
+            return FrozenDict(out)
+    except Exception:
+        pass
+    return out
 
 
-def set_fused_cast(on: bool) -> None:
+# measured-decision toggle for the fused cast (exp_train_bench --fcast):
+# 0 = per-leaf (shipped default), 1 = whole-tree ravel (refuted),
+# 2 = per-module grouped
+_FUSED_CAST = 0
+
+
+def set_fused_cast(mode) -> None:
     global _FUSED_CAST
-    _FUSED_CAST = bool(on)
+    _FUSED_CAST = int(mode)
 
 
 def cast_params_auto(tree, dtype=jnp.bfloat16):
-    """cast_params or cast_params_fused per the process-wide toggle."""
-    return (cast_params_fused if _FUSED_CAST else cast_params)(tree, dtype)
+    """cast_params / cast_params_fused / cast_params_grouped per the
+    process-wide toggle."""
+    fn = {0: cast_params, 1: cast_params_fused,
+          2: cast_params_grouped}[_FUSED_CAST]
+    return fn(tree, dtype)

@@ -474,3 +474,30 @@ def test_cast_params_fused_identity():
     np.testing.assert_array_equal(np.asarray(a["b"]["c"]),
                                   np.asarray(b["b"]["c"]))
     assert b["b"]["i"].dtype == jnp.int32
+
+
+def test_cast_params_grouped_identity():
+    """cast_params_grouped == cast_params element-for-element, for plain
+    dicts and FrozenDicts (structure preserved either way)."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from case_rg_tpu.train.precision import cast_params, cast_params_grouped
+
+    rng = np.random.RandomState(4)
+    tree = {"enc": {"w": jnp.asarray(
+                rng.standard_normal((7, 5)).astype(np.float32)),
+                    "b": jnp.asarray(
+                rng.standard_normal(11).astype(np.float32))},
+            "dec": {"k": jnp.asarray(
+                rng.standard_normal((3, 2)).astype(np.float32)),
+                    "i": jnp.arange(4, dtype=jnp.int32)}}
+    for t in (tree, flax.core.freeze(tree)):
+        a, g = cast_params(t), cast_params_grouped(t)
+        assert (jax.tree_util.tree_structure(a)
+                == jax.tree_util.tree_structure(g))
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(g)):
+            assert x.dtype == y.dtype
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -142,7 +142,7 @@ def main(argv):
              set_fused_train_attention(bool(ft))
              set_fused_train_attn_rng(bool(fr))
              set_fused_train_headbatch(bool(hb))
-             set_fused_cast(bool(fc))
+             set_fused_cast(fc)   # 0 per-leaf / 1 ravel / 2 grouped
              tc = TrainConfig(batch_size=b, learning_rate=2.5e-4,
                               warmup_steps=2000, remat=rm,
                               compute_dtype="bfloat16" if dt == "bf16"
@@ -193,7 +193,7 @@ def main(argv):
                    (" fta" if ft else "") + \
                    (" ftar" if fr else "") + \
                    ("" if hb else " nohb") + \
-                   (" fcast" if fc else "")
+                   (f" fcast={fc}" if fc else "")
              line = (f"B={b:3d} {dt:>4}{tag}: {dt_s*1e3:7.1f} ms/step "
                      f"{1.0/dt_s:6.2f} steps/s {b/dt_s:7.0f} samples/s "
                      f"{b*40/dt_s:9.0f} tgt-tok/s")
